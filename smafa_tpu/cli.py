@@ -1,0 +1,155 @@
+"""Command-line interface, flag-for-flag compatible with the reference
+(reference main.rs:64-116 build_cli):
+
+- ``makedb -i/--input FILE -d/--database FILE`` (both required)
+- ``query -d/--database FILE -q/--query FILE [--max-divergence INT]
+  [--max-num-hits INT] [--limit-per-sequence INT]``
+- ``cluster -i/--input FILE -d/--max-divergence INT`` — note the quirk
+  pinned by the reference: in cluster, ``-d`` means max-divergence, NOT
+  database (main.rs:100-107), and it is required in practice
+  (.unwrap() at main.rs:43) despite help text saying "default: not used".
+- ``count -i/--input FILE...`` (multiple files)
+- global and per-subcommand ``-v/--verbose`` and ``--quiet`` flags
+  (main.rs:67-69; the reference's bird_tool_utils adds these per
+  subcommand)
+- no subcommand -> print help, exit 0 (main.rs:52-56)
+
+Errors print their message to stderr and exit 101, matching the visible
+behavior of the reference's panics (the version-gate test only asserts
+stderr contains the message and a nonzero exit, tests/test_cmdline.rs:28-41).
+
+Extensions beyond the reference surface (TPU framework level):
+``makedb --format {postcard,native}`` and ``query --batch-size``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def _add_verbosity(p: argparse.ArgumentParser, short_q: bool = True) -> None:
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="Print extra debug logging information")
+    quiet_flags = ["-q", "--quiet"] if short_q else ["--quiet"]
+    p.add_argument(*quiet_flags, dest="quiet", action="store_true",
+                   help="Unless there is an error, do not print logging information")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="smafa",
+        description="Read aligner for small pre-aligned sequences (TPU-native engine)",
+    )
+    _add_verbosity(parser)
+    sub = parser.add_subparsers(dest="subcommand")
+
+    p = sub.add_parser("makedb", help="Generate a searchable database")
+    p.add_argument("-i", "--input", required=True,
+                   help="Subject sequences to search against [required]")
+    p.add_argument("-d", "--database", required=True,
+                   help="Output DB filename [required]")
+    p.add_argument("--format", choices=["postcard", "native"], default="postcard",
+                   help="DB file format: reference-compatible 'postcard' (default) "
+                        "or TPU-native sharded 'native'")
+    _add_verbosity(p)
+
+    p = sub.add_parser(
+        "query",
+        help="Search a database. See query --help for more information about output format.",
+        description=(
+            "This command searches a database for query sequences. The database must "
+            "be generated with the `makedb` command. The query sequences can be in "
+            "FASTA or FASTQ format. The output is a tab-separated file with columns: "
+            "1. Query sequence number (0-indexed); 2. Subject sequence number "
+            "(0-indexed); 3. Divergence (number of nucleotides different between the "
+            "two sequences); 4. Subject sequence (with dashes and degenerate base "
+            "symbols shown as Ns)"
+        ),
+    )
+    p.add_argument("-d", "--database", required=True, help="Output from makedb [required]")
+    p.add_argument("-q", "--query", required=True,
+                   help="Query sequences to search with in FASTX format [required]")
+    p.add_argument("--max-divergence", type=int, default=None,
+                   help="Maximum divergence to report hits for, for each sequence "
+                        "[default: not used]")
+    p.add_argument("--max-num-hits", type=int, default=None,
+                   help="Maximum number of hits to report [default: 1]")
+    p.add_argument("--limit-per-sequence", type=int, default=None,
+                   help="Maximum number of hits to report per sequence. Requires "
+                        "--max-num-hits > 1 for now. [default: not used]")
+    p.add_argument("--batch-size", type=int, default=512, help=argparse.SUPPRESS)
+    _add_verbosity(p, short_q=False)
+
+    p = sub.add_parser("cluster", help="Cluster sequences by similarity")
+    p.add_argument("-i", "--input", required=True, help="FASTA file to cluster [required]")
+    p.add_argument("-d", "--max-divergence", type=int, required=True,
+                   help="Maximum divergence to report hits for, for each sequence")
+    _add_verbosity(p)
+
+    p = sub.add_parser("count",
+                       help="Print the number of reads/bases in a possibly gzipped FASTX file")
+    p.add_argument("-i", "--input", nargs="+", required=True, help="FASTQ file to count [required]")
+    _add_verbosity(p)
+
+    return parser
+
+
+def set_log_level(verbose: bool, quiet: bool) -> None:
+    level = logging.DEBUG if verbose else (logging.ERROR if quiet else logging.INFO)
+    logging.basicConfig(
+        level=level,
+        stream=sys.stderr,
+        format="[%(asctime)s %(levelname)s %(name)s] %(message)s",
+        datefmt="%Y-%m-%dT%H:%M:%SZ",
+        force=True,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.subcommand is None:
+        parser.print_help()
+        print()
+        return 0
+    set_log_level(args.verbose, args.quiet)
+
+    from smafa_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
+    try:
+        if args.subcommand == "makedb":
+            from smafa_tpu.engine.makedb import makedb
+
+            makedb(args.input, args.database, fmt=args.format)
+        elif args.subcommand == "query":
+            from smafa_tpu.engine.query import query
+
+            query(
+                args.database, args.query,
+                max_divergence=args.max_divergence,
+                max_num_hits=args.max_num_hits,
+                limit_per_sequence=args.limit_per_sequence,
+                batch_size=args.batch_size,
+            )
+        elif args.subcommand == "cluster":
+            from smafa_tpu.engine.cluster import cluster
+
+            cluster(args.input, args.max_divergence)
+        elif args.subcommand == "count":
+            from smafa_tpu.engine.count import count
+
+            count(args.input)
+    except BrokenPipeError:
+        return 0
+    except Exception as exc:  # parity: reference panics print message + die
+        print(str(exc), file=sys.stderr)
+        return 101
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,194 @@
+"""cluster op: greedy online clustering, byte-identical to the reference.
+
+Reference algorithm (reference cluster.rs:13-94): stream records in order;
+skip exact duplicates of the packed encoding (cluster.rs:46-48, no output
+line); compute distances to all current centroids; assign to the
+lowest-index centroid at the minimum distance if min <= max_divergence,
+else promote the record to a new centroid; print
+``{raw_input_seq}\t{decoded_centroid}`` per unique record.
+
+The algorithm is order-sequential — each record's assignment depends on
+centroids created by earlier records — so a TPU can't just vmap it.
+The TPU formulation here batches the stream:
+
+1. device: one int8 MXU matmul scans the whole batch against all existing
+   centroids at once -> per-row (min distance, first argmin),
+2. device: one [B, B] self-distance matmul for the batch,
+3. host: a tiny O(B * promotions) sequential pass resolves intra-batch
+   order dependencies exactly — a row promoted earlier in the batch can
+   capture later rows via the self-distance matrix. New centroids always
+   have higher indices than old ones, so a strict ``<`` comparison
+   reproduces the reference's lowest-index tie rule (cluster.rs:62-68).
+
+Centroids live on device in an amortized-doubling one-hot buffer; the
+batch's promotions are appended with one dynamic_update_slice per batch.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import sys
+import time
+from functools import partial
+from pathlib import Path
+from typing import TextIO
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smafa_tpu.core import alphabet
+from smafa_tpu.core.windowset import WindowSet
+from smafa_tpu.core.encoding import dedup_key
+from smafa_tpu.io.fastx import read_encoded_batches
+from smafa_tpu.ops import distance as D
+
+logger = logging.getLogger("smafa")
+
+DEFAULT_BATCH = 512
+
+
+def _bucket(n: int, minimum: int = 16) -> int:
+    return max(minimum, 1 << math.ceil(math.log2(max(1, n))))
+
+
+@partial(jax.jit, static_argnames=("seq_len", "chunk"))
+def _scan_centroids(q_codes, cent_oh, n_centroids, seq_len, chunk):
+    q_oh = D.expand_onehot(q_codes, seq_len)
+    return D.min_scan(q_oh, cent_oh, n_centroids, seq_len, chunk)
+
+
+@partial(jax.jit, static_argnames=("seq_len",))
+def _self_distances(q_codes, seq_len):
+    q_oh = D.expand_onehot(q_codes, seq_len)
+    return D.pairwise_distances(q_oh, q_oh, seq_len)
+
+
+@partial(jax.jit, static_argnames=("seq_len",))
+def _append_rows(cent_oh, new_codes, at, seq_len):
+    new_oh = D.expand_onehot(new_codes, seq_len)
+    return jax.lax.dynamic_update_slice_in_dim(cent_oh, new_oh, at, axis=0)
+
+
+class _CentroidStore:
+    """Host WindowSet mirror + growable device one-hot buffer."""
+
+    def __init__(self, seq_len: int):
+        self.seq_len = seq_len
+        self.ws = WindowSet(version=0)  # version unused, reference cluster.rs:22
+        self.decoded: list[str] = []
+        self.cap = 1024
+        self.chunk = 1024
+        lp = D.padded_feature_dim(seq_len)
+        self.buf = jnp.zeros((self.cap, lp), dtype=jnp.int8)
+
+    def __len__(self) -> int:
+        return len(self.ws)
+
+    def append(self, codes_rows: np.ndarray) -> None:
+        n0 = len(self.ws)
+        k = codes_rows.shape[0]
+        if n0 + k > self.cap:
+            while self.cap < n0 + k:
+                self.cap *= 2
+            all_codes = np.zeros((self.cap, self.seq_len), dtype=np.uint8)
+            all_codes[:n0] = self.ws.codes
+            all_codes[n0 : n0 + k] = codes_rows
+            self.buf = jax.jit(partial(D.expand_onehot, seq_len=self.seq_len))(all_codes)
+        else:
+            self.buf = _append_rows(self.buf, codes_rows, n0, self.seq_len)
+        self.ws.push_batch(codes_rows)
+        flat = alphabet.DECODE_BYTES[codes_rows].tobytes().decode("ascii")
+        L = self.seq_len
+        self.decoded.extend(flat[i * L : (i + 1) * L] for i in range(k))
+
+    def min_scan(self, q_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        nq = q_codes.shape[0]
+        b = _bucket(nq)
+        if nq < b:
+            q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
+        d, i = _scan_centroids(
+            q_codes, self.buf, jnp.int32(len(self.ws)), self.seq_len, min(self.chunk, self.cap)
+        )
+        return np.asarray(d)[:nq], np.asarray(i)[:nq]
+
+
+def cluster(
+    input_fasta: str | Path,
+    max_divergence: int,
+    out: TextIO | None = None,
+    batch_size: int = DEFAULT_BATCH,
+) -> None:
+    out = out if out is not None else sys.stdout
+    t0 = time.time()
+    max_div = int(max_divergence)
+    seen: set[bytes] = set()
+    store: _CentroidStore | None = None
+
+    logger.info("Clustering ..")
+    query_number = 0
+    for ids, raws, codes in read_encoded_batches(input_fasta, batch_size=batch_size):
+        query_number += len(ids)
+        # exact-duplicate skip, in input order (reference cluster.rs:46-48)
+        keep: list[int] = []
+        for j in range(len(ids)):
+            key = dedup_key(codes[j])
+            if key not in seen:
+                seen.add(key)
+                keep.append(j)
+        if not keep:
+            continue
+        codes_u = codes[keep]
+        raws_u = [raws[j] for j in keep]
+        seq_len = codes_u.shape[1]
+
+        if store is None:
+            store = _CentroidStore(seq_len)
+        else:
+            store.ws.check_query_length(seq_len)
+
+        _process_batch(store, codes_u, raws_u, max_div, out)
+
+    n_centroids = len(store) if store is not None else 0
+    logger.info(
+        "Clustering complete, took %d seconds. Clustered %d sequences into %d clusters.",
+        int(time.time() - t0), query_number, n_centroids,
+    )
+
+
+def _process_batch(store, codes_u, raws_u, max_div, out):
+    nb = codes_u.shape[0]
+    n_old = len(store)
+    if n_old:
+        old_d, old_i = store.min_scan(codes_u)
+    else:
+        old_d = old_i = None
+    self_d = np.asarray(_self_distances(codes_u, store.seq_len)) if nb > 1 else None
+
+    sentinel = max_div * 2 + 2  # reference cluster.rs:54-58
+    promoted: list[tuple[int, int]] = []  # (batch_row, centroid_idx)
+    assigned: list[int] = []
+    for j in range(nb):
+        if old_d is not None:
+            best_d, best_i = int(old_d[j]), int(old_i[j])
+        else:
+            best_d, best_i = sentinel, 0
+        for j2, cidx in promoted:
+            d = int(self_d[j, j2])
+            if d < best_d:  # strict: older (lower-index) centroids win ties
+                best_d, best_i = d, cidx
+        if best_d <= max_div:
+            assigned.append(best_i)
+        else:
+            cidx = n_old + len(promoted)
+            promoted.append((j, cidx))
+            assigned.append(cidx)
+
+    if promoted:
+        store.append(codes_u[[j for j, _ in promoted]])
+    lines = []
+    for j in range(nb):
+        raw = raws_u[j].decode("utf-8")
+        lines.append(f"{raw}\t{store.decoded[assigned[j]]}\n")
+    out.write("".join(lines))

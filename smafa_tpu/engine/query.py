@@ -1,0 +1,187 @@
+"""query op: scan a query FASTX stream against a db on TPU.
+
+Semantics are pinned line-by-line to reference ``query`` (reference
+lib.rs:198-325):
+
+- K-mode is selected iff ``max_num_hits`` is given and != 1 (lib.rs:224 —
+  K=1 is equivalent to best-hit mode).
+- K-mode: sort (distance, subject_index) ascending; the cutoff is the Kth
+  smallest distance — or the per-query MAX distance when K exceeds the
+  window count (lib.rs:253-256) — and every entry with distance <= cutoff
+  AND <= max-divergence prints, so ties at the cutoff can exceed K hits
+  (lib.rs:261-265).
+- ``--limit-per-sequence`` caps CONSECUTIVE runs of identical decoded
+  subject strings in sorted order, resetting when a different string
+  interleaves (lib.rs:269-289), and panics in best-hit mode (lib.rs:301-303).
+- Best-hit mode prints ALL windows at the minimum distance in subject-index
+  order (lib.rs:306-313).
+- Output line: ``{query_number}\t{subject_idx}\t{distance}\t{decoded}``
+  with query_number counting records from 0 (lib.rs:231,292,310).
+
+TPU execution: the db lives on device as a one-hot int8 tensor; each query
+batch runs an exact chunked top-M scan (ops.distance.topm_scan), with M
+widened geometrically on the rare overflow (all M candidates qualified and
+more windows remain — exactness over the cutoff-tie rule requires it).
+When more than one device is visible the scan shards the db rows across a
+'w' mesh axis and merges per-shard candidates (parallel.sharded).
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+from pathlib import Path
+from typing import TextIO
+
+import jax
+import numpy as np
+
+from smafa_tpu.core import alphabet
+from smafa_tpu.io.db import load_db
+from smafa_tpu.io.fastx import read_encoded_batches
+from smafa_tpu.ops import distance as D
+
+logger = logging.getLogger("smafa")
+
+DEFAULT_BATCH = 512
+
+
+class QueryError(ValueError):
+    pass
+
+
+class _DbOnDevice:
+    """A loaded db, one-hot expanded and resident on device(s)."""
+
+    def __init__(self, windows, devices: list | None = None):
+        self.windows = windows
+        self.n_windows = len(windows)
+        self.seq_len = windows.length
+        self._decoded: dict[int, str] = {}
+        self._setup()
+
+    def _setup(self):
+        from smafa_tpu.parallel import sharded
+
+        codes = self.windows.codes
+        self.runner = sharded.ScanRunner(codes, self.seq_len or 1)
+
+    def decoded(self, idx: int) -> str:
+        s = self._decoded.get(idx)
+        if s is None:
+            s = self.windows.get_as_string(idx)
+            self._decoded[idx] = s
+        return s
+
+
+def query(
+    db_path: str | Path,
+    query_fasta: str | Path,
+    max_divergence: int | None = None,
+    max_num_hits: int | None = None,
+    limit_per_sequence: int | None = None,
+    out: TextIO | None = None,
+    batch_size: int = DEFAULT_BATCH,
+) -> None:
+    out = out or sys.stdout
+    logger.info("Decoding db file %s", db_path)
+    t0 = time.time()
+    windows = load_db(db_path)
+    db = _DbOnDevice(windows)
+
+    # 1 is a special case, equivalent to None (reference lib.rs:224).
+    k_mode = max_num_hits if (max_num_hits is not None and max_num_hits != 1) else None
+    if k_mode is not None and k_mode < 1:
+        raise QueryError("max-num-hits must be >= 1")
+    if k_mode is None and limit_per_sequence is not None:
+        # Reference panics with this exact text (lib.rs:301-303).
+        raise QueryError(
+            "limit_per_sequence is implemented unless max_num_hits > 1. "
+            "It can be implemented by analogy, just haven't gotten around to it."
+        )
+
+    logger.info("Querying ..")
+    query_number = 0
+    for ids, _raws, codes in read_encoded_batches(query_fasta, batch_size=batch_size):
+        qlen = codes.shape[1] if codes.ndim == 2 else 0
+        windows.check_query_length(qlen)
+        if db.n_windows == 0:
+            raise QueryError("Cannot query an empty database")
+        nq = len(ids)
+        results = _scan_batch(db, codes, k_mode, max_divergence)
+        for row in range(nq):
+            _emit_hits(
+                out, query_number, results, row, db,
+                k_mode, max_divergence, limit_per_sequence,
+            )
+            query_number += 1
+    logger.info("Querying complete, took %d seconds", int(time.time() - t0))
+
+
+def _scan_batch(db: _DbOnDevice, codes: np.ndarray, k_mode, max_divergence):
+    """Run the top-M scan, widening M until no query row can overflow."""
+    w = db.n_windows
+    m = min(w, max(16, k_mode or 1))
+    while True:
+        dists, idxs, maxd = db.runner.topm(codes, m)
+        m_got = dists.shape[1]  # runner may bucket m upward
+        if m_got >= w:
+            return dists, idxs, maxd
+        overflow = _any_overflow(dists, maxd, w, m_got, k_mode, max_divergence)
+        if not overflow:
+            return dists, idxs, maxd
+        m = min(w, m_got * 4)
+
+
+def _any_overflow(dists, maxd, w, m, k_mode, max_divergence) -> bool:
+    last = dists[:, m - 1]
+    if k_mode is not None:
+        kc = k_mode
+        cutoff = np.where(kc > w, maxd, dists[:, min(kc, w) - 1])
+        if max_divergence is not None:
+            cutoff = np.minimum(cutoff, max_divergence)
+        return bool(np.any(last <= cutoff))
+    mind = dists[:, 0]
+    if max_divergence is not None:
+        mind_eff = np.where(mind <= max_divergence, mind, -1)
+    else:
+        mind_eff = mind
+    return bool(np.any(last == mind_eff))
+
+
+def _emit_hits(out, qnum, results, row, db, k_mode, max_divergence, limit_per_sequence):
+    dists, idxs, maxd = results
+    drow = dists[row]
+    irow = idxs[row]
+    w = db.n_windows
+    if k_mode is not None:
+        cutoff = int(maxd[row]) if k_mode > w else int(drow[min(k_mode, w) - 1])
+        eff = cutoff if max_divergence is None else min(cutoff, max_divergence)
+        last_seq: tuple[str, int] | None = None
+        lines = []
+        for d, i in zip(drow.tolist(), irow.tolist()):
+            if d > eff:
+                break
+            s = db.decoded(i)
+            if limit_per_sequence is not None:
+                # Consecutive-run limit with reset-on-interleave
+                # (reference lib.rs:269-289).
+                if last_seq is not None and last_seq[0] == s:
+                    if last_seq[1] >= limit_per_sequence:
+                        continue
+                    last_seq = (s, last_seq[1] + 1)
+                else:
+                    last_seq = (s, 1)
+            lines.append(f"{qnum}\t{i}\t{d}\t{s}\n")
+        out.write("".join(lines))
+    else:
+        mind = int(drow[0])
+        if max_divergence is not None and mind > max_divergence:
+            return
+        lines = []
+        for d, i in zip(drow.tolist(), irow.tolist()):
+            if d != mind:
+                break
+            lines.append(f"{qnum}\t{i}\t{d}\t{db.decoded(i)}\n")
+        out.write("".join(lines))

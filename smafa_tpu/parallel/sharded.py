@@ -1,0 +1,190 @@
+"""Sharded query-vs-db scan over a ('q', 'w') device mesh.
+
+The reference is single-threaded (reference lib.rs:232 serial query loop);
+this module is the scale-out design it never had (SURVEY.md §2.2):
+
+- 'w' axis = tensor-parallel over db rows: each device owns a contiguous
+  row shard, scans it locally (chunked top-M with global indices), then the
+  per-shard candidate lists are merged with an ``all_gather`` over 'w' —
+  ICI-only traffic of O(B * M) pairs instead of all-gathering the db.
+- 'q' axis = data-parallel over the query batch: each q-group handles its
+  slice of the batch independently.
+
+The merge preserves the reference's exact (distance, subject_index)
+ascending tie order: the all_gather stacks shards in mesh order (ascending
+global row offset), and ``lax.top_k`` breaks ties toward lower positions.
+
+Everything compiles once per (batch_bucket, M) and is cached.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from smafa_tpu.ops import distance as D
+
+
+# Below this many db rows, sharding + scan machinery costs more (compile
+# time, collective latency) than it saves; use the direct single-device
+# program. Override with SMAFA_TPU_FORCE_SHARD=1 (used by the sharded
+# parity tests) or SMAFA_TPU_SHARD_THRESHOLD.
+def _shard_threshold() -> int:
+    return int(os.environ.get("SMAFA_TPU_SHARD_THRESHOLD", 65536))
+
+
+def _force_shard() -> bool:
+    return os.environ.get("SMAFA_TPU_FORCE_SHARD", "") not in ("", "0")
+
+
+def _parse_mesh_env(n_devices: int) -> tuple[int, int]:
+    spec = os.environ.get("SMAFA_TPU_MESH")
+    if spec:
+        nq, nw = (int(x) for x in spec.split(","))
+        if nq * nw != n_devices:
+            raise ValueError(
+                f"SMAFA_TPU_MESH={spec} does not match {n_devices} visible devices"
+            )
+        return nq, nw
+    return 1, n_devices
+
+
+def build_mesh(n_q: int | None = None, n_w: int | None = None) -> Mesh:
+    devices = np.array(jax.devices())
+    if n_q is None or n_w is None:
+        n_q, n_w = _parse_mesh_env(len(devices))
+    return Mesh(devices[: n_q * n_w].reshape(n_q, n_w), ("q", "w"))
+
+
+def _bucket(n: int, minimum: int = 16) -> int:
+    return max(minimum, 1 << math.ceil(math.log2(max(1, n))))
+
+
+class ScanRunner:
+    """Holds a db resident on the mesh and runs exact top-M scans.
+
+    Single-device and multi-device paths share the same code: a 1x1 mesh is
+    just the degenerate case.
+    """
+
+    def __init__(self, codes: np.ndarray, seq_len: int, mesh: Mesh | None = None,
+                 chunk: int | None = None):
+        self.seq_len = max(1, seq_len)
+        self.n_windows = int(codes.shape[0])
+        if mesh is None:
+            if self.n_windows < _shard_threshold() and not _force_shard():
+                mesh = build_mesh(1, 1)
+            else:
+                mesh = build_mesh()
+        self.mesh = mesh
+        self.n_q = self.mesh.devices.shape[0]
+        self.n_w = self.mesh.devices.shape[1]
+        # chunk: db rows per scan step; large enough to keep the MXU busy,
+        # small enough that the per-chunk [B, chunk] block stays in VMEM.
+        self.chunk = chunk or min(2048, _bucket(max(1, self.n_windows), 128))
+        if self.n_windows == 0:
+            # Empty dbs never reach the device (callers guard); keep the
+            # runner constructible so load-then-error paths still work.
+            self.wp = 0
+            self.shard_rows = 0
+            self.db_oh = None
+            self._topm_cache = {}
+            return
+        stride = self.chunk * self.n_w
+        padded = ((self.n_windows + stride - 1) // stride) * stride
+        codes_p = codes
+        if codes_p.shape[0] < padded:
+            codes_p = np.pad(codes_p, [(0, padded - codes_p.shape[0]), (0, 0)])
+        self.wp = padded
+        self.shard_rows = padded // self.n_w
+
+        db_spec = NamedSharding(self.mesh, P("w", None))
+        codes_dev = jax.device_put(codes_p, db_spec)
+        expand = jax.jit(
+            partial(D.expand_onehot, seq_len=self.seq_len),
+            out_shardings=db_spec,
+        )
+        self.db_oh = expand(codes_dev)
+        self.n_windows_dev = jnp.int32(self.n_windows)
+        self._topm_cache: dict[tuple[int, int], callable] = {}
+
+    # -- compiled program per (B, m) ---------------------------------------
+
+    def _build(self, b: int, m: int):
+        seq_len = self.seq_len
+        chunk = self.chunk
+        shard_rows = self.shard_rows
+        n_w = self.n_w
+        m_loc = min(m, shard_rows)
+
+        if self.n_q == 1 and self.n_w == 1:
+            # Single-device program: no shard_map wrapper (much cheaper to
+            # compile, identical semantics).
+            @jax.jit
+            def run_single(q_codes, db_oh, n_windows):
+                q_oh = D.expand_onehot(q_codes, seq_len)
+                return D.topm_scan(q_oh, db_oh, n_windows, seq_len, m, chunk)
+
+            return run_single
+
+        def shard_fn(q_oh, db_shard, n_windows):
+            off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
+            n_valid_local = jnp.clip(n_windows - off, 0, shard_rows)
+            d, i, mx = D.topm_scan(q_oh, db_shard, n_valid_local, seq_len, m_loc, chunk)
+            i = jnp.where(d >= D.BIG, jnp.int32(2**31 - 1), i + off)
+            if n_w > 1:
+                d_all = jax.lax.all_gather(d, "w", axis=1, tiled=True)
+                i_all = jax.lax.all_gather(i, "w", axis=1, tiled=True)
+                neg, pos = jax.lax.top_k(-d_all, m)
+                d = -neg
+                i = jnp.take_along_axis(i_all, pos, axis=1)
+                mx = jax.lax.pmax(mx, "w")
+            return d, i, mx
+
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(P("q", None), P("w", None), P()),
+            out_specs=(P("q", None), P("q", None), P("q")),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run(q_codes, db_oh, n_windows):
+            q_oh = D.expand_onehot(q_codes, seq_len)
+            return mapped(q_oh, db_oh, n_windows)
+
+        return run
+
+    def topm(self, q_codes: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Exact smallest-m (distance, index) per query row, plus per-row max.
+
+        Returns host numpy arrays trimmed to the actual batch size.
+        """
+        nq = q_codes.shape[0]
+        # bucket m to powers of two (extra columns are harmless BIG-padded
+        # entries) so jit programs are reused across nearby m requests
+        m = min(_bucket(min(m, self.n_windows)), self.wp)
+        b = _bucket(nq, minimum=max(16, self.n_q))
+        b = ((b + self.n_q - 1) // self.n_q) * self.n_q
+        if q_codes.shape[0] < b:
+            q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
+        key = (b, m)
+        fn = self._topm_cache.get(key)
+        if fn is None:
+            fn = self._build(b, m)
+            self._topm_cache[key] = fn
+        d, i, mx = fn(q_codes, self.db_oh, self.n_windows_dev)
+        d, i, mx = np.asarray(d), np.asarray(i), np.asarray(mx)
+        return d[:nq], i[:nq], mx[:nq]
+
+    def min_scan(self, q_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(min distance, first argmin) per row — cluster's inner scan."""
+        d, i, _ = self.topm(q_codes, 1)
+        return d[:, 0], i[:, 0]
