@@ -1,0 +1,79 @@
+"""Throughput benchmark: query x db sequence comparisons/sec on one chip.
+
+Measures the hot kernel — the batched Hamming scan with fused top-M
+selection (the TPU replacement of reference lib.rs:80-88's serial
+popcount loop) — on the BASELINE.json single-chip config shape:
+60 bp windows, large db, streamed query batches.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 1e9 (the north-star >= 1e9 comparisons/sec/chip).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+from smafa_tpu.core.alphabet import N_CHANNELS
+from smafa_tpu.ops import distance as D
+
+NORTH_STAR = 1.0e9  # comparisons/sec/chip (BASELINE.json north_star)
+
+
+def main() -> None:
+    platform = jax.devices()[0].platform
+    on_accel = platform not in ("cpu",)
+
+    seq_len = 60
+    if on_accel:
+        n_windows, batch, m, chunk = 1 << 20, 4096, 16, 8192
+        iters, warmup = 10, 2
+    else:  # CPU smoke sizing — keeps CI runs short
+        n_windows, batch, m, chunk = 1 << 14, 256, 16, 2048
+        iters, warmup = 3, 1
+
+    rng = np.random.default_rng(42)
+    db_codes = rng.integers(0, N_CHANNELS, size=(n_windows, seq_len), dtype=np.uint8)
+    q_codes = rng.integers(0, N_CHANNELS, size=(batch, seq_len), dtype=np.uint8)
+
+    db_oh = jax.jit(lambda c: D.expand_onehot(c, seq_len))(db_codes)
+    db_oh.block_until_ready()
+    n_win = np.int32(n_windows)
+
+    scan = jax.jit(
+        lambda q, db: D.topm_scan(
+            D.expand_onehot(q, seq_len), db, n_win, seq_len, m, chunk
+        )
+    )
+
+    q_dev = jax.device_put(q_codes)
+    for _ in range(warmup):
+        out = scan(q_dev, db_oh)
+        jax.block_until_ready(out)
+
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = scan(q_dev, db_oh)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+
+    comparisons = batch * n_windows
+    cps = comparisons / best
+    print(
+        json.dumps(
+            {
+                "metric": "query_db_comparisons_per_sec_per_chip",
+                "value": cps,
+                "unit": "comparisons/sec (60bp windows)",
+                "vs_baseline": cps / NORTH_STAR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -40,8 +40,30 @@ def open_maybe_gzip(path: str | Path) -> io.BufferedReader:
     return io.BufferedReader(f, buffer_size=1 << 20) if not isinstance(f, io.BufferedReader) else f
 
 
+def read_file_bytes(path: str | Path) -> bytes:
+    """Whole file contents, transparently gunzipped."""
+    with open_maybe_gzip(path) as f:
+        return f.read()
+
+
+def parse_native(path: str | Path, encode: bool = True):
+    """Parse a whole file with the C++ ingest extension; None if unbuilt."""
+    from smafa_tpu.native import ingest
+
+    if ingest.load() is None:
+        return None
+    return ingest.parse_buffer(read_file_bytes(path), encode=encode, path=str(path))
+
+
 def read_records(path: str | Path) -> Iterator[tuple[str, bytes]]:
     """Yield (id, seq_bytes) for each record in a FASTA/FASTQ(.gz) file."""
+    parsed = parse_native(path, encode=False)
+    if parsed is not None:
+        if parsed.n == 0:
+            raise FastxError(f"Empty or invalid FASTX file: {path}")
+        for i in range(parsed.n):
+            yield parsed.record_id(i), parsed.raw_seq(i)
+        return
     with open_maybe_gzip(path) as f:
         first = f.peek(1)[:1]
         if not first:
@@ -101,6 +123,30 @@ def read_encoded_batches(
     mismatching record raises through the caller's WindowSet length check
     so the error text matches the reference (lib.rs:71-78).
     """
+    parsed = parse_native(path, encode=True)
+    if parsed is not None:
+        if parsed.n == 0:
+            raise FastxError(f"Empty or invalid FASTX file: {path}")
+        lengths = parsed.seq_lengths()
+        uniform = int(lengths.min(initial=0)) == int(lengths.max(initial=0))
+        if uniform and (expected_length is None or int(lengths[0]) == expected_length):
+            L = int(lengths[0])
+            codes = parsed.codes.reshape(parsed.n, L) if L else np.empty(
+                (parsed.n, 0), np.uint8
+            )
+            for s in range(0, parsed.n, batch_size):
+                e = min(s + batch_size, parsed.n)
+                yield (
+                    [parsed.record_id(i) for i in range(s, e)],
+                    [parsed.raw_seq(i) for i in range(s, e)],
+                    codes[s:e],
+                )
+            return
+        # Non-uniform lengths: group consecutive same-length runs so the
+        # caller's WindowSet length check fires on the right record.
+        yield from _batches_from_parsed(parsed, lengths, batch_size, expected_length)
+        return
+
     ids: list[str] = []
     raws: list[bytes] = []
     rows: list[np.ndarray] = []
@@ -116,6 +162,31 @@ def read_encoded_batches(
             length = len(seq) if expected_length is None else expected_length
         ids.append(rid)
         raws.append(seq)
+        rows.append(chans)
+    if ids:
+        yield ids, raws, np.vstack(rows)
+
+
+def _batches_from_parsed(parsed, lengths, batch_size, expected_length):
+    """Batch a natively-parsed file with non-uniform record lengths."""
+    ids: list[str] = []
+    raws: list[bytes] = []
+    rows: list[np.ndarray] = []
+    length = expected_length
+    for i in range(parsed.n):
+        L = int(lengths[i])
+        chans = parsed.codes[parsed.seq_offs[i] : parsed.seq_offs[i + 1]]
+        if length is None:
+            length = L
+        if L != length or len(ids) == batch_size:
+            if ids:
+                yield ids, raws, (
+                    np.vstack(rows) if rows else np.empty((0, length or 0), np.uint8)
+                )
+            ids, raws, rows = [], [], []
+            length = L if expected_length is None else expected_length
+        ids.append(parsed.record_id(i))
+        raws.append(parsed.raw_seq(i))
         rows.append(chans)
     if ids:
         yield ids, raws, np.vstack(rows)

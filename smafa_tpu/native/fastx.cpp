@@ -1,0 +1,203 @@
+// Native FASTX ingest: parse + nucleotide-encode in one pass over a buffer.
+//
+// TPU-native replacement for the host-side hot path the reference delegates
+// to the needletail crate (reference lib.rs:143-144, 221; cluster.rs:28).
+// The device never waits on per-record Python work: this parser emits, in
+// one scan over the (already gunzipped) file bytes,
+//
+//   - record id strings (concatenated + offsets),
+//   - raw sequence bytes (concatenated + offsets, FASTA line wraps removed),
+//   - encoded channel indices (same offsets) via the reference's byte LUT
+//     semantics (lib.rs:167-184: A/C/G/T/U case-insensitive, all IUPAC
+//     degenerates and '-' -> N, anything else invalid),
+//
+// with the first-invalid-byte position reported so Python can raise the
+// reference's exact error text (lib.rs:38-42).
+//
+// API is two-pass so the caller owns every allocation (numpy buffers over
+// ctypes): fastx_scan sizes the outputs, fastx_fill writes them.
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr uint8_t INVALID = 255;
+
+struct Lut {
+  uint8_t v[256];
+  constexpr Lut() : v() {
+    for (int i = 0; i < 256; ++i) v[i] = INVALID;
+    auto set = [&](const char* s, uint8_t c) {
+      for (const char* p = s; *p; ++p) v[(uint8_t)*p] = c;
+    };
+    set("Aa", 0);
+    set("Cc", 1);
+    set("Gg", 2);
+    set("TtUu", 3);
+    set("NWSMKRYBDHV-nwsmkrybdhv", 4);
+  }
+};
+
+constexpr Lut kLut{};
+
+inline const uint8_t* find_nl(const uint8_t* p, const uint8_t* end) {
+  const void* q = memchr(p, '\n', (size_t)(end - p));
+  return q ? (const uint8_t*)q : end;
+}
+
+inline int64_t line_len(const uint8_t* p, const uint8_t* nl) {
+  int64_t n = nl - p;
+  if (n > 0 && p[n - 1] == '\r') --n;
+  return n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Error codes shared by scan/fill.
+enum {
+  FASTX_OK = 0,
+  FASTX_EMPTY = 1,
+  FASTX_BAD_LEADING = 2,
+  FASTX_BAD_FASTQ = 3,
+  FASTX_SEQ_BEFORE_HEADER = 4,
+  FASTX_BAD_BASE = 5,  // fill only (encode=1)
+};
+
+// Pass 1: count records and total id/sequence bytes.
+// format_out: 0 = FASTA, 1 = FASTQ.
+int32_t fastx_scan(const uint8_t* buf, int64_t n, int64_t* n_records,
+                   int64_t* total_seq, int64_t* total_id,
+                   int32_t* format_out) {
+  *n_records = 0;
+  *total_seq = 0;
+  *total_id = 0;
+  const uint8_t* p = buf;
+  const uint8_t* end = buf + n;
+  if (p == end) return FASTX_EMPTY;
+  if (*p == '>') {
+    *format_out = 0;
+    bool in_record = false;
+    while (p < end) {
+      const uint8_t* nl = find_nl(p, end);
+      int64_t len = line_len(p, nl);
+      if (len > 0 && *p == '>') {
+        ++*n_records;
+        *total_id += len - 1;
+        in_record = true;
+      } else if (len > 0) {
+        if (!in_record) return FASTX_SEQ_BEFORE_HEADER;
+        *total_seq += len;
+      }
+      p = nl + 1;
+    }
+    return FASTX_OK;
+  }
+  if (*p == '@') {
+    *format_out = 1;
+    while (p < end) {
+      const uint8_t* nl = find_nl(p, end);
+      int64_t hlen = line_len(p, nl);
+      if (hlen == 0) {  // tolerate blank separator lines
+        p = nl + 1;
+        continue;
+      }
+      if (*p != '@') return FASTX_BAD_FASTQ;
+      ++*n_records;
+      *total_id += hlen - 1;
+      p = nl + 1;
+      if (p >= end) return FASTX_BAD_FASTQ;
+      const uint8_t* snl = find_nl(p, end);
+      *total_seq += line_len(p, snl);
+      p = snl + 1;
+      if (p >= end || *p != '+') return FASTX_BAD_FASTQ;
+      p = find_nl(p, end) + 1;  // '+' line
+      if (p >= end) return FASTX_BAD_FASTQ;
+      p = find_nl(p, end) + 1;  // quality line
+    }
+    return FASTX_OK;
+  }
+  return FASTX_BAD_LEADING;
+}
+
+// Pass 2: fill caller-allocated buffers (sized from fastx_scan).
+//   ids        [total_id]      concatenated header strings (after >/@)
+//   id_offs    [n_records+1]
+//   seqs       [total_seq]     raw sequence bytes (wraps removed)
+//   seq_offs   [n_records+1]
+//   codes      [total_seq]     channel indices 0..4 (only when encode != 0)
+// On FASTX_BAD_BASE: bad_record/bad_pos/bad_byte identify the reference
+// panic parameters (byte value, record, position within the sequence).
+int32_t fastx_fill(const uint8_t* buf, int64_t n, uint8_t* ids,
+                   int64_t* id_offs, uint8_t* seqs, int64_t* seq_offs,
+                   uint8_t* codes, int32_t encode, int64_t* bad_record,
+                   int64_t* bad_pos, int32_t* bad_byte) {
+  const uint8_t* p = buf;
+  const uint8_t* end = buf + n;
+  int64_t rec = -1;
+  int64_t idp = 0, sp = 0;
+  int32_t err = FASTX_OK;
+  *bad_record = -1;
+
+  auto encode_span = [&](const uint8_t* s, int64_t len) {
+    memcpy(seqs + sp, s, (size_t)len);
+    if (encode) {
+      int64_t seq_start = seq_offs[rec];
+      for (int64_t i = 0; i < len; ++i) {
+        uint8_t c = kLut.v[s[i]];
+        codes[sp + i] = c;
+        if (c == INVALID && err == FASTX_OK) {
+          err = FASTX_BAD_BASE;
+          *bad_record = rec;
+          *bad_pos = (sp + i) - seq_start;
+          *bad_byte = s[i];
+        }
+      }
+    }
+    sp += len;
+  };
+
+  if (p < end && *p == '>') {
+    while (p < end) {
+      const uint8_t* nl = find_nl(p, end);
+      int64_t len = line_len(p, nl);
+      if (len > 0 && *p == '>') {
+        ++rec;
+        id_offs[rec] = idp;
+        seq_offs[rec] = sp;
+        memcpy(ids + idp, p + 1, (size_t)(len - 1));
+        idp += len - 1;
+      } else if (len > 0) {
+        encode_span(p, len);
+      }
+      p = nl + 1;
+    }
+  } else if (p < end && *p == '@') {
+    while (p < end) {
+      const uint8_t* nl = find_nl(p, end);
+      int64_t hlen = line_len(p, nl);
+      if (hlen == 0) {
+        p = nl + 1;
+        continue;
+      }
+      ++rec;
+      id_offs[rec] = idp;
+      seq_offs[rec] = sp;
+      memcpy(ids + idp, p + 1, (size_t)(hlen - 1));
+      idp += hlen - 1;
+      p = nl + 1;
+      const uint8_t* snl = find_nl(p, end);
+      encode_span(p, line_len(p, snl));
+      p = snl + 1;
+      p = find_nl(p, end) + 1;
+      p = find_nl(p, end) + 1;
+    }
+  }
+  id_offs[rec + 1] = idp;
+  seq_offs[rec + 1] = sp;
+  return err;
+}
+
+}  // extern "C"

@@ -1,0 +1,101 @@
+"""Python face of the native FASTX parser: whole-file parse + encode.
+
+Returns numpy-backed batches with zero per-record Python work. Falls back
+to None when the native library is unavailable; callers (io.fastx) then
+use the pure-Python streaming parser.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import numpy as np
+
+from smafa_tpu.core.alphabet import InvalidBaseError
+from smafa_tpu.native import load
+
+_ERRORS = {
+    1: "Empty or invalid FASTX file",
+    2: "Not a FASTA or FASTQ file (bad leading byte)",
+    3: "Malformed FASTQ record",
+    4: "Sequence data before first FASTA header",
+}
+
+
+class ParsedFastx:
+    """All records of one file: concatenated arrays + offset indexes."""
+
+    __slots__ = ("ids", "id_offs", "seqs", "seq_offs", "codes", "n")
+
+    def __init__(self, ids, id_offs, seqs, seq_offs, codes):
+        self.ids = ids
+        self.id_offs = id_offs
+        self.seqs = seqs
+        self.seq_offs = seq_offs
+        self.codes = codes
+        self.n = len(id_offs) - 1
+
+    def record_id(self, i: int) -> str:
+        return self.ids[self.id_offs[i] : self.id_offs[i + 1]].tobytes().decode(
+            "utf-8", "replace"
+        )
+
+    def raw_seq(self, i: int) -> bytes:
+        return self.seqs[self.seq_offs[i] : self.seq_offs[i + 1]].tobytes()
+
+    def seq_lengths(self) -> np.ndarray:
+        return np.diff(self.seq_offs)
+
+
+def parse_buffer(data: bytes, encode: bool = True, path: str = "") -> ParsedFastx | None:
+    """Parse (and optionally encode) an in-memory FASTX buffer natively.
+
+    Returns None when the native library is unavailable. Raises the
+    reference-parity errors (InvalidBaseError, ValueError) on bad input.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    from smafa_tpu.io.fastx import FastxError
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    n = np.int64(buf.size)
+    n_records = ctypes.c_int64()
+    total_seq = ctypes.c_int64()
+    total_id = ctypes.c_int64()
+    fmt = ctypes.c_int32()
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    bufp = buf.ctypes.data_as(u8p)
+    rc = lib.fastx_scan(
+        bufp, n, ctypes.byref(n_records), ctypes.byref(total_seq),
+        ctypes.byref(total_id), ctypes.byref(fmt),
+    )
+    if rc != 0:
+        raise FastxError(f"{_ERRORS.get(rc, 'Parse error')}: {path}")
+
+    nr = n_records.value
+    ids = np.empty(total_id.value, dtype=np.uint8)
+    id_offs = np.empty(nr + 1, dtype=np.int64)
+    seqs = np.empty(total_seq.value, dtype=np.uint8)
+    seq_offs = np.empty(nr + 1, dtype=np.int64)
+    codes = np.empty(total_seq.value if encode else 0, dtype=np.uint8)
+    bad_record = ctypes.c_int64()
+    bad_pos = ctypes.c_int64()
+    bad_byte = ctypes.c_int32()
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.fastx_fill(
+        bufp, n,
+        ids.ctypes.data_as(u8p), id_offs.ctypes.data_as(i64p),
+        seqs.ctypes.data_as(u8p), seq_offs.ctypes.data_as(i64p),
+        codes.ctypes.data_as(u8p), ctypes.c_int32(1 if encode else 0),
+        ctypes.byref(bad_record), ctypes.byref(bad_pos), ctypes.byref(bad_byte),
+    )
+    parsed = ParsedFastx(ids, id_offs, seqs, seq_offs, codes if encode else None)
+    if rc == 5:  # FASTX_BAD_BASE — reference panic params (lib.rs:38-42)
+        raise InvalidBaseError(
+            bad_byte.value, parsed.record_id(bad_record.value), bad_pos.value
+        )
+    if rc != 0:
+        raise FastxError(f"{_ERRORS.get(rc, 'Parse error')}: {path}")
+    return parsed

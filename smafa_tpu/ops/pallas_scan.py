@@ -1,0 +1,161 @@
+"""Fused Pallas (Mosaic) scan kernel: matmul + packed-key min + tie count.
+
+The pure-XLA path (ops.distance) materializes each [B, chunk] distance
+block in HBM between the matmul and the reduction — at large W that HBM
+round-trip, not the MXU, bounds throughput. This kernel fuses the whole
+per-block pipeline in VMEM:
+
+    dist  = L - Q_tile @ D_chunk^T          (MXU, int8 -> int32)
+    key   = (dist << SHIFT) | global_index  (VPU)
+    carry = min(carry, row_min(key))        (VPU, scratch-resident)
+    ties  = running count of dist == row-min distance
+
+so the distance block never leaves VMEM. The packed key gives the exact
+reference tie rule — lowest subject index among minimum-distance windows
+(reference cluster.rs:62-68, lib.rs:306-313) — with a single integer min.
+The tie count lets best-hit mode (reference lib.rs:296-314: print ALL
+windows at the min distance) detect multi-hit rows without a second scan:
+rows with count == 1 are fully resolved here; the rare count > 1 rows are
+re-scanned with the exact top-M path at m = max count.
+
+Key packing needs ceil_log2(L+1) + ceil_log2(Wp) <= 31; callers fall back
+to the XLA path beyond that (10M x 60 bp is 24 + 6 bits — comfortably in).
+
+Grid: (B/TB, W/TW), db-chunk axis innermost so the per-row carry lives in
+VMEM scratch across chunks; outputs are written at the last chunk step.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG_KEY = 2**31 - 1  # plain int: jnp constants can't be captured by the kernel
+
+DEFAULT_TILE_B = 256
+DEFAULT_TILE_W = 2048
+
+
+def _ceil_log2(n: int) -> int:
+    return max(1, math.ceil(math.log2(max(2, n))))
+
+
+def packing_shift(seq_len: int, wp: int) -> int | None:
+    """Bit shift for (dist << shift) | index packing, or None if it overflows."""
+    bits_idx = _ceil_log2(wp)
+    bits_dist = _ceil_log2(seq_len + 2)
+    if bits_idx + bits_dist > 31:
+        return None
+    return bits_idx
+
+
+def _min_kernel(nw_ref, q_ref, db_ref, key_ref, cnt_ref, key_acc, cnt_acc, *,
+                seq_len: int, shift: int, tile_w: int):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    match = jax.lax.dot_general(
+        q_ref[...], db_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    dist = seq_len - match
+
+    gidx = j * tile_w + jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    valid = gidx < nw_ref[0]
+    key = jnp.where(valid, (dist << shift) | gidx, BIG_KEY)
+
+    bkey = jnp.min(key, axis=1, keepdims=True)            # [TB, 1]
+    bdist = jnp.where(bkey == BIG_KEY, jnp.int32(2**30), bkey >> shift)
+    bcnt = jnp.sum(
+        jnp.where(valid & (dist == bdist), jnp.int32(1), jnp.int32(0)),
+        axis=1, keepdims=True,
+    )
+
+    @pl.when(j == 0)
+    def _():
+        key_acc[...] = bkey
+        cnt_acc[...] = bcnt
+
+    @pl.when(j > 0)
+    def _():
+        old_key = key_acc[...]
+        old_cnt = cnt_acc[...]
+        old_dist = jnp.where(old_key == BIG_KEY, jnp.int32(2**30), old_key >> shift)
+        new_cnt = jnp.where(
+            bdist < old_dist, bcnt,
+            jnp.where(bdist == old_dist, old_cnt + bcnt, old_cnt),
+        )
+        key_acc[...] = jnp.minimum(old_key, bkey)
+        cnt_acc[...] = new_cnt
+
+    @pl.when(j == nj - 1)
+    def _():
+        key_ref[...] = key_acc[...]
+        cnt_ref[...] = cnt_acc[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("seq_len", "shift", "tile_b", "tile_w", "interpret"),
+)
+def min_count_scan(
+    q_oh: jax.Array,       # int8 [Bp, LP], Bp % tile_b == 0
+    db_oh: jax.Array,      # int8 [Wp, LP], Wp % tile_w == 0
+    n_windows: jax.Array,  # int32 [1]: number of real windows
+    seq_len: int,
+    shift: int,
+    tile_b: int = DEFAULT_TILE_B,
+    tile_w: int = DEFAULT_TILE_W,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per row: (min distance, first argmin, count of windows at min distance).
+
+    Exact over the real (unpadded) windows; padded rows of ``q_oh`` return
+    garbage and must be trimmed by the caller.
+    """
+    bp, lp = q_oh.shape
+    wp = db_oh.shape[0]
+    grid = (bp // tile_b, wp // tile_w)
+
+    kernel = functools.partial(
+        _min_kernel, seq_len=seq_len, shift=shift, tile_w=tile_w
+    )
+    key, cnt = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_b, lp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_w, lp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((bp, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_b, 1), jnp.int32),
+            pltpu.VMEM((tile_b, 1), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * wp * lp,
+            bytes_accessed=bp * lp + wp * lp * grid[0] + 8 * bp,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n_windows, q_oh, db_oh)
+
+    key = key[:, 0]
+    cnt = cnt[:, 0]
+    dist = jnp.where(key == BIG_KEY, jnp.int32(2**30), key >> shift)
+    idx = jnp.where(key == BIG_KEY, jnp.int32(2**31 - 1), key & ((1 << shift) - 1))
+    return dist, idx, cnt

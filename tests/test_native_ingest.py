@@ -1,0 +1,85 @@
+"""Native C++ FASTX ingest: parity with the pure-Python parser.
+
+The native parser must produce identical records, encodings, and error
+behavior to the Python fallback (both implement the reference needletail
+call-sites' semantics, reference lib.rs:143-149, 221, 234; cluster.rs:28).
+"""
+
+import numpy as np
+import pytest
+
+from smafa_tpu.core.alphabet import InvalidBaseError
+from smafa_tpu.io import fastx
+from smafa_tpu.native import load
+
+
+requires_native = pytest.mark.skipif(load() is None, reason="native lib unavailable")
+
+
+@requires_native
+@pytest.mark.parametrize(
+    "name",
+    ["subjects.fa", "random_3_2.fna", "degenerate.fna", "random_30_4.fq.gz"],
+)
+def test_native_matches_python_records(data_dir, name, monkeypatch):
+    path = data_dir / name
+    parsed = fastx.parse_native(path)
+    native = [(parsed.record_id(i), parsed.raw_seq(i)) for i in range(parsed.n)]
+
+    monkeypatch.setenv("SMAFA_TPU_NO_NATIVE", "1")
+    python = list(fastx.read_records(path))
+    assert native == python
+
+
+@requires_native
+@pytest.mark.parametrize("name", ["subjects.fa", "random_30_4.fq.gz"])
+def test_native_matches_python_batches(data_dir, name, monkeypatch):
+    batches_native = list(fastx.read_encoded_batches(data_dir / name, batch_size=3))
+
+    monkeypatch.setenv("SMAFA_TPU_NO_NATIVE", "1")
+    batches_py = list(fastx.read_encoded_batches(data_dir / name, batch_size=3))
+
+    assert len(batches_native) == len(batches_py)
+    for (ids_n, raws_n, codes_n), (ids_p, raws_p, codes_p) in zip(
+        batches_native, batches_py
+    ):
+        assert ids_n == ids_p
+        assert raws_n == raws_p
+        assert np.array_equal(codes_n, codes_p)
+
+
+@requires_native
+def test_native_invalid_base_error(tmp_path):
+    bad = tmp_path / "bad.fna"
+    bad.write_text(">seq one\nACGTACGTXA\n")
+    with pytest.raises(InvalidBaseError) as e:
+        list(fastx.read_encoded_batches(bad, batch_size=16))
+    # Reference panic parameters (lib.rs:38-42): byte, full id, position.
+    assert "Byte 88" in str(e.value)
+    assert '"seq one"' in str(e.value)
+    assert "position 8" in str(e.value)
+
+
+@requires_native
+def test_native_multiline_fasta_and_crlf(tmp_path, monkeypatch):
+    f = tmp_path / "wrap.fna"
+    f.write_bytes(b">a desc\r\nACGT\r\nACGT\r\n>b\nTTTT\nGGGG\n\n>c\nAAAA\n")
+    parsed = fastx.parse_native(f)
+    native = [(parsed.record_id(i), parsed.raw_seq(i)) for i in range(parsed.n)]
+    monkeypatch.setenv("SMAFA_TPU_NO_NATIVE", "1")
+    python = list(fastx.read_records(f))
+    assert native == python
+    assert native[0] == ("a desc", b"ACGTACGT")
+    assert native[2] == ("c", b"AAAA")
+
+
+@requires_native
+def test_native_empty_and_garbage(tmp_path):
+    empty = tmp_path / "empty.fna"
+    empty.write_text("")
+    with pytest.raises(fastx.FastxError):
+        list(fastx.read_records(empty))
+    garbage = tmp_path / "garbage.fna"
+    garbage.write_text("not a fastx\n")
+    with pytest.raises(fastx.FastxError):
+        list(fastx.read_records(garbage))
