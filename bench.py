@@ -1,12 +1,16 @@
 """Throughput benchmark: query x db sequence comparisons/sec on one chip.
 
-Measures the hot kernel — the batched Hamming scan with fused top-M
-selection (the TPU replacement of reference lib.rs:80-88's serial
-popcount loop) — on the BASELINE.json single-chip config shape:
-60 bp windows, large db, streamed query batches.
+Measures the hot kernel — the fused packed-key Hamming scan (min distance +
+lowest-index argmin + unique-min detection per query row), the TPU replacement for
+the reference's serial popcount loop (reference lib.rs:80-88, 232-238) —
+on the BASELINE.json single-chip config shape: 60 bp windows, 1M-row db,
+streamed query batches.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is value / 1e9 (the north-star >= 1e9 comparisons/sec/chip).
+
+Timing fetches a result to host each iteration: on the axon-tunneled TPU
+platform, block_until_ready alone does not reliably synchronize.
 """
 
 from __future__ import annotations
@@ -15,6 +19,7 @@ import json
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from smafa_tpu.core.alphabet import N_CHANNELS
@@ -29,10 +34,10 @@ def main() -> None:
 
     seq_len = 60
     if on_accel:
-        n_windows, batch, m, chunk = 1 << 20, 4096, 16, 8192
-        iters, warmup = 10, 2
+        n_windows, batch, chunk = 1 << 20, 16384, 8192
+        iters, warmup = 5, 2
     else:  # CPU smoke sizing — keeps CI runs short
-        n_windows, batch, m, chunk = 1 << 14, 256, 16, 2048
+        n_windows, batch, chunk = 1 << 14, 512, 2048
         iters, warmup = 3, 1
 
     rng = np.random.default_rng(42)
@@ -41,24 +46,27 @@ def main() -> None:
 
     db_oh = jax.jit(lambda c: D.expand_onehot(c, seq_len))(db_codes)
     db_oh.block_until_ready()
-    n_win = np.int32(n_windows)
+    shift = D.packing_shift(seq_len, n_windows)
+    nw = jnp.int32(n_windows)
+    zero = jnp.int32(0)
 
     scan = jax.jit(
-        lambda q, db: D.topm_scan(
-            D.expand_onehot(q, seq_len), db, n_win, seq_len, m, chunk
+        lambda q, db: D.min2_scan(
+            D.expand_onehot(q, seq_len), db, nw, zero, seq_len, shift, chunk,
+            n_windows,
         )
     )
 
     q_dev = jax.device_put(q_codes)
     for _ in range(warmup):
-        out = scan(q_dev, db_oh)
-        jax.block_until_ready(out)
+        lo, hi = scan(q_dev, db_oh)
+        np.asarray(lo)
 
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = scan(q_dev, db_oh)
-        jax.block_until_ready(out)
+        lo, hi = scan(q_dev, db_oh)
+        np.asarray(lo)  # host fetch = real synchronization barrier
         best = min(best, time.perf_counter() - t0)
 
     comparisons = batch * n_windows

@@ -64,8 +64,36 @@ class WindowSet:
         self._n += 1
 
     def push_batch(self, chans: np.ndarray) -> None:
-        for row in chans:
-            self.push(row)
+        """Append a [B, L] batch with one bulk copy (same error contract
+        as push: empty-sequence and length-mismatch texts from
+        lib.rs:91-111)."""
+        k = int(chans.shape[0])
+        if k == 0:
+            return
+        if k == 1 or self.length is None:
+            # Route the first row through push for the exact first-sequence
+            # error behavior, then bulk-append the rest.
+            self.push(chans[0])
+            chans = chans[1:]
+            k -= 1
+            if k == 0:
+                return
+        length = int(chans.shape[-1])
+        if length != self.length:
+            raise LengthMismatchError(
+                f"WindowSet seq length is {self.length}, got a new sequence of length {length}"
+            )
+        need = self._n + k
+        if self._buf is None or need > self._buf.shape[0]:
+            cap = max(16, self._buf.shape[0] if self._buf is not None else 16)
+            while cap < need:
+                cap *= 2
+            new = np.empty((cap, self.length), dtype=np.uint8)
+            if self._n:
+                new[: self._n] = self._buf[: self._n]
+            self._buf = new
+        self._buf[self._n : need] = chans
+        self._n = need
 
     # -- access ------------------------------------------------------------
 

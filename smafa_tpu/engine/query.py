@@ -122,6 +122,16 @@ def query(
 def _scan_batch(db: _DbOnDevice, codes: np.ndarray, k_mode, max_divergence):
     """Run the top-M scan, widening M until no query row can overflow."""
     w = db.n_windows
+    if k_mode is None:
+        # Best-hit mode: one fused packed-key pass gives each row's min
+        # distance, lowest-index argmin, and whether the min is unique
+        # (via the ascending/descending index trick — no sort, no tie
+        # count). Uniquely-resolved batches skip the top-M machinery
+        # entirely; a batch with any tied row falls through to the exact
+        # widening top-M scan below.
+        dist, idx, unique = db.runner.min2(codes)
+        if unique is not None and bool(unique.all()):
+            return dist[:, None], idx[:, None], None
     m = min(w, max(16, k_mode or 1))
     while True:
         dists, idxs, maxd = db.runner.topm(codes, m)

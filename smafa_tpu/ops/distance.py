@@ -26,6 +26,7 @@ canonical grid (see ``pad_*`` helpers).
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -136,6 +137,83 @@ def topm_scan(
     return d, i, mx
 
 
+def packing_shift(seq_len: int, wp: int) -> int | None:
+    """Bits for (dist << shift) | index packing; None if > 31 bits total.
+
+    Distances are bounded by seq_len, so for 60 bp windows even a 10M-row
+    db packs into one int32 — a single integer ``min`` then yields the
+    minimum distance AND its lowest subject index (the reference tie rule,
+    lib.rs:306-313 / cluster.rs:62-68) in one reduction.
+    """
+    bits_idx = max(1, math.ceil(math.log2(max(2, wp))))
+    bits_dist = max(1, math.ceil(math.log2(seq_len + 2)))
+    if bits_idx + bits_dist > 31:
+        return None
+    return bits_idx
+
+
+@partial(jax.jit, static_argnames=("seq_len", "chunk", "shift", "index_span"))
+def min2_scan(
+    q_oh: jax.Array,       # int8 [B, LP]
+    db_oh: jax.Array,      # int8 [Wp, LP]
+    n_windows: jax.Array,  # int32 scalar: valid rows of this db block
+    index_offset: jax.Array,  # int32 scalar: global index of db row 0
+    seq_len: int,
+    shift: int,
+    chunk: int,
+    index_span: int,       # static: global index domain size (for reversal)
+) -> tuple[jax.Array, jax.Array]:
+    """Per query row: packed min keys with index ascending AND descending.
+
+    key_lo = min over windows of (dist << shift) | global_index
+    key_hi = min over windows of (dist << shift) | (span-1 - global_index)
+
+    Both reduce in the same pass over the distance block (no sequential
+    dependency, so XLA keeps the block fused in registers — unlike a
+    tie-count, which needs the min first). key_lo yields the reference's
+    lowest-index best hit (lib.rs:306-313 tie rule); comparing the two
+    unpacked indices detects whether the minimum is unique: equal indices
+    <=> exactly one window at the min distance. Only tied rows (rare) need
+    the exact top-M rescan to enumerate every minimum-distance window.
+    BIG_KEY marks rows with no valid window.
+    """
+    n_chunks = db_oh.shape[0] // chunk
+    b = q_oh.shape[0]
+    big_key = jnp.int32(2**31 - 1)
+
+    init = (
+        jnp.full((b,), big_key, dtype=jnp.int32),
+        jnp.full((b,), big_key, dtype=jnp.int32),
+    )
+
+    def step(carry, off):
+        lo_carry, hi_carry = carry
+        block = jax.lax.dynamic_slice_in_dim(db_oh, off, chunk, axis=0)
+        dist = seq_len - _match_dots(q_oh, block)
+        lidx = off + jnp.arange(chunk, dtype=jnp.int32)
+        valid = (lidx < n_windows)[None, :]
+        gidx = index_offset + lidx
+        shifted = dist << shift
+        key_lo = jnp.where(valid, shifted | gidx[None, :], big_key)
+        key_hi = jnp.where(valid, shifted | (index_span - 1 - gidx)[None, :], big_key)
+        return (
+            jnp.minimum(lo_carry, jnp.min(key_lo, axis=1)),
+            jnp.minimum(hi_carry, jnp.min(key_hi, axis=1)),
+        ), None
+
+    offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (lo, hi), _ = jax.lax.scan(step, init, offsets)
+    return lo, hi
+
+
+def unpack_key(key: np.ndarray, shift: int) -> tuple[np.ndarray, np.ndarray]:
+    """Packed keys -> (distance, index); BIG/int32-max for empty rows."""
+    big = key == np.int32(2**31 - 1)
+    dist = np.where(big, np.int32(2**30), key >> shift).astype(np.int32)
+    idx = np.where(big, np.int32(2**31 - 1), key & ((1 << shift) - 1)).astype(np.int32)
+    return dist, idx
+
+
 @partial(jax.jit, static_argnames=("seq_len", "chunk"))
 def min_scan(
     q_oh: jax.Array,
@@ -145,11 +223,25 @@ def min_scan(
     chunk: int,
 ) -> tuple[jax.Array, jax.Array]:
     """(min distance, first argmin) per query row — the cluster-op kernel
-    (reference cluster.rs:51-68 semantics: lowest index among ties)."""
+    (reference cluster.rs:51-68 semantics: lowest index among ties).
+
+    Uses the packed-key reduction when the (seq_len, Wp) pair fits 31 bits
+    (always, for this domain); falls back to a (dist, idx) pair carry.
+    """
     b = q_oh.shape[0]
     wp = db_oh.shape[0]
-    n_chunks = wp // chunk
+    shift = packing_shift(seq_len, wp)
+    if shift is not None:
+        key, _ = min2_scan(
+            q_oh, db_oh, n_windows, jnp.int32(0), seq_len, shift, chunk, wp
+        )
+        big = key == jnp.int32(2**31 - 1)
+        return (
+            jnp.where(big, BIG, key >> shift),
+            jnp.where(big, jnp.int32(2**31 - 1), key & ((1 << shift) - 1)),
+        )
 
+    n_chunks = wp // chunk
     init = (
         jnp.full((b,), BIG, dtype=jnp.int32),
         jnp.full((b,), jnp.int32(2**31 - 1), dtype=jnp.int32),

@@ -1,0 +1,148 @@
+"""Ring-scheduled scan: db shards rotate around the device ring.
+
+The ('q', 'w') ScanRunner (parallel.sharded) keeps queries replicated
+within a q-group and all-gathers candidate lists over 'w'. This module is
+the other canonical TPU topology (SURVEY.md §2.2 "ring/blockwise"):
+BOTH the query batch and the db rows are sharded over one flat 'd' axis,
+and every step each device scans its resident query block against the db
+shard it currently holds, then forwards that shard to its ring neighbor
+with ``lax.ppermute`` (ICI neighbor traffic only — the db is never
+all-gathered and no device ever holds more than 1/n of it). After n steps
+every query block has met every db row. Running packed-key minima are the
+only cross-step state, so the accumulator is O(B/n) per device.
+
+This is the layout for dbs at the 10M-row scale (BASELINE.json multi-host
+config) where per-device HBM cannot hold a replicated db and candidate
+all-gathers would ride DCN. It is the Hamming-scan analogue of ring
+attention: rotate the KV (db) blocks, keep running reductions instead of
+softmax accumulators.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from smafa_tpu.ops import distance as D
+
+BIG_KEY = 2**31 - 1
+
+
+def build_ring_mesh(n: int | None = None) -> Mesh:
+    devices = np.array(jax.devices())
+    n = n or len(devices)
+    return Mesh(devices[:n], ("d",))
+
+
+class RingScanRunner:
+    """Db resident sharded over a 1-D ring; queries sharded over the same axis."""
+
+    def __init__(self, codes: np.ndarray, seq_len: int, mesh: Mesh | None = None,
+                 chunk: int | None = None):
+        self.seq_len = max(1, seq_len)
+        self.n_windows = int(codes.shape[0])
+        self.mesh = mesh if mesh is not None else build_ring_mesh()
+        self.n_d = self.mesh.devices.shape[0]
+        self.chunk = chunk or 1024
+
+        stride = self.chunk * self.n_d
+        padded = max(stride, ((self.n_windows + stride - 1) // stride) * stride)
+        self.wp = padded
+        self.shard_rows = padded // self.n_d
+        self.shift = D.packing_shift(self.seq_len, padded)
+        if self.shift is None:
+            raise ValueError(
+                f"Ring scan requires (seq_len={seq_len}, rows={padded}) to fit "
+                "packed 31-bit keys; use parallel.sharded.ScanRunner instead"
+            )
+
+        codes_p = codes
+        if codes_p.shape[0] < padded:
+            codes_p = np.pad(codes_p, [(0, padded - codes_p.shape[0]), (0, 0)])
+        db_spec = NamedSharding(self.mesh, P("d", None))
+        codes_dev = jax.device_put(codes_p, db_spec)
+        self.db_oh = jax.jit(
+            partial(D.expand_onehot, seq_len=self.seq_len), out_shardings=db_spec
+        )(codes_dev)
+        self.n_windows_dev = jnp.int32(self.n_windows)
+        self._cache: dict[int, callable] = {}
+
+    def _build(self, b: int):
+        seq_len = self.seq_len
+        chunk = self.chunk
+        shard_rows = self.shard_rows
+        shift = self.shift
+        span = self.wp
+        n_d = self.n_d
+        fwd = [(j, (j + 1) % n_d) for j in range(n_d)]
+
+        def shard_fn(q_oh, db_shard, n_windows):
+            me = jax.lax.axis_index("d").astype(jnp.int32)
+
+            def body(i, carry):
+                lo, hi, db_cur = carry
+                # After i forward rotations, we hold the shard originally
+                # owned by (me - i) mod n.
+                owner = (me - i) % n_d
+                off = owner * shard_rows
+                n_valid = jnp.clip(n_windows - off, 0, shard_rows)
+                l2, h2 = D.min2_scan(
+                    q_oh, db_cur, n_valid, off, seq_len, shift, chunk, span
+                )
+                lo = jnp.minimum(lo, l2)
+                hi = jnp.minimum(hi, h2)
+                db_nxt = jax.lax.cond(
+                    i < n_d - 1,  # final rotation would be wasted ICI traffic
+                    lambda x: jax.lax.ppermute(x, "d", fwd),
+                    lambda x: x,
+                    db_cur,
+                )
+                return lo, hi, db_nxt
+
+            b_loc = q_oh.shape[0]
+            init = (
+                jnp.full((b_loc,), BIG_KEY, dtype=jnp.int32),
+                jnp.full((b_loc,), BIG_KEY, dtype=jnp.int32),
+                db_shard,
+            )
+            lo, hi, _ = jax.lax.fori_loop(0, n_d, body, init)
+            return lo, hi
+
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(P("d", None), P("d", None), P()),
+            out_specs=(P("d"), P("d")),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run(q_codes, db_oh, n_windows):
+            q_oh = D.expand_onehot(q_codes, seq_len)
+            return mapped(q_oh, db_oh, n_windows)
+
+        return run
+
+    def min2(self, q_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Per row: (min distance, first argmin, unique-min flag) — exact,
+        identical contract to ScanRunner.min2."""
+        nq = q_codes.shape[0]
+        b = max(self.n_d, 1 << math.ceil(math.log2(max(1, nq))))
+        b = ((b + self.n_d - 1) // self.n_d) * self.n_d
+        if nq < b:
+            q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
+        fn = self._cache.get(b)
+        if fn is None:
+            fn = self._build(b)
+            self._cache[b] = fn
+        lo, hi = fn(q_codes, self.db_oh, self.n_windows_dev)
+        lo, hi = np.asarray(lo)[:nq], np.asarray(hi)[:nq]
+        dist, idx = D.unpack_key(lo, self.shift)
+        _, idx_rev = D.unpack_key(hi, self.shift)
+        unique = (idx == (self.wp - 1 - idx_rev)) | (lo == np.int32(BIG_KEY))
+        return dist, idx, unique

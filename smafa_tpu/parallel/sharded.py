@@ -184,7 +184,81 @@ class ScanRunner:
         d, i, mx = np.asarray(d), np.asarray(i), np.asarray(mx)
         return d[:nq], i[:nq], mx[:nq]
 
+    # -- fused min/count path (best-hit + cluster hot path) ----------------
+
+    def _build_min2(self, b: int, shift: int):
+        seq_len = self.seq_len
+        chunk = self.chunk
+        shard_rows = self.shard_rows
+        span = self.wp
+
+        if self.n_q == 1 and self.n_w == 1:
+            @jax.jit
+            def run_single(q_codes, db_oh, n_windows):
+                q_oh = D.expand_onehot(q_codes, seq_len)
+                return D.min2_scan(
+                    q_oh, db_oh, n_windows, jnp.int32(0), seq_len, shift, chunk, span
+                )
+
+            return run_single
+
+        def shard_fn(q_oh, db_shard, n_windows):
+            off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
+            n_valid_local = jnp.clip(n_windows - off, 0, shard_rows)
+            lo, hi = D.min2_scan(
+                q_oh, db_shard, n_valid_local, off, seq_len, shift, chunk, span
+            )
+            # Packed keys compare globally (the index fields are global), so
+            # an elementwise pmin over the db axis is the whole merge — ICI
+            # traffic of O(B) int32s per key.
+            return jax.lax.pmin(lo, "w"), jax.lax.pmin(hi, "w")
+
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(P("q", None), P("w", None), P()),
+            out_specs=(P("q"), P("q")),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run(q_codes, db_oh, n_windows):
+            q_oh = D.expand_onehot(q_codes, seq_len)
+            return mapped(q_oh, db_oh, n_windows)
+
+        return run
+
+    def min2(self, q_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Per row: (min distance, first argmin, unique-min flag).
+
+        One fused packed-key pass — no top-k sort. ``unique`` is True when
+        exactly one window attains the min distance (best-hit mode then
+        needs no rescan). None shapes fall back to the exact top-M path
+        when key packing would overflow 31 bits (never for this domain).
+        """
+        shift = D.packing_shift(self.seq_len, max(self.wp, 2))
+        if shift is None:
+            d, i, _ = self.topm(q_codes, 1)
+            return d[:, 0], i[:, 0], None
+        nq = q_codes.shape[0]
+        b = _bucket(nq, minimum=max(16, self.n_q))
+        b = ((b + self.n_q - 1) // self.n_q) * self.n_q
+        if q_codes.shape[0] < b:
+            q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
+        key = ("min2", b, shift)
+        fn = self._topm_cache.get(key)
+        if fn is None:
+            fn = self._build_min2(b, shift)
+            self._topm_cache[key] = fn
+        lo, hi = fn(q_codes, self.db_oh, self.n_windows_dev)
+        lo, hi = np.asarray(lo)[:nq], np.asarray(hi)[:nq]
+        dist, idx = D.unpack_key(lo, shift)
+        _, idx_rev = D.unpack_key(hi, shift)
+        unique = idx == (self.wp - 1 - idx_rev)
+        unique |= lo == np.int32(2**31 - 1)  # empty rows: nothing to rescan
+        return dist, idx, unique
+
     def min_scan(self, q_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(min distance, first argmin) per row — cluster's inner scan."""
-        d, i, _ = self.topm(q_codes, 1)
-        return d[:, 0], i[:, 0]
+        d, i, _ = self.min2(q_codes)
+        return d, i

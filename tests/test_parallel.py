@@ -1,0 +1,82 @@
+"""Sharded + ring scan parity on the 8-device CPU mesh.
+
+Determinism-across-shardings is this framework's replacement for the
+reference's (nonexistent) race detection (SURVEY.md §5): the same inputs
+must produce identical results on every mesh shape and schedule.
+"""
+
+import numpy as np
+import pytest
+
+from smafa_tpu.ops import distance as D
+from smafa_tpu.parallel import ring, sharded
+
+
+def _problem(seed=0, W=700, B=53, L=60):
+    rng = np.random.default_rng(seed)
+    db = rng.integers(0, 5, size=(W, L)).astype(np.uint8)
+    q = rng.integers(0, 5, size=(B, L)).astype(np.uint8)
+    k = min(7, W, B)
+    q[:k] = db[:k]  # exact hits
+    if W > 4:
+        db[W - 1] = db[3]  # duplicate window -> tie
+        db[W - 2] = db[3]
+    return db, q, L
+
+
+def _oracle(db, q, L):
+    full = np.asarray(
+        D.pairwise_distances(D.expand_onehot(q, L), D.expand_onehot(db, L), L)
+    )
+    return full
+
+
+@pytest.mark.parametrize("nq,nw", [(1, 1), (1, 8), (2, 4), (8, 1)])
+def test_scanrunner_min2_matches_oracle(nq, nw):
+    db, q, L = _problem()
+    mesh = sharded.build_mesh(nq, nw)
+    runner = sharded.ScanRunner(db, L, mesh=mesh, chunk=64)
+    d, i, u = runner.min2(q)
+    full = _oracle(db, q, L)
+    assert np.array_equal(d, full.min(axis=1))
+    assert np.array_equal(i, full.argmin(axis=1))
+    ties = (full == full.min(axis=1)[:, None]).sum(axis=1)
+    assert np.array_equal(u, ties == 1)
+
+
+@pytest.mark.parametrize("n", [1, 2, 8])
+def test_ring_min2_matches_oracle(n):
+    db, q, L = _problem(seed=1)
+    runner = ring.RingScanRunner(db, L, mesh=ring.build_ring_mesh(n), chunk=64)
+    d, i, u = runner.min2(q)
+    full = _oracle(db, q, L)
+    assert np.array_equal(d, full.min(axis=1))
+    assert np.array_equal(i, full.argmin(axis=1))
+    ties = (full == full.min(axis=1)[:, None]).sum(axis=1)
+    assert np.array_equal(u, ties == 1)
+
+
+@pytest.mark.parametrize("nq,nw", [(1, 8), (4, 2)])
+def test_scanrunner_topm_matches_oracle(nq, nw):
+    db, q, L = _problem(seed=2, W=300, B=40)
+    mesh = sharded.build_mesh(nq, nw)
+    runner = sharded.ScanRunner(db, L, mesh=mesh, chunk=64)
+    d, i, mx = runner.topm(q, 10)
+    full = _oracle(db, q, L)
+    order = np.lexsort((np.arange(full.shape[1])[None, :].repeat(len(q), 0), full), axis=1)
+    sorted_d = np.take_along_axis(full, order, axis=1)
+    m = d.shape[1]
+    assert np.array_equal(d[:, : min(m, 10)], sorted_d[:, : min(m, 10)])
+    assert np.array_equal(i[:, : min(m, 10)], order[:, : min(m, 10)])
+    assert np.array_equal(mx, full.max(axis=1))
+
+
+def test_short_sequences_and_tiny_db():
+    # L=3, W=2 (the tests/data scale) through the sharded machinery
+    db, q, L = _problem(seed=3, W=2, B=5, L=3)
+    for mesh in [sharded.build_mesh(1, 1), sharded.build_mesh(1, 8)]:
+        runner = sharded.ScanRunner(db, L, mesh=mesh, chunk=16)
+        d, i, u = runner.min2(q)
+        full = _oracle(db, q, L)
+        assert np.array_equal(d, full.min(axis=1))
+        assert np.array_equal(i, full.argmin(axis=1))
