@@ -45,6 +45,19 @@ def save(ws: WindowSet, path: str | Path) -> None:
         f.write(np.ascontiguousarray(ws.codes, dtype=np.uint8).tobytes())
 
 
+def read_header(path: str | Path) -> dict:
+    """Header dict {"db_version", "num_windows", "length"} without touching
+    the row payload (multi-host processes size their shard from this)."""
+    with open(path, "rb") as f:
+        head = f.read(len(MAGIC) + 1 + 4)
+        if head[: len(MAGIC)] != MAGIC:
+            raise ValueError(f"Not a native smafa-tpu db: {path}")
+        if head[len(MAGIC)] != FORMAT_VERSION:
+            raise ValueError(f"Unsupported native db format version: {head[len(MAGIC)]}")
+        hlen = int.from_bytes(head[len(MAGIC) + 1 :], "little")
+        return json.loads(f.read(hlen))
+
+
 def is_native(path: str | Path) -> bool:
     with open(path, "rb") as f:
         return f.read(len(MAGIC)) == MAGIC

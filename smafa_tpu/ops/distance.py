@@ -129,7 +129,21 @@ def topm_scan(
             max_carry, jnp.max(jnp.where(valid[None, :], dist, -1), axis=1)
         )
         gidx_b = jnp.broadcast_to(gidx[None, :], (b, chunk))
-        d_new, i_new = _merge_topm(d_carry, i_carry, dist_m, gidx_b, m)
+
+        # The top_k merge is the expensive part (VPU sort); skip it when
+        # this chunk cannot change any row's top-M. Strict <: an incoming
+        # pair equal to a row's current worst sorts after the carry's
+        # entries (which hold lower subject indices), so equality never
+        # alters the result. After the first few chunks tighten the
+        # cutoffs, most chunks take the cheap branch and the scan runs at
+        # matmul+min speed.
+        improves = jnp.any(jnp.min(dist_m, axis=1) < d_carry[:, m - 1])
+        d_new, i_new = jax.lax.cond(
+            improves,
+            lambda dc, ic: _merge_topm(dc, ic, dist_m, gidx_b, m),
+            lambda dc, ic: (dc, ic),
+            d_carry, i_carry,
+        )
         return (d_new, i_new, max_carry), None
 
     offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk

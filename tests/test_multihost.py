@@ -1,0 +1,90 @@
+"""Multi-host (multi-process) scan: 2 CPU processes x 4 virtual devices.
+
+The reference has no distributed mode to mirror; this validates the
+SURVEY.md §2.2 design — db rows sharded across processes (each memmaps
+only its own rows from the native format), pmin merge across the global
+mesh — produces results identical to the single-process oracle.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from smafa_tpu.core.windowset import WindowSet
+from smafa_tpu.io import native_format
+from smafa_tpu.ops import distance as D
+
+WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from smafa_tpu.parallel import multihost
+
+    coord, pid, db_path, q_path, out_path = sys.argv[1:6]
+    multihost.initialize(coord, 2, int(pid))
+    assert jax.device_count() == 8, jax.device_count()
+    runner = multihost.MultiHostScanRunner(db_path, chunk=128)
+    q = np.load(q_path)
+    d, i, u = runner.min2(q)
+    if multihost.is_emitter():
+        np.savez(out_path, d=d, i=i, u=u)
+    """
+)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_scan_matches_oracle(tmp_path):
+    rng = np.random.default_rng(7)
+    W, B, L = 1000, 37, 60
+    db = rng.integers(0, 5, size=(W, L)).astype(np.uint8)
+    q = rng.integers(0, 5, size=(B, L)).astype(np.uint8)
+    q[:5] = db[200:205]
+
+    db_path = tmp_path / "db.smafatpu"
+    native_format.save(WindowSet.from_matrix(db, 2), db_path)
+    q_path = tmp_path / "q.npy"
+    np.save(q_path, q)
+    out_path = tmp_path / "out.npz"
+    worker_py = tmp_path / "worker.py"
+    worker_py.write_text(WORKER)
+
+    coord = f"localhost:{_free_port()}"
+    env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = os.getcwd()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker_py), coord, str(pid), str(db_path),
+             str(q_path), str(out_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+
+    got = np.load(out_path)
+    full = np.asarray(
+        D.pairwise_distances(D.expand_onehot(q, L), D.expand_onehot(db, L), L)
+    )
+    assert np.array_equal(got["d"], full.min(axis=1))
+    assert np.array_equal(got["i"], full.argmin(axis=1))
+    ties = (full == full.min(axis=1)[:, None]).sum(axis=1)
+    assert np.array_equal(got["u"], ties == 1)
