@@ -41,6 +41,7 @@ from smafa_tpu.core import alphabet
 from smafa_tpu.io.db import load_db
 from smafa_tpu.io.fastx import read_encoded_batches
 from smafa_tpu.ops import distance as D
+from smafa_tpu.utils.profiling import StageTimers, maybe_trace
 
 logger = logging.getLogger("smafa")
 
@@ -102,36 +103,76 @@ def query(
         )
 
     logger.info("Querying ..")
+    timers = StageTimers()
     query_number = 0
-    for ids, _raws, codes in read_encoded_batches(query_fasta, batch_size=batch_size):
-        qlen = codes.shape[1] if codes.ndim == 2 else 0
-        windows.check_query_length(qlen)
-        if db.n_windows == 0:
-            raise QueryError("Cannot query an empty database")
-        nq = len(ids)
-        results = _scan_batch(db, codes, k_mode, max_divergence)
-        for row in range(nq):
-            _emit_hits(
-                out, query_number, results, row, db,
-                k_mode, max_divergence, limit_per_sequence,
-            )
-            query_number += 1
+    pending: tuple | None = None  # (qnum0, nq, codes, handle)
+    with maybe_trace():
+        batches = read_encoded_batches(query_fasta, batch_size=batch_size)
+        while True:
+            with timers.stage("parse"):
+                item = next(batches, None)
+            if item is not None:
+                ids, _raws, codes = item
+                qlen = codes.shape[1] if codes.ndim == 2 else 0
+                windows.check_query_length(qlen)
+                if db.n_windows == 0:
+                    raise QueryError("Cannot query an empty database")
+                # Dispatch batch k+1 before draining batch k: the device
+                # scans while the host parses/encodes and formats TSV.
+                with timers.stage("dispatch"):
+                    handle = _dispatch_batch(db, codes, k_mode)
+                timers.count("comparisons", len(ids) * db.n_windows)
+                current = (query_number, len(ids), codes, handle)
+                query_number += len(ids)
+            else:
+                current = None
+            if pending is not None:
+                qnum0, nq, p_codes, p_handle = pending
+                with timers.stage("scan"):
+                    results = _resolve_batch(db, p_codes, p_handle, k_mode, max_divergence)
+                with timers.stage("emit"):
+                    for row in range(nq):
+                        _emit_hits(
+                            out, qnum0 + row, results, row, db,
+                            k_mode, max_divergence, limit_per_sequence,
+                        )
+            pending = current
+            if current is None:
+                break
+    timers.log_report(logging.DEBUG)
     logger.info("Querying complete, took %d seconds", int(time.time() - t0))
+
+
+def _dispatch_batch(db: _DbOnDevice, codes: np.ndarray, k_mode):
+    """Start device work for a batch without waiting for it.
+
+    Best-hit mode dispatches the fused min2 scan asynchronously (the
+    common case resolves from it alone). K-mode needs the widening top-M
+    loop, which must inspect intermediate results, so it resolves later.
+    """
+    if k_mode is None:
+        return db.runner.min2_async(codes)
+    return None
+
+
+def _resolve_batch(db: _DbOnDevice, codes: np.ndarray, handle, k_mode, max_divergence):
+    """Fetch dispatched results, falling back to the exact top-M scan."""
+    if k_mode is None and handle is not None:
+        # Best-hit mode: the fused packed-key pass gives each row's min
+        # distance, lowest-index argmin, and whether the min is unique
+        # (ascending/descending index trick — no sort, no tie count).
+        # Uniquely-resolved batches skip the top-M machinery entirely; a
+        # batch with any tied row falls through to the exact widening
+        # top-M scan (rare).
+        dist, idx, unique = db.runner.min2_result(handle)
+        if bool(unique.all()):
+            return dist[:, None], idx[:, None], None
+    return _scan_batch(db, codes, k_mode, max_divergence)
 
 
 def _scan_batch(db: _DbOnDevice, codes: np.ndarray, k_mode, max_divergence):
     """Run the top-M scan, widening M until no query row can overflow."""
     w = db.n_windows
-    if k_mode is None:
-        # Best-hit mode: one fused packed-key pass gives each row's min
-        # distance, lowest-index argmin, and whether the min is unique
-        # (via the ascending/descending index trick — no sort, no tie
-        # count). Uniquely-resolved batches skip the top-M machinery
-        # entirely; a batch with any tied row falls through to the exact
-        # widening top-M scan below.
-        dist, idx, unique = db.runner.min2(codes)
-        if unique is not None and bool(unique.all()):
-            return dist[:, None], idx[:, None], None
     m = min(w, max(16, k_mode or 1))
     while True:
         dists, idxs, maxd = db.runner.topm(codes, m)

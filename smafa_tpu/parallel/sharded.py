@@ -228,18 +228,19 @@ class ScanRunner:
 
         return run
 
-    def min2(self, q_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Per row: (min distance, first argmin, unique-min flag).
+    def min2_async(self, q_codes: np.ndarray):
+        """Dispatch the fused min2 scan; returns an opaque handle (device
+        futures) for ``min2_result``, or None when key packing overflows
+        31 bits (never for this domain's window lengths).
 
-        One fused packed-key pass — no top-k sort. ``unique`` is True when
-        exactly one window attains the min distance (best-hit mode then
-        needs no rescan). None shapes fall back to the exact top-M path
-        when key packing would overflow 31 bits (never for this domain).
+        The async split lets the query engine overlap host-side FASTX
+        parse/encode of batch k+1 with the device scan of batch k — the
+        pipeline parallelism the single-threaded reference lacks
+        (SURVEY.md §2.2 PP row).
         """
         shift = D.packing_shift(self.seq_len, max(self.wp, 2))
         if shift is None:
-            d, i, _ = self.topm(q_codes, 1)
-            return d[:, 0], i[:, 0], None
+            return None
         nq = q_codes.shape[0]
         b = _bucket(nq, minimum=max(16, self.n_q))
         b = ((b + self.n_q - 1) // self.n_q) * self.n_q
@@ -251,12 +252,31 @@ class ScanRunner:
             fn = self._build_min2(b, shift)
             self._topm_cache[key] = fn
         lo, hi = fn(q_codes, self.db_oh, self.n_windows_dev)
+        return (lo, hi, nq, shift)
+
+    def min2_result(self, handle) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Fetch + unpack a min2_async handle."""
+        lo, hi, nq, shift = handle
         lo, hi = np.asarray(lo)[:nq], np.asarray(hi)[:nq]
         dist, idx = D.unpack_key(lo, shift)
         _, idx_rev = D.unpack_key(hi, shift)
         unique = idx == (self.wp - 1 - idx_rev)
         unique |= lo == np.int32(2**31 - 1)  # empty rows: nothing to rescan
         return dist, idx, unique
+
+    def min2(self, q_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Per row: (min distance, first argmin, unique-min flag).
+
+        One fused packed-key pass — no top-k sort. ``unique`` is True when
+        exactly one window attains the min distance (best-hit mode then
+        needs no rescan). Falls back to the exact top-M path when key
+        packing would overflow 31 bits.
+        """
+        handle = self.min2_async(q_codes)
+        if handle is None:
+            d, i, _ = self.topm(q_codes, 1)
+            return d[:, 0], i[:, 0], None
+        return self.min2_result(handle)
 
     def min_scan(self, q_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(min distance, first argmin) per row — cluster's inner scan."""
