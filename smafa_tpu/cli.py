@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Maximum number of hits to report per sequence. Requires "
                         "--max-num-hits > 1 for now. [default: not used]")
     p.add_argument("--batch-size", type=int, default=512, help=argparse.SUPPRESS)
+    p.add_argument("--resume-state", default=None,
+                   help="JSON checkpoint file enabling resumable query streaming "
+                        "(restart skips already-emitted queries; append output with >>)")
     _add_verbosity(p, short_q=False)
 
     p = sub.add_parser("cluster", help="Cluster sequences by similarity")
@@ -134,6 +137,7 @@ def main(argv: list[str] | None = None) -> int:
                 max_num_hits=args.max_num_hits,
                 limit_per_sequence=args.limit_per_sequence,
                 batch_size=args.batch_size,
+                resume_state=args.resume_state,
             )
         elif args.subcommand == "cluster":
             from smafa_tpu.engine.cluster import cluster

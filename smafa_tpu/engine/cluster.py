@@ -126,6 +126,9 @@ def cluster(
     seen: set[bytes] = set()
     store: _CentroidStore | None = None
 
+    if not Path(input_fasta).exists():
+        # Reference panic text on open failure (cluster.rs:28).
+        raise ValueError(f"valid path/file of input fasta: {input_fasta}")
     logger.info("Clustering ..")
     query_number = 0
     for ids, raws, codes in read_encoded_batches(input_fasta, batch_size=batch_size):

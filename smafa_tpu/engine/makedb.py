@@ -27,8 +27,12 @@ def makedb(subject_fasta: str | Path, db_path: str | Path, fmt: str = "postcard"
     logger.info("Encoding subject sequences ..")
     t0 = time.time()
     windows = WindowSet(version=CURRENT_DB_VERSION)
-    for ids, _raws, codes in read_encoded_batches(subject_fasta, batch_size=8192):
-        windows.push_batch(codes)
+    try:
+        for ids, _raws, codes in read_encoded_batches(subject_fasta, batch_size=8192):
+            windows.push_batch(codes)
+    except FileNotFoundError:
+        # Reference panic text on open failure (lib.rs:144).
+        raise ValueError(f"valid path/file of subject fasta: {subject_fasta}")
     logger.info(
         "Encoding of %d sequences complete, writing db file %s",
         len(windows), str(db_path),

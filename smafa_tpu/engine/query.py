@@ -28,6 +28,7 @@ When more than one device is visible the scan shards the db rows across a
 
 from __future__ import annotations
 
+import json
 import logging
 import sys
 import time
@@ -84,7 +85,17 @@ def query(
     limit_per_sequence: int | None = None,
     out: TextIO | None = None,
     batch_size: int = DEFAULT_BATCH,
+    resume_state: str | Path | None = None,
 ) -> None:
+    """Scan query_fasta against db_path, emitting reference-format TSV.
+
+    ``resume_state``: optional JSON checkpoint path. After each emitted
+    batch the number of completed query records is recorded (atomic
+    rename); restarting with the same state file skips the already-done
+    prefix — the query-stream checkpointing the seconds-long reference
+    jobs never needed (SURVEY.md §5) but 10M-row runs do. The caller is
+    responsible for appending output (shell ``>>``) on resume.
+    """
     out = out or sys.stdout
     logger.info("Decoding db file %s", db_path)
     t0 = time.time()
@@ -106,8 +117,17 @@ def query(
     timers = StageTimers()
     query_number = 0
     pending: tuple | None = None  # (qnum0, nq, codes, handle)
+    if not Path(query_fasta).exists():
+        # Reference panic text on open failure (lib.rs:221).
+        raise QueryError(f"valid path/file of query fasta: {query_fasta}")
+    state = _ResumeState(resume_state, query_fasta)
+    query_number = state.done
+    if state.done:
+        logger.info("Resuming after %d completed queries", state.done)
     with maybe_trace():
-        batches = read_encoded_batches(query_fasta, batch_size=batch_size)
+        batches = read_encoded_batches(
+            query_fasta, batch_size=batch_size, skip_records=state.done
+        )
         while True:
             with timers.stage("parse"):
                 item = next(batches, None)
@@ -136,11 +156,43 @@ def query(
                             out, qnum0 + row, results, row, db,
                             k_mode, max_divergence, limit_per_sequence,
                         )
+                state.mark_done(qnum0 + nq, out)
             pending = current
             if current is None:
                 break
     timers.log_report(logging.DEBUG)
     logger.info("Querying complete, took %d seconds", int(time.time() - t0))
+
+
+class _ResumeState:
+    """JSON query-stream checkpoint: {"query_fasta", "done"}."""
+
+    def __init__(self, path: str | Path | None, query_fasta):
+        self.path = Path(path) if path else None
+        self.done = 0
+        if self.path is not None and self.path.exists():
+            data = json.loads(self.path.read_text())
+            if data.get("query_fasta") != str(query_fasta):
+                raise QueryError(
+                    f"Resume state {self.path} is for query file "
+                    f"{data.get('query_fasta')!r}, not {query_fasta!r}"
+                )
+            self.done = int(data.get("done", 0))
+        self._query_fasta = str(query_fasta)
+
+    def mark_done(self, done: int, out) -> None:
+        self.done = done
+        if self.path is None:
+            return
+        # Flush emitted lines before recording them as done, then write
+        # the state atomically so a kill leaves a consistent pair.
+        try:
+            out.flush()
+        except (AttributeError, OSError):
+            pass
+        tmp = self.path.with_suffix(self.path.suffix + ".tmp")
+        tmp.write_text(json.dumps({"query_fasta": self._query_fasta, "done": done}))
+        tmp.replace(self.path)
 
 
 def _dispatch_batch(db: _DbOnDevice, codes: np.ndarray, k_mode):

@@ -116,12 +116,14 @@ def read_encoded_batches(
     path: str | Path,
     batch_size: int,
     expected_length: int | None = None,
+    skip_records: int = 0,
 ) -> Iterator[tuple[list[str], list[bytes], np.ndarray]]:
     """Yield (ids, raw_seqs, codes[B, L]) batches of encoded records.
 
     Length uniformity inside a batch follows from the db contract; a
     mismatching record raises through the caller's WindowSet length check
     so the error text matches the reference (lib.rs:71-78).
+    ``skip_records`` resumes mid-stream (checkpointed query restart).
     """
     parsed = parse_native(path, encode=True)
     if parsed is not None:
@@ -134,7 +136,7 @@ def read_encoded_batches(
             codes = parsed.codes.reshape(parsed.n, L) if L else np.empty(
                 (parsed.n, 0), np.uint8
             )
-            for s in range(0, parsed.n, batch_size):
+            for s in range(skip_records, parsed.n, batch_size):
                 e = min(s + batch_size, parsed.n)
                 yield (
                     [parsed.record_id(i) for i in range(s, e)],
@@ -144,14 +146,20 @@ def read_encoded_batches(
             return
         # Non-uniform lengths: group consecutive same-length runs so the
         # caller's WindowSet length check fires on the right record.
-        yield from _batches_from_parsed(parsed, lengths, batch_size, expected_length)
+        yield from _batches_from_parsed(
+            parsed, lengths, batch_size, expected_length, skip_records
+        )
         return
 
     ids: list[str] = []
     raws: list[bytes] = []
     rows: list[np.ndarray] = []
     length = expected_length
-    for rid, seq in read_records(path):
+    records = read_records(path)
+    for _ in range(skip_records):
+        if next(records, None) is None:
+            return
+    for rid, seq in records:
         chans = encode_bytes(seq, identifier=rid)
         if length is None:
             length = len(seq)
@@ -167,13 +175,13 @@ def read_encoded_batches(
         yield ids, raws, np.vstack(rows)
 
 
-def _batches_from_parsed(parsed, lengths, batch_size, expected_length):
+def _batches_from_parsed(parsed, lengths, batch_size, expected_length, skip_records=0):
     """Batch a natively-parsed file with non-uniform record lengths."""
     ids: list[str] = []
     raws: list[bytes] = []
     rows: list[np.ndarray] = []
     length = expected_length
-    for i in range(parsed.n):
+    for i in range(skip_records, parsed.n):
         L = int(lengths[i])
         chans = parsed.codes[parsed.seq_offs[i] : parsed.seq_offs[i + 1]]
         if length is None:

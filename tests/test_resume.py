@@ -1,0 +1,67 @@
+"""Resumable query streaming: checkpoint + restart equals one straight run."""
+
+import io
+import json
+
+import numpy as np
+import pytest
+
+from smafa_tpu.core.alphabet import BYTE_LUT
+from smafa_tpu.core.windowset import WindowSet
+from smafa_tpu.engine.query import QueryError, query
+from smafa_tpu.io import postcard
+
+
+def _setup(tmp_path, n_db=20, n_q=23, L=12, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: "".join("ACGT"[c] for c in rng.integers(0, 4, L))
+    db = [mk() for _ in range(n_db)]
+    qs = [mk() for _ in range(n_q)]
+    ws = WindowSet(version=2)
+    for s in db:
+        ws.push(BYTE_LUT[np.frombuffer(s.encode(), np.uint8)])
+    dbp = tmp_path / "db"
+    dbp.write_bytes(postcard.dumps(ws))
+    qf = tmp_path / "q.fna"
+    qf.write_text("".join(f">q{i}\n{s}\n" for i, s in enumerate(qs)))
+    return dbp, qf
+
+
+def test_resume_continues_where_left_off(tmp_path):
+    dbp, qf = _setup(tmp_path)
+    full = io.StringIO()
+    query(dbp, qf, out=full, batch_size=5)
+
+    state = tmp_path / "state.json"
+    part1 = io.StringIO()
+    query(dbp, qf, out=part1, batch_size=5, resume_state=state)
+    # Simulate a crash after 10 queries: rewrite the state to a mid-run
+    # value and replay only the surviving output prefix.
+    data = json.loads(state.read_text())
+    assert data["done"] == 23
+    state.write_text(json.dumps({"query_fasta": str(qf), "done": 10}))
+    kept_lines = [l for l in part1.getvalue().splitlines() if int(l.split("\t")[0]) < 10]
+
+    part2 = io.StringIO()
+    query(dbp, qf, out=part2, batch_size=5, resume_state=state)
+    resumed = "".join(line + "\n" for line in kept_lines) + part2.getvalue()
+    assert resumed == full.getvalue()
+    assert json.loads(state.read_text())["done"] == 23
+
+
+def test_resume_rejects_different_query_file(tmp_path):
+    dbp, qf = _setup(tmp_path)
+    state = tmp_path / "state.json"
+    state.write_text(json.dumps({"query_fasta": "/elsewhere/q.fna", "done": 5}))
+    with pytest.raises(QueryError, match="Resume state"):
+        query(dbp, qf, out=io.StringIO(), resume_state=state)
+
+
+def test_resume_noop_when_complete(tmp_path):
+    dbp, qf = _setup(tmp_path)
+    state = tmp_path / "state.json"
+    out1 = io.StringIO()
+    query(dbp, qf, out=out1, batch_size=7, resume_state=state)
+    out2 = io.StringIO()
+    query(dbp, qf, out=out2, batch_size=7, resume_state=state)
+    assert out2.getvalue() == ""
