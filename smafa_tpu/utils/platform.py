@@ -14,13 +14,39 @@ import os
 
 def apply_platform_env() -> None:
     plat = os.environ.get("SMAFA_TPU_PLATFORM") or os.environ.get("JAX_PLATFORMS")
-    if not plat:
+    if plat:
+        import jax
+
+        try:
+            if jax.config.jax_platforms != plat:
+                jax.config.update("jax_platforms", plat)
+        except RuntimeError:
+            # backends already initialized — too late to switch; leave as-is
+            pass
+    enable_compilation_cache()
+
+
+def enable_compilation_cache() -> None:
+    """Persist XLA compiles across CLI invocations.
+
+    Short smafa jobs re-run the same handful of jit programs every
+    invocation; the persistent cache turns the ~tens-of-seconds TPU
+    compile into a disk hit. Opt out with SMAFA_TPU_NO_COMPILE_CACHE=1.
+    """
+    if os.environ.get("SMAFA_TPU_NO_COMPILE_CACHE", "") not in ("", "0"):
         return
     import jax
 
     try:
-        if jax.config.jax_platforms != plat:
-            jax.config.update("jax_platforms", plat)
-    except RuntimeError:
-        # backends already initialized — too late to switch; leave as-is
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(
+                os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+                "smafa_tpu", "xla",
+            ),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except (RuntimeError, OSError, AttributeError):
         pass
