@@ -1,0 +1,143 @@
+"""Sequence-parallel scan: the window COLUMN axis sharded across devices.
+
+SingleM windows are short (60 bp), but the framework supports arbitrary
+uniform lengths; for very long windows a single device may not hold the
+one-hot db (or the MXU tile becomes contraction-bound). This runner
+shards the feature axis (L*5 one-hot columns) over a 'c' mesh axis: each
+device computes a partial match count over its column slice, a ``psum``
+over 'c' reassembles exact distances, and the packed-key min reduction
+runs replicated — the Hamming-distance analogue of sequence parallelism
+(SURVEY.md §2.2 SP row; partial sums combine exactly because the dot
+product is linear over column blocks).
+
+Composable with row sharding in principle (a ('w','c') mesh); kept as a
+dedicated runner because the two axes optimize different regimes (many
+windows vs long windows).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from smafa_tpu.ops import distance as D
+
+BIG_KEY = 2**31 - 1
+
+
+def build_col_mesh(n: int | None = None) -> Mesh:
+    devices = np.array(jax.devices())
+    n = n or len(devices)
+    return Mesh(devices[:n], ("c",))
+
+
+class ColumnShardedScanRunner:
+    """Db resident with its one-hot feature axis sharded over 'c'."""
+
+    def __init__(self, codes: np.ndarray, seq_len: int, mesh: Mesh | None = None,
+                 chunk: int | None = None):
+        self.seq_len = max(1, seq_len)
+        self.n_windows = int(codes.shape[0])
+        self.mesh = mesh if mesh is not None else build_col_mesh()
+        self.n_c = self.mesh.devices.shape[0]
+        self.chunk = chunk or 1024
+
+        padded = max(self.chunk, ((self.n_windows + self.chunk - 1) // self.chunk) * self.chunk)
+        self.wp = padded
+        self.shift = D.packing_shift(self.seq_len, padded)
+        if self.shift is None:
+            raise ValueError("seq_len x rows overflow packed 31-bit keys")
+
+        codes_p = codes
+        if codes_p.shape[0] < padded:
+            codes_p = np.pad(codes_p, [(0, padded - codes_p.shape[0]), (0, 0)])
+
+        # One-hot feature dim padded so it splits evenly over 'c' in
+        # 128-lane multiples; zero pad columns are distance-neutral.
+        lp = D.padded_feature_dim(self.seq_len)
+        lane_groups = lp // D.LANE
+        groups_per_dev = (lane_groups + self.n_c - 1) // self.n_c
+        self.lp_sharded = groups_per_dev * self.n_c * D.LANE
+
+        spec = NamedSharding(self.mesh, P(None, "c"))
+
+        @partial(jax.jit, out_shardings=spec)
+        def expand(c):
+            oh = D.expand_onehot(c, self.seq_len)
+            return jnp.pad(oh, [(0, 0), (0, self.lp_sharded - oh.shape[1])])
+
+        self.db_oh = expand(jax.device_put(codes_p))
+        self._expand_q = expand
+        self.n_windows_dev = jnp.int32(self.n_windows)
+        self._cache: dict[int, callable] = {}
+
+    def _build(self, b: int):
+        seq_len, chunk, shift, span = self.seq_len, self.chunk, self.shift, self.wp
+        n_chunks = span // chunk
+
+        def shard_fn(q_oh, db_sh, n_windows):
+            # Local partial match counts over this device's column slice;
+            # psum reassembles the exact distance before key packing.
+            def step(carry, off):
+                lo_c, hi_c = carry
+                block = jax.lax.dynamic_slice_in_dim(db_sh, off, chunk, axis=0)
+                part = jax.lax.dot_general(
+                    q_oh, block,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                match = jax.lax.psum(part, "c")
+                dist = seq_len - match
+                lidx = off + jnp.arange(chunk, dtype=jnp.int32)
+                valid = (lidx < n_windows)[None, :]
+                shifted = dist << shift
+                key_lo = jnp.where(valid, shifted | lidx[None, :], BIG_KEY)
+                key_hi = jnp.where(valid, shifted | (span - 1 - lidx)[None, :], BIG_KEY)
+                return (
+                    jnp.minimum(lo_c, jnp.min(key_lo, axis=1)),
+                    jnp.minimum(hi_c, jnp.min(key_hi, axis=1)),
+                ), None
+
+            init = (
+                jnp.full((q_oh.shape[0],), BIG_KEY, jnp.int32),
+                jnp.full((q_oh.shape[0],), BIG_KEY, jnp.int32),
+            )
+            offs = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+            (lo, hi), _ = jax.lax.scan(step, init, offs)
+            return lo, hi
+
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(P(None, "c"), P(None, "c"), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run(q_codes, db_oh, n_windows):
+            q_oh = self._expand_q(q_codes)
+            return mapped(q_oh, db_oh, n_windows)
+
+        return run
+
+    def min2(self, q_codes: np.ndarray):
+        nq = q_codes.shape[0]
+        b = max(8, 1 << math.ceil(math.log2(max(1, nq))))
+        if nq < b:
+            q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
+        fn = self._cache.get(b)
+        if fn is None:
+            fn = self._build(b)
+            self._cache[b] = fn
+        lo, hi = fn(q_codes, self.db_oh, self.n_windows_dev)
+        lo, hi = np.asarray(lo)[:nq], np.asarray(hi)[:nq]
+        dist, idx = D.unpack_key(lo, self.shift)
+        _, idx_rev = D.unpack_key(hi, self.shift)
+        unique = (idx == (self.wp - 1 - idx_rev)) | (lo == np.int32(BIG_KEY))
+        return dist, idx, unique

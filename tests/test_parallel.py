@@ -71,6 +71,24 @@ def test_scanrunner_topm_matches_oracle(nq, nw):
     assert np.array_equal(mx, full.max(axis=1))
 
 
+@pytest.mark.parametrize("n", [1, 4, 8])
+def test_column_sharded_min2_matches_oracle(n):
+    # Long windows: the one-hot feature axis shards over 'c'; psum of
+    # partial match counts must reproduce exact distances.
+    from smafa_tpu.parallel import seqpar
+
+    db, q, L = _problem(seed=4, W=150, B=21, L=700)
+    runner = seqpar.ColumnShardedScanRunner(
+        db, L, mesh=seqpar.build_col_mesh(n), chunk=64
+    )
+    d, i, u = runner.min2(q)
+    full = _oracle(db, q, L)
+    assert np.array_equal(d, full.min(axis=1))
+    assert np.array_equal(i, full.argmin(axis=1))
+    ties = (full == full.min(axis=1)[:, None]).sum(axis=1)
+    assert np.array_equal(u, ties == 1)
+
+
 def test_short_sequences_and_tiny_db():
     # L=3, W=2 (the tests/data scale) through the sharded machinery
     db, q, L = _problem(seed=3, W=2, B=5, L=3)
