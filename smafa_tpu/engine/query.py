@@ -151,11 +151,20 @@ def query(
                 with timers.stage("scan"):
                     results = _resolve_batch(db, p_codes, p_handle, k_mode, max_divergence)
                 with timers.stage("emit"):
-                    for row in range(nq):
-                        _emit_hits(
-                            out, qnum0 + row, results, row, db,
-                            k_mode, max_divergence, limit_per_sequence,
+                    if results[1].shape[1] == 1 and k_mode is None:
+                        # Whole batch uniquely resolved: bulk TSV format
+                        # (native C++ when built) instead of per-line
+                        # Python work.
+                        _emit_best_hit_bulk(
+                            out, qnum0, nq, results[0][:, 0], results[1][:, 0],
+                            db, max_divergence,
                         )
+                    else:
+                        for row in range(nq):
+                            _emit_hits(
+                                out, qnum0 + row, results, row, db,
+                                k_mode, max_divergence, limit_per_sequence,
+                            )
                 state.mark_done(qnum0 + nq, out)
             pending = current
             if current is None:
@@ -251,6 +260,35 @@ def _any_overflow(dists, maxd, w, m, k_mode, max_divergence) -> bool:
     else:
         mind_eff = mind
     return bool(np.any(last == mind_eff))
+
+
+def _emit_best_hit_bulk(out, qnum0, nq, dist, idx, db, max_divergence):
+    """Vectorized emission for a uniquely-resolved best-hit batch."""
+    rows = np.arange(nq)
+    if max_divergence is not None:
+        rows = rows[dist[:nq] <= max_divergence]
+    if rows.size == 0:
+        return
+    qnums = (qnum0 + rows).astype(np.int64)
+    subj = idx[rows].astype(np.int32)
+    d = dist[rows].astype(np.int32)
+    L = db.seq_len
+    blob = alphabet.DECODE_BYTES[db.windows.codes[subj]]
+    offs = (np.arange(rows.size, dtype=np.int64) * L)
+
+    from smafa_tpu.native.ingest import format_hits_tsv
+
+    buf = format_hits_tsv(qnums, subj, d, blob.reshape(-1), offs, L)
+    if buf is not None:
+        out.write(buf.decode("ascii"))
+        return
+    flat = blob.tobytes().decode("ascii")
+    out.write(
+        "".join(
+            f"{q}\t{s}\t{dd}\t{flat[k * L:(k + 1) * L]}\n"
+            for k, (q, s, dd) in enumerate(zip(qnums.tolist(), subj.tolist(), d.tolist()))
+        )
+    )
 
 
 def _emit_hits(out, qnum, results, row, db, k_mode, max_divergence, limit_per_sequence):

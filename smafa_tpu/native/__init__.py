@@ -82,5 +82,11 @@ def load() -> ctypes.CDLL | None:
             u8p, c.c_int64, u8p, i64p, u8p, i64p, u8p, c.c_int32,
             i64p, i64p, i32p,
         ]
+        lib.tsv_format_bound.restype = c.c_int64
+        lib.tsv_format_bound.argtypes = [c.c_int64, c.c_int64]
+        lib.tsv_format.restype = c.c_int64
+        lib.tsv_format.argtypes = [
+            i64p, i32p, i32p, u8p, i64p, c.c_int64, c.c_int64, c.c_char_p,
+        ]
         _LIB = lib
         return _LIB

@@ -201,3 +201,56 @@ int32_t fastx_fill(const uint8_t* buf, int64_t n, uint8_t* ids,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// TSV hit formatter: the reference prints one line per hit
+// ("{qnum}\t{subject}\t{dist}\t{decoded}", lib.rs:292,310) from a hot
+// host-side loop. Bulk-format n hits into a caller-sized buffer.
+
+namespace {
+
+inline char* put_u64(char* p, uint64_t v) {
+  char tmp[20];
+  int n = 0;
+  do {
+    tmp[n++] = (char)('0' + v % 10);
+    v /= 10;
+  } while (v);
+  while (n) *p++ = tmp[--n];
+  return p;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Upper bound on bytes needed (caller allocates once).
+int64_t tsv_format_bound(int64_t n, int64_t seq_len) {
+  return n * (20 + 1 + 20 + 1 + 20 + 1 + seq_len + 1);
+}
+
+// rows: qnum[i] (int64), subj[i] (int32), dist[i] (int32),
+// decoded: seq_len bytes per distinct subject at decoded + subj[i]*seq_len?
+// No — caller passes per-hit string offsets into a decoded blob:
+//   str_off[i] .. str_off[i] + seq_len  (seq_len uniform per db)
+// Returns bytes written.
+int64_t tsv_format(const int64_t* qnum, const int32_t* subj,
+                   const int32_t* dist, const uint8_t* decoded,
+                   const int64_t* str_off, int64_t seq_len, int64_t n,
+                   char* out) {
+  char* p = out;
+  for (int64_t i = 0; i < n; ++i) {
+    p = put_u64(p, (uint64_t)qnum[i]);
+    *p++ = '\t';
+    p = put_u64(p, (uint64_t)subj[i]);
+    *p++ = '\t';
+    p = put_u64(p, (uint64_t)dist[i]);
+    *p++ = '\t';
+    memcpy(p, decoded + str_off[i], (size_t)seq_len);
+    p += seq_len;
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
+}  // extern "C"

@@ -21,6 +21,42 @@ _ERRORS = {
 }
 
 
+def format_hits_tsv(
+    qnums: np.ndarray,    # int64 [n]
+    subjs: np.ndarray,    # int32 [n]
+    dists: np.ndarray,    # int32 [n]
+    decoded: np.ndarray,  # uint8 blob
+    str_off: np.ndarray,  # int64 [n] byte offsets into decoded
+    seq_len: int,
+) -> bytes | None:
+    """Bulk-format hit lines "{q}\\t{s}\\t{d}\\t{decoded}\\n" natively.
+
+    Returns None when the native library is unavailable (callers fall
+    back to per-line Python formatting).
+    """
+    lib = load()
+    if lib is None:
+        return None
+    n = qnums.shape[0]
+    qnums = np.ascontiguousarray(qnums, dtype=np.int64)
+    subjs = np.ascontiguousarray(subjs, dtype=np.int32)
+    dists = np.ascontiguousarray(dists, dtype=np.int32)
+    decoded = np.ascontiguousarray(decoded, dtype=np.uint8)
+    str_off = np.ascontiguousarray(str_off, dtype=np.int64)
+    cap = lib.tsv_format_bound(n, seq_len)
+    buf = np.empty(cap, dtype=np.uint8)  # no zero-fill, unlike create_string_buffer
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    written = lib.tsv_format(
+        qnums.ctypes.data_as(i64p), subjs.ctypes.data_as(i32p),
+        dists.ctypes.data_as(i32p), decoded.ctypes.data_as(u8p),
+        str_off.ctypes.data_as(i64p), seq_len, n,
+        ctypes.cast(buf.ctypes.data, ctypes.c_char_p),
+    )
+    return buf[:written].tobytes()
+
+
 class ParsedFastx:
     """All records of one file: concatenated arrays + offset indexes."""
 
