@@ -50,10 +50,12 @@ def main() -> None:
     nw = jnp.int32(n_windows)
     zero = jnp.int32(0)
 
+    lo_b = jnp.full((batch,), -1, jnp.int32)
+    hi_b = jnp.full((batch,), n_windows, jnp.int32)
     scan = jax.jit(
         lambda q, db: D.min2_scan(
-            D.expand_onehot(q, seq_len), db, nw, zero, seq_len, shift, chunk,
-            n_windows,
+            D.expand_onehot(q, seq_len), db, nw, zero, lo_b, hi_b,
+            seq_len, shift, chunk, n_windows,
         )
     )
 

@@ -79,7 +79,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit-per-sequence", type=int, default=None,
                    help="Maximum number of hits to report per sequence. Requires "
                         "--max-num-hits > 1 for now. [default: not used]")
-    p.add_argument("--batch-size", type=int, default=512, help=argparse.SUPPRESS)
+    p.add_argument("--batch-size", type=int, default=2048, help=argparse.SUPPRESS)
     p.add_argument("--resume-state", default=None,
                    help="JSON checkpoint file enabling resumable query streaming "
                         "(restart skips already-emitted queries; append output with >>)")

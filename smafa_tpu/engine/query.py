@@ -18,12 +18,15 @@ lib.rs:198-325):
 - Output line: ``{query_number}\t{subject_idx}\t{distance}\t{decoded}``
   with query_number counting records from 0 (lib.rs:231,292,310).
 
-TPU execution: the db lives on device as a one-hot int8 tensor; each query
-batch runs an exact chunked top-M scan (ops.distance.topm_scan), with M
-widened geometrically on the rare overflow (all M candidates qualified and
-more windows remain — exactness over the cutoff-tie rule requires it).
-When more than one device is visible the scan shards the db rows across a
-'w' mesh axis and merges per-shard candidates (parallel.sharded).
+TPU execution: the db lives on device as a one-hot int8 tensor. Best-hit
+mode runs the fused dual-packed-key scan plus iterative range-masked tie
+collection (parallel.sharded.collect_ties) — sort-free and exact over the
+ALL-ties-at-minimum rule. K-mode runs an exact chunked top-M scan
+(ops.distance.topm_scan), with M widened geometrically on the rare
+overflow (all M candidates qualified and more windows remain — exactness
+over the cutoff-tie rule requires it). When more than one device is
+visible the scans shard the db rows across a 'w' mesh axis and merge
+per-shard candidates (parallel.sharded).
 """
 
 from __future__ import annotations
@@ -46,7 +49,7 @@ from smafa_tpu.utils.profiling import StageTimers, maybe_trace
 
 logger = logging.getLogger("smafa")
 
-DEFAULT_BATCH = 512
+DEFAULT_BATCH = 2048
 
 
 class QueryError(ValueError):
@@ -148,23 +151,30 @@ def query(
                 current = None
             if pending is not None:
                 qnum0, nq, p_codes, p_handle = pending
-                with timers.stage("scan"):
-                    results = _resolve_batch(db, p_codes, p_handle, k_mode, max_divergence)
-                with timers.stage("emit"):
-                    if results[1].shape[1] == 1 and k_mode is None:
-                        # Whole batch uniquely resolved: bulk TSV format
-                        # (native C++ when built) instead of per-line
-                        # Python work.
-                        _emit_best_hit_bulk(
-                            out, qnum0, nq, results[0][:, 0], results[1][:, 0],
-                            db, max_divergence,
-                        )
-                    else:
-                        for row in range(nq):
-                            _emit_hits(
-                                out, qnum0 + row, results, row, db,
-                                k_mode, max_divergence, limit_per_sequence,
+                if k_mode is None and p_handle is not None:
+                    # Best-hit mode: dual-key scan + iterative range-masked
+                    # tie collection — no sort anywhere. Bulk TSV emit.
+                    with timers.stage("scan"):
+                        collected = db.runner.collect_ties(p_codes, handle=p_handle)
+                    if collected is not None:
+                        dist, ties = collected
+                        with timers.stage("emit"):
+                            _emit_best_hit_ties(
+                                out, qnum0, nq, dist, ties, db, max_divergence
                             )
+                        state.mark_done(qnum0 + nq, out)
+                        pending = current
+                        if current is None:
+                            break
+                        continue
+                with timers.stage("scan"):
+                    results = _scan_batch(db, p_codes, k_mode, max_divergence)
+                with timers.stage("emit"):
+                    for row in range(nq):
+                        _emit_hits(
+                            out, qnum0 + row, results, row, db,
+                            k_mode, max_divergence, limit_per_sequence,
+                        )
                 state.mark_done(qnum0 + nq, out)
             pending = current
             if current is None:
@@ -216,21 +226,6 @@ def _dispatch_batch(db: _DbOnDevice, codes: np.ndarray, k_mode):
     return None
 
 
-def _resolve_batch(db: _DbOnDevice, codes: np.ndarray, handle, k_mode, max_divergence):
-    """Fetch dispatched results, falling back to the exact top-M scan."""
-    if k_mode is None and handle is not None:
-        # Best-hit mode: the fused packed-key pass gives each row's min
-        # distance, lowest-index argmin, and whether the min is unique
-        # (ascending/descending index trick — no sort, no tie count).
-        # Uniquely-resolved batches skip the top-M machinery entirely; a
-        # batch with any tied row falls through to the exact widening
-        # top-M scan (rare).
-        dist, idx, unique = db.runner.min2_result(handle)
-        if bool(unique.all()):
-            return dist[:, None], idx[:, None], None
-    return _scan_batch(db, codes, k_mode, max_divergence)
-
-
 def _scan_batch(db: _DbOnDevice, codes: np.ndarray, k_mode, max_divergence):
     """Run the top-M scan, widening M until no query row can overflow."""
     w = db.n_windows
@@ -262,19 +257,34 @@ def _any_overflow(dists, maxd, w, m, k_mode, max_divergence) -> bool:
     return bool(np.any(last == mind_eff))
 
 
-def _emit_best_hit_bulk(out, qnum0, nq, dist, idx, db, max_divergence):
-    """Vectorized emission for a uniquely-resolved best-hit batch."""
-    rows = np.arange(nq)
+def _emit_best_hit_ties(out, qnum0, nq, dist, ties, db, max_divergence):
+    """Bulk emission for a tie-collected best-hit batch.
+
+    Flattens every row's (ascending) tie list into one triple array and
+    formats all lines in a single native call (reference output order:
+    query number ascending, then subject index, lib.rs:306-313).
+    """
+    counts = np.fromiter((len(t) for t in ties), dtype=np.int64, count=nq)
+    keep = dist[:nq] < 2**30  # drop empty rows
     if max_divergence is not None:
-        rows = rows[dist[:nq] <= max_divergence]
-    if rows.size == 0:
+        keep &= dist[:nq] <= max_divergence
+    counts = np.where(keep, counts, 0)
+    total = int(counts.sum())
+    if total == 0:
         return
-    qnums = (qnum0 + rows).astype(np.int64)
-    subj = idx[rows].astype(np.int32)
-    d = dist[rows].astype(np.int32)
+    qnums = np.repeat(qnum0 + np.arange(nq, dtype=np.int64), counts)
+    subj = np.fromiter(
+        (i for r in range(nq) if counts[r] for i in ties[r]),
+        dtype=np.int32, count=total,
+    )
+    d = np.repeat(dist[:nq].astype(np.int32), counts)
+    _emit_bulk(out, qnums, subj, d, db)
+
+
+def _emit_bulk(out, qnums, subj, d, db):
     L = db.seq_len
     blob = alphabet.DECODE_BYTES[db.windows.codes[subj]]
-    offs = (np.arange(rows.size, dtype=np.int64) * L)
+    offs = np.arange(subj.size, dtype=np.int64) * L
 
     from smafa_tpu.native.ingest import format_hits_tsv
 

@@ -172,24 +172,29 @@ def min2_scan(
     db_oh: jax.Array,      # int8 [Wp, LP]
     n_windows: jax.Array,  # int32 scalar: valid rows of this db block
     index_offset: jax.Array,  # int32 scalar: global index of db row 0
+    lo_bound: jax.Array,   # int32 [B]: only windows with index > lo_bound count
+    hi_bound: jax.Array,   # int32 [B]: only windows with index < hi_bound count
     seq_len: int,
     shift: int,
     chunk: int,
     index_span: int,       # static: global index domain size (for reversal)
 ) -> tuple[jax.Array, jax.Array]:
-    """Per query row: packed min keys with index ascending AND descending.
+    """Per query row: packed min keys with index ascending AND descending,
+    over the per-row open index interval (lo_bound, hi_bound).
 
     key_lo = min over windows of (dist << shift) | global_index
     key_hi = min over windows of (dist << shift) | (span-1 - global_index)
 
-    Both reduce in the same pass over the distance block (no sequential
-    dependency, so XLA keeps the block fused in registers — unlike a
+    Both reduce in the same fused pass over the distance block (no
+    sequential dependency, so XLA keeps the block in registers — unlike a
     tie-count, which needs the min first). key_lo yields the reference's
-    lowest-index best hit (lib.rs:306-313 tie rule); comparing the two
-    unpacked indices detects whether the minimum is unique: equal indices
-    <=> exactly one window at the min distance. Only tied rows (rare) need
-    the exact top-M rescan to enumerate every minimum-distance window.
-    BIG_KEY marks rows with no valid window.
+    lowest-index best hit (lib.rs:306-313 tie rule); key_hi the highest.
+    With full bounds (-1, span) this is the plain scan; narrowing the
+    bounds to the innermost indices found so far turns repeated calls of
+    the SAME compiled program into an exact enumerator of every
+    minimum-distance window, two ties per pass, without any sort (the
+    best-hit tie rule at matmul speed). BIG_KEY marks rows with no valid
+    window in range.
     """
     n_chunks = db_oh.shape[0] // chunk
     b = q_oh.shape[0]
@@ -205,8 +210,12 @@ def min2_scan(
         block = jax.lax.dynamic_slice_in_dim(db_oh, off, chunk, axis=0)
         dist = seq_len - _match_dots(q_oh, block)
         lidx = off + jnp.arange(chunk, dtype=jnp.int32)
-        valid = (lidx < n_windows)[None, :]
         gidx = index_offset + lidx
+        valid = (
+            (lidx < n_windows)[None, :]
+            & (gidx[None, :] > lo_bound[:, None])
+            & (gidx[None, :] < hi_bound[:, None])
+        )
         shifted = dist << shift
         key_lo = jnp.where(valid, shifted | gidx[None, :], big_key)
         key_hi = jnp.where(valid, shifted | (index_span - 1 - gidx)[None, :], big_key)
@@ -247,7 +256,9 @@ def min_scan(
     shift = packing_shift(seq_len, wp)
     if shift is not None:
         key, _ = min2_scan(
-            q_oh, db_oh, n_windows, jnp.int32(0), seq_len, shift, chunk, wp
+            q_oh, db_oh, n_windows, jnp.int32(0),
+            jnp.full((b,), -1, jnp.int32), jnp.full((b,), wp, jnp.int32),
+            seq_len, shift, chunk, wp,
         )
         big = key == jnp.int32(2**31 - 1)
         return (

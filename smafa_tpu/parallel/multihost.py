@@ -132,8 +132,12 @@ class MultiHostScanRunner:
         def shard_fn(q_oh, db_shard, n_windows):
             off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
             n_valid = jnp.clip(n_windows - off, 0, shard_rows)
+            b_loc = q_oh.shape[0]
             lo, hi = D.min2_scan(
-                q_oh, db_shard, n_valid, off, seq_len, shift, chunk, span
+                q_oh, db_shard, n_valid, off,
+                jnp.full((b_loc,), -1, jnp.int32),
+                jnp.full((b_loc,), span, jnp.int32),
+                seq_len, shift, chunk, span,
             )
             return jax.lax.pmin(lo, "w"), jax.lax.pmin(hi, "w")
 

@@ -91,8 +91,12 @@ class RingScanRunner:
                 owner = (me - i) % n_d
                 off = owner * shard_rows
                 n_valid = jnp.clip(n_windows - off, 0, shard_rows)
+                b_loc = q_oh.shape[0]
                 l2, h2 = D.min2_scan(
-                    q_oh, db_cur, n_valid, off, seq_len, shift, chunk, span
+                    q_oh, db_cur, n_valid, off,
+                    jnp.full((b_loc,), -1, jnp.int32),
+                    jnp.full((b_loc,), span, jnp.int32),
+                    seq_len, shift, chunk, span,
                 )
                 lo = jnp.minimum(lo, l2)
                 hi = jnp.minimum(hi, h2)

@@ -30,6 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from smafa_tpu.ops import distance as D
 
+BIG_DIST = 2**30
+
 
 # Below this many db rows, sharding + scan machinery costs more (compile
 # time, collective latency) than it saves; use the direct single-device
@@ -194,19 +196,21 @@ class ScanRunner:
 
         if self.n_q == 1 and self.n_w == 1:
             @jax.jit
-            def run_single(q_codes, db_oh, n_windows):
+            def run_single(q_codes, db_oh, n_windows, lo_b, hi_b):
                 q_oh = D.expand_onehot(q_codes, seq_len)
                 return D.min2_scan(
-                    q_oh, db_oh, n_windows, jnp.int32(0), seq_len, shift, chunk, span
+                    q_oh, db_oh, n_windows, jnp.int32(0), lo_b, hi_b,
+                    seq_len, shift, chunk, span,
                 )
 
             return run_single
 
-        def shard_fn(q_oh, db_shard, n_windows):
+        def shard_fn(q_oh, db_shard, n_windows, lo_b, hi_b):
             off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
             n_valid_local = jnp.clip(n_windows - off, 0, shard_rows)
             lo, hi = D.min2_scan(
-                q_oh, db_shard, n_valid_local, off, seq_len, shift, chunk, span
+                q_oh, db_shard, n_valid_local, off, lo_b, hi_b,
+                seq_len, shift, chunk, span,
             )
             # Packed keys compare globally (the index fields are global), so
             # an elementwise pmin over the db axis is the whole merge — ICI
@@ -216,19 +220,27 @@ class ScanRunner:
         mapped = jax.shard_map(
             shard_fn,
             mesh=self.mesh,
-            in_specs=(P("q", None), P("w", None), P()),
+            in_specs=(P("q", None), P("w", None), P(), P("q"), P("q")),
             out_specs=(P("q"), P("q")),
             check_vma=False,
         )
 
         @jax.jit
-        def run(q_codes, db_oh, n_windows):
+        def run(q_codes, db_oh, n_windows, lo_b, hi_b):
             q_oh = D.expand_onehot(q_codes, seq_len)
-            return mapped(q_oh, db_oh, n_windows)
+            return mapped(q_oh, db_oh, n_windows, lo_b, hi_b)
 
         return run
 
-    def min2_async(self, q_codes: np.ndarray):
+    def _min2_fn(self, b: int, shift: int):
+        key = ("min2", b, shift)
+        fn = self._topm_cache.get(key)
+        if fn is None:
+            fn = self._build_min2(b, shift)
+            self._topm_cache[key] = fn
+        return fn
+
+    def min2_async(self, q_codes: np.ndarray, lo_bound=None, hi_bound=None):
         """Dispatch the fused min2 scan; returns an opaque handle (device
         futures) for ``min2_result``, or None when key packing overflows
         31 bits (never for this domain's window lengths).
@@ -236,7 +248,8 @@ class ScanRunner:
         The async split lets the query engine overlap host-side FASTX
         parse/encode of batch k+1 with the device scan of batch k — the
         pipeline parallelism the single-threaded reference lacks
-        (SURVEY.md §2.2 PP row).
+        (SURVEY.md §2.2 PP row). ``lo_bound``/``hi_bound`` restrict each
+        row to the open index interval (used by tie collection).
         """
         shift = D.packing_shift(self.seq_len, max(self.wp, 2))
         if shift is None:
@@ -246,12 +259,18 @@ class ScanRunner:
         b = ((b + self.n_q - 1) // self.n_q) * self.n_q
         if q_codes.shape[0] < b:
             q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
-        key = ("min2", b, shift)
-        fn = self._topm_cache.get(key)
-        if fn is None:
-            fn = self._build_min2(b, shift)
-            self._topm_cache[key] = fn
-        lo, hi = fn(q_codes, self.db_oh, self.n_windows_dev)
+        if lo_bound is None:
+            lo_b = np.full(b, -1, np.int32)
+        else:
+            lo_b = np.full(b, self.wp, np.int32)
+            lo_b[:nq] = lo_bound
+        if hi_bound is None:
+            hi_b = np.full(b, self.wp, np.int32)
+        else:
+            hi_b = np.full(b, -1, np.int32)
+            hi_b[:nq] = hi_bound
+        fn = self._min2_fn(b, shift)
+        lo, hi = fn(q_codes, self.db_oh, self.n_windows_dev, lo_b, hi_b)
         return (lo, hi, nq, shift)
 
     def min2_result(self, handle) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -282,3 +301,53 @@ class ScanRunner:
         """(min distance, first argmin) per row — cluster's inner scan."""
         d, i, _ = self.min2(q_codes)
         return d, i
+
+    def collect_ties(self, q_codes: np.ndarray, handle=None):
+        """Per row: (min distance, ALL window indices at the min, ascending).
+
+        Exact enumeration of the reference best-hit output set
+        (lib.rs:306-313) without any sort: pass 1 of the dual-key scan
+        yields the lowest and highest minimum-distance indices; follow-up
+        passes of the SAME compiled program, range-masked to the open
+        interval between the innermost indices found so far, extract two
+        more ties each. Rows finish when the interval holds no window at
+        the min distance. Expected passes ~ half the max tie count
+        (1 for unique rows, which is the common case).
+        """
+        if handle is None:
+            handle = self.min2_async(q_codes)
+        if handle is None:  # packing overflow: exact top-M fallback
+            return None
+        dist, idx_lo, idx_hi = self._min2_pair(handle)
+        nq = q_codes.shape[0]
+        ties = [[i] for i in idx_lo.tolist()]
+        lo_b = idx_lo.copy()
+        hi_b = idx_hi.copy()
+        active = (idx_hi > idx_lo) & (dist < BIG_DIST)
+        for r in np.nonzero(active)[0]:
+            ties[r].append(int(idx_hi[r]))
+        while bool(active.any()):
+            h2 = self.min2_async(q_codes, lo_bound=lo_b, hi_bound=hi_b)
+            d2, i2_lo, i2_hi = self._min2_pair(h2)
+            nxt = active & (d2 == dist)  # a middle window at the min exists
+            for r in np.nonzero(nxt)[0]:
+                ties[r].append(int(i2_lo[r]))
+                if i2_hi[r] != i2_lo[r]:
+                    ties[r].append(int(i2_hi[r]))
+            lo_b = np.where(nxt, i2_lo, lo_b)
+            hi_b = np.where(nxt, i2_hi, hi_b)
+            active = nxt & (i2_hi > i2_lo + 1)
+        for r in range(nq):
+            ties[r].sort()
+        return dist, ties
+
+    def _min2_pair(self, handle):
+        """Handle -> (dist, idx_lo, idx_hi) with BIG markers for empty."""
+        lo, hi, nq, shift = handle
+        lo, hi = np.asarray(lo)[:nq], np.asarray(hi)[:nq]
+        dist, idx_lo = D.unpack_key(lo, shift)
+        _, idx_rev = D.unpack_key(hi, shift)
+        idx_hi = np.where(
+            hi == np.int32(2**31 - 1), np.int32(2**31 - 1), self.wp - 1 - idx_rev
+        ).astype(np.int32)
+        return dist, idx_lo, idx_hi

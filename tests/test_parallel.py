@@ -71,6 +71,28 @@ def test_scanrunner_topm_matches_oracle(nq, nw):
     assert np.array_equal(mx, full.max(axis=1))
 
 
+@pytest.mark.parametrize("nq,nw", [(1, 1), (2, 4)])
+@pytest.mark.parametrize("dup", [1, 2, 7, 40])
+def test_collect_ties_matches_oracle(nq, nw, dup):
+    # db built from `dup` copies of a small pool -> every query has `dup`
+    # (or more) ties at the min; exercises the multi-pass range-masked
+    # extraction loop deeply.
+    rng = np.random.default_rng(dup)
+    L, pool_n, B = 24, 30, 17
+    pool = rng.integers(0, 4, size=(pool_n, L)).astype(np.uint8)
+    order = rng.permutation(pool_n * dup)
+    db = np.repeat(pool, dup, axis=0)[order]
+    q = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+    q[:6] = pool[:6]
+    runner = sharded.ScanRunner(db, L, mesh=sharded.build_mesh(nq, nw), chunk=64)
+    d, ties = runner.collect_ties(q)
+    full = _oracle(db, q, L)
+    assert np.array_equal(d, full.min(axis=1))
+    for r in range(B):
+        expect = np.nonzero(full[r] == full[r].min())[0].tolist()
+        assert ties[r] == expect, (r, ties[r], expect)
+
+
 @pytest.mark.parametrize("n", [1, 4, 8])
 def test_column_sharded_min2_matches_oracle(n):
     # Long windows: the one-hot feature axis shards over 'c'; psum of
