@@ -29,6 +29,9 @@ NORTH_STAR = 1.0e9  # comparisons/sec/chip (BASELINE.json north_star)
 
 
 def main() -> None:
+    from smafa_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
     platform = jax.devices()[0].platform
     on_accel = platform not in ("cpu",)
 

@@ -43,6 +43,7 @@ from smafa_tpu.core.windowset import WindowSet
 from smafa_tpu.core.encoding import dedup_key
 from smafa_tpu.io.fastx import read_encoded_batches
 from smafa_tpu.ops import distance as D
+from smafa_tpu.utils.profiling import StageTimers
 
 logger = logging.getLogger("smafa")
 
@@ -130,16 +131,18 @@ def cluster(
         # Reference panic text on open failure (cluster.rs:28).
         raise ValueError(f"valid path/file of input fasta: {input_fasta}")
     logger.info("Clustering ..")
+    timers = StageTimers()
     query_number = 0
     for ids, raws, codes in read_encoded_batches(input_fasta, batch_size=batch_size):
         query_number += len(ids)
         # exact-duplicate skip, in input order (reference cluster.rs:46-48)
-        keep: list[int] = []
-        for j in range(len(ids)):
-            key = dedup_key(codes[j])
-            if key not in seen:
-                seen.add(key)
-                keep.append(j)
+        with timers.stage("dedup"):
+            keep: list[int] = []
+            for j in range(len(ids)):
+                key = dedup_key(codes[j])
+                if key not in seen:
+                    seen.add(key)
+                    keep.append(j)
         if not keep:
             continue
         codes_u = codes[keep]
@@ -151,7 +154,10 @@ def cluster(
         else:
             store.ws.check_query_length(seq_len)
 
-        _process_batch(store, codes_u, raws_u, max_div, out)
+        timers.count("comparisons", len(keep) * len(store))
+        with timers.stage("scan+assign"):
+            _process_batch(store, codes_u, raws_u, max_div, out)
+    timers.log_report(logging.DEBUG)
 
     n_centroids = len(store) if store is not None else 0
     logger.info(

@@ -80,6 +80,9 @@ class MultiHostScanRunner:
 
     def __init__(self, db_path: str | Path, chunk: int = 2048,
                  mesh: Mesh | None = None):
+        from smafa_tpu.utils.platform import enable_compilation_cache
+
+        enable_compilation_cache()
         header = native_format.read_header(db_path)
         self.n_windows = header["num_windows"]
         self.seq_len = max(1, header["length"] or 1)

@@ -44,6 +44,9 @@ class RingScanRunner:
 
     def __init__(self, codes: np.ndarray, seq_len: int, mesh: Mesh | None = None,
                  chunk: int | None = None):
+        from smafa_tpu.utils.platform import enable_compilation_cache
+
+        enable_compilation_cache()
         self.seq_len = max(1, seq_len)
         self.n_windows = int(codes.shape[0])
         self.mesh = mesh if mesh is not None else build_ring_mesh()

@@ -77,6 +77,9 @@ class ScanRunner:
 
     def __init__(self, codes: np.ndarray, seq_len: int, mesh: Mesh | None = None,
                  chunk: int | None = None):
+        from smafa_tpu.utils.platform import enable_compilation_cache
+
+        enable_compilation_cache()
         self.seq_len = max(1, seq_len)
         self.n_windows = int(codes.shape[0])
         if mesh is None:
@@ -323,20 +326,28 @@ class ScanRunner:
         ties = [[i] for i in idx_lo.tolist()]
         lo_b = idx_lo.copy()
         hi_b = idx_hi.copy()
-        active = (idx_hi > idx_lo) & (dist < BIG_DIST)
-        for r in np.nonzero(active)[0]:
+        active = np.nonzero((idx_hi > idx_lo) & (dist < BIG_DIST))[0]
+        for r in active:
             ties[r].append(int(idx_hi[r]))
-        while bool(active.any()):
-            h2 = self.min2_async(q_codes, lo_bound=lo_b, hi_bound=hi_b)
+        active = active[idx_hi[active] > idx_lo[active] + 1]
+        # Follow-up passes run on ONLY the still-active rows (bucketed to
+        # the standard batch sizes, so no new program shapes in steady
+        # state): the active set shrinks geometrically — rows with >= 2k+1
+        # ties survive pass k — so total cost stays ~O(one extra pass).
+        while active.size:
+            sub = q_codes[active]
+            h2 = self.min2_async(sub, lo_bound=lo_b[active], hi_bound=hi_b[active])
             d2, i2_lo, i2_hi = self._min2_pair(h2)
-            nxt = active & (d2 == dist)  # a middle window at the min exists
-            for r in np.nonzero(nxt)[0]:
-                ties[r].append(int(i2_lo[r]))
-                if i2_hi[r] != i2_lo[r]:
-                    ties[r].append(int(i2_hi[r]))
-            lo_b = np.where(nxt, i2_lo, lo_b)
-            hi_b = np.where(nxt, i2_hi, hi_b)
-            active = nxt & (i2_hi > i2_lo + 1)
+            found = d2 == dist[active]  # a middle window at the min exists
+            rows = active[found]
+            flo, fhi = i2_lo[found], i2_hi[found]
+            for k, r in enumerate(rows):
+                ties[r].append(int(flo[k]))
+                if fhi[k] != flo[k]:
+                    ties[r].append(int(fhi[k]))
+            lo_b[rows] = flo
+            hi_b[rows] = fhi
+            active = rows[fhi > flo + 1]
         for r in range(nq):
             ties[r].sort()
         return dist, ties
