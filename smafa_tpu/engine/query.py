@@ -217,12 +217,13 @@ class _ResumeState:
 def _dispatch_batch(db: _DbOnDevice, codes: np.ndarray, k_mode):
     """Start device work for a batch without waiting for it.
 
-    Best-hit mode dispatches the fused min2 scan asynchronously (the
-    common case resolves from it alone). K-mode needs the widening top-M
-    loop, which must inspect intermediate results, so it resolves later.
+    Best-hit mode dispatches the on-device tie-collection program
+    asynchronously (one call resolves the whole batch). K-mode needs the
+    widening top-M loop, which must inspect intermediate results, so it
+    resolves later.
     """
     if k_mode is None:
-        return db.runner.min2_async(codes)
+        return db.runner.collect_ties_async(codes)
     return None
 
 

@@ -229,6 +229,103 @@ def min2_scan(
     return lo, hi
 
 
+TIE_CAP = 64  # device-side tie buffer width; overflow rows resolve on host
+
+
+@partial(jax.jit, static_argnames=("seq_len", "shift", "chunk", "index_span", "cap"))
+def collect_scan(
+    q_oh: jax.Array,       # int8 [B, LP]
+    db_oh: jax.Array,      # int8 [Wp, LP]
+    n_windows: jax.Array,  # int32 scalar
+    seq_len: int,
+    shift: int,
+    chunk: int,
+    index_span: int,
+    cap: int = TIE_CAP,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Per row: (min distance, ALL minimum-distance indices, count, overflow).
+
+    The full best-hit resolution — reference lib.rs:306-313 "print every
+    window at the min" — as ONE device program: a ``lax.while_loop`` of
+    range-masked dual-key scans, narrowing each row's open interval to the
+    innermost indices found so far (two new ties per iteration for rows
+    still active). Device iterations cost ~a scan each; doing this
+    on-device removes the per-pass host round trip that dominates the
+    host-driven variant. Ties land unsorted in a [B, cap] buffer (-1
+    padded); rows with more than ``cap`` ties set overflow and must be
+    finished on the host (never at 60 bp scale: cap=64).
+    """
+    def scan_bounds(lo_b, hi_b):
+        return min2_scan(
+            q_oh, db_oh, n_windows, jnp.int32(0), lo_b, hi_b,
+            seq_len, shift, chunk, index_span,
+        )
+
+    return collect_loop(scan_bounds, q_oh.shape[0], index_span, shift, cap)
+
+
+def collect_loop(scan_bounds, b: int, index_span: int, shift: int, cap: int):
+    """The tie-enumeration while_loop, parameterized by the bounded dual-key
+    scan (single-device min2 or a shard_map pmin-merged variant)."""
+    big_key = jnp.int32(2**31 - 1)
+    mask = jnp.int32((1 << shift) - 1)
+
+    lo1, hi1 = scan_bounds(
+        jnp.full((b,), -1, jnp.int32), jnp.full((b,), index_span, jnp.int32)
+    )
+    empty = lo1 == big_key
+    dist = jnp.where(empty, jnp.int32(2**30), lo1 >> shift)
+    i_lo = jnp.where(empty, jnp.int32(-1), lo1 & mask)
+    i_hi = jnp.where(empty, jnp.int32(-1), index_span - 1 - (hi1 & mask))
+
+    ties = jnp.full((b, cap), -1, jnp.int32)
+    cols = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    ties = jnp.where((cols == 0) & ~empty[:, None], i_lo[:, None], ties)
+    two = (~empty) & (i_hi != i_lo)
+    ties = jnp.where((cols == 1) & two[:, None], i_hi[:, None], ties)
+    count = jnp.where(empty, 0, 1) + two.astype(jnp.int32)
+    active = (~empty) & (i_hi > i_lo + 1)
+
+    def cond(state):
+        return jnp.any(state[0])
+
+    def body(state):
+        active, ties, count, lo_b, hi_b = state
+        # Inactive rows get an empty interval, so their scan work is
+        # masked to BIG_KEY (the matmul still runs; device FLOPs are
+        # cheap, host round trips were not).
+        lo2, hi2 = scan_bounds(
+            jnp.where(active, lo_b, jnp.int32(0)),
+            jnp.where(active, hi_b, jnp.int32(0)),
+        )
+        d2 = jnp.where(lo2 == big_key, jnp.int32(2**30), lo2 >> shift)
+        found = active & (d2 == dist)
+        f_lo = lo2 & mask
+        f_hi = index_span - 1 - (hi2 & mask)
+        pair = found & (f_hi != f_lo)
+        c1 = jnp.where(found & (count < cap), count, cap)  # clamp writes
+        ties = jnp.where(
+            (cols == c1[:, None]) & found[:, None] & (count < cap)[:, None],
+            f_lo[:, None], ties,
+        )
+        c2 = jnp.where(pair & (count + 1 < cap), count + 1, cap)
+        ties = jnp.where(
+            (cols == c2[:, None]) & pair[:, None] & (count + 1 < cap)[:, None],
+            f_hi[:, None], ties,
+        )
+        count = count + found.astype(jnp.int32) + pair.astype(jnp.int32)
+        lo_b = jnp.where(found, f_lo, lo_b)
+        hi_b = jnp.where(found, f_hi, hi_b)
+        active = found & (f_hi > f_lo + 1) & (count <= cap)
+        return active, ties, count, lo_b, hi_b
+
+    active, ties, count, _, _ = jax.lax.while_loop(
+        cond, body, (active, ties, count, i_lo, i_hi)
+    )
+    overflow = count > cap
+    return dist, ties, count, overflow
+
+
 def unpack_key(key: np.ndarray, shift: int) -> tuple[np.ndarray, np.ndarray]:
     """Packed keys -> (distance, index); BIG/int32-max for empty rows."""
     big = key == np.int32(2**31 - 1)

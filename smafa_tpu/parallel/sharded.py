@@ -305,52 +305,121 @@ class ScanRunner:
         d, i, _ = self.min2(q_codes)
         return d, i
 
+    # -- device-resident tie collection (best-hit resolution) --------------
+
+    def _build_collect(self, b: int, shift: int):
+        seq_len = self.seq_len
+        chunk = self.chunk
+        shard_rows = self.shard_rows
+        span = self.wp
+
+        if self.n_q == 1 and self.n_w == 1:
+            @jax.jit
+            def run_single(q_codes, db_oh, n_windows):
+                q_oh = D.expand_onehot(q_codes, seq_len)
+                return D.collect_scan(
+                    q_oh, db_oh, n_windows, seq_len, shift, chunk, span
+                )
+
+            return run_single
+
+        def shard_fn(q_oh, db_shard, n_windows):
+            off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
+            n_valid = jnp.clip(n_windows - off, 0, shard_rows)
+
+            def scan_bounds(lo_b, hi_b):
+                lo, hi = D.min2_scan(
+                    q_oh, db_shard, n_valid, off, lo_b, hi_b,
+                    seq_len, shift, chunk, span,
+                )
+                return jax.lax.pmin(lo, "w"), jax.lax.pmin(hi, "w")
+
+            return D.collect_loop(scan_bounds, q_oh.shape[0], span, shift, D.TIE_CAP)
+
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(P("q", None), P("w", None), P()),
+            out_specs=(P("q"), P("q", None), P("q"), P("q")),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run(q_codes, db_oh, n_windows):
+            q_oh = D.expand_onehot(q_codes, seq_len)
+            return mapped(q_oh, db_oh, n_windows)
+
+        return run
+
+    def collect_ties_async(self, q_codes: np.ndarray):
+        """Dispatch the on-device tie enumeration; handle for collect_ties."""
+        shift = D.packing_shift(self.seq_len, max(self.wp, 2))
+        if shift is None:
+            return None
+        nq = q_codes.shape[0]
+        b = _bucket(nq, minimum=max(16, self.n_q))
+        b = ((b + self.n_q - 1) // self.n_q) * self.n_q
+        if q_codes.shape[0] < b:
+            q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
+        key = ("collect", b, shift)
+        fn = self._topm_cache.get(key)
+        if fn is None:
+            fn = self._build_collect(b, shift)
+            self._topm_cache[key] = fn
+        dist, ties, count, overflow = fn(q_codes, self.db_oh, self.n_windows_dev)
+        return (dist, ties, count, overflow, nq)
+
     def collect_ties(self, q_codes: np.ndarray, handle=None):
         """Per row: (min distance, ALL window indices at the min, ascending).
 
         Exact enumeration of the reference best-hit output set
-        (lib.rs:306-313) without any sort: pass 1 of the dual-key scan
-        yields the lowest and highest minimum-distance indices; follow-up
-        passes of the SAME compiled program, range-masked to the open
-        interval between the innermost indices found so far, extract two
-        more ties each. Rows finish when the interval holds no window at
-        the min distance. Expected passes ~ half the max tie count
-        (1 for unique rows, which is the common case).
+        (lib.rs:306-313) without any sort: one device program runs a
+        while_loop of range-masked dual-key scans, two new ties per
+        iteration for still-active rows. Host work is a single fetch plus
+        a per-row sort of the few collected ties. Rows overflowing the
+        device buffer (> TIE_CAP ties at the min) finish with host-driven
+        subset passes.
         """
-        if handle is None:
-            handle = self.min2_async(q_codes)
+        if handle is None or not isinstance(handle, tuple) or len(handle) != 5:
+            handle = self.collect_ties_async(q_codes)
         if handle is None:  # packing overflow: exact top-M fallback
             return None
-        dist, idx_lo, idx_hi = self._min2_pair(handle)
-        nq = q_codes.shape[0]
-        ties = [[i] for i in idx_lo.tolist()]
-        lo_b = idx_lo.copy()
-        hi_b = idx_hi.copy()
-        active = np.nonzero((idx_hi > idx_lo) & (dist < BIG_DIST))[0]
-        for r in active:
-            ties[r].append(int(idx_hi[r]))
-        active = active[idx_hi[active] > idx_lo[active] + 1]
-        # Follow-up passes run on ONLY the still-active rows (bucketed to
-        # the standard batch sizes, so no new program shapes in steady
-        # state): the active set shrinks geometrically — rows with >= 2k+1
-        # ties survive pass k — so total cost stays ~O(one extra pass).
-        while active.size:
-            sub = q_codes[active]
-            h2 = self.min2_async(sub, lo_bound=lo_b[active], hi_bound=hi_b[active])
-            d2, i2_lo, i2_hi = self._min2_pair(h2)
-            found = d2 == dist[active]  # a middle window at the min exists
-            rows = active[found]
-            flo, fhi = i2_lo[found], i2_hi[found]
-            for k, r in enumerate(rows):
-                ties[r].append(int(flo[k]))
-                if fhi[k] != flo[k]:
-                    ties[r].append(int(fhi[k]))
-            lo_b[rows] = flo
-            hi_b[rows] = fhi
-            active = rows[fhi > flo + 1]
-        for r in range(nq):
-            ties[r].sort()
+        dist, tbuf, count, overflow, nq = handle
+        dist = np.asarray(dist)[:nq]
+        tbuf = np.asarray(tbuf)[:nq]
+        count = np.asarray(count)[:nq]
+        overflow = np.asarray(overflow)[:nq]
+        tbuf_sorted = np.sort(
+            np.where(tbuf >= 0, tbuf, np.int32(2**31 - 1)), axis=1
+        )
+        ties = [
+            tbuf_sorted[r, : count[r]].tolist() if not overflow[r] else None
+            for r in range(nq)
+        ]
+        for r in np.nonzero(overflow)[0]:
+            ties[r] = self._collect_row_host(q_codes[r], dist[r])
         return dist, ties
+
+    def _collect_row_host(self, q_row: np.ndarray, dstar: int) -> list[int]:
+        """Exhaustively enumerate one overflowing row's ties host-side."""
+        found: list[int] = []
+        lo, hi = -1, self.wp
+        while True:
+            h = self.min2_async(
+                q_row[None, :], lo_bound=np.array([lo], np.int32),
+                hi_bound=np.array([hi], np.int32),
+            )
+            d2, i_lo, i_hi = self._min2_pair(h)
+            if d2[0] != dstar:
+                break
+            found.append(int(i_lo[0]))
+            if i_hi[0] != i_lo[0]:
+                found.append(int(i_hi[0]))
+            if i_hi[0] <= i_lo[0] + 1:
+                break
+            lo, hi = int(i_lo[0]), int(i_hi[0])
+        found.sort()
+        return found
 
     def _min2_pair(self, handle):
         """Handle -> (dist, idx_lo, idx_hi) with BIG markers for empty."""

@@ -72,7 +72,7 @@ def test_scanrunner_topm_matches_oracle(nq, nw):
 
 
 @pytest.mark.parametrize("nq,nw", [(1, 1), (2, 4)])
-@pytest.mark.parametrize("dup", [1, 2, 7, 40])
+@pytest.mark.parametrize("dup", [1, 2, 7, 40, 100])
 def test_collect_ties_matches_oracle(nq, nw, dup):
     # db built from `dup` copies of a small pool -> every query has `dup`
     # (or more) ties at the min; exercises the multi-pass range-masked
