@@ -167,6 +167,25 @@ def query(
                         if current is None:
                             break
                         continue
+                if k_mode is not None:
+                    # K-mode: on-device cutoff search (fused <=-count binary
+                    # search) + dual-ended key-order enumeration — exact
+                    # cutoff-tie semantics, no sort.
+                    with timers.stage("scan"):
+                        kres = db.runner.kmode(p_codes, k_mode, max_divergence)
+                    if kres is not None:
+                        kdists, kidxs, khits = kres
+                        with timers.stage("emit"):
+                            for row in range(nq):
+                                _emit_kmode_row(
+                                    out, qnum0 + row, kdists[row], kidxs[row],
+                                    int(khits[row]), db, limit_per_sequence,
+                                )
+                        state.mark_done(qnum0 + nq, out)
+                        pending = current
+                        if current is None:
+                            break
+                        continue
                 with timers.stage("scan"):
                     results = _scan_batch(db, p_codes, k_mode, max_divergence)
                 with timers.stage("emit"):
@@ -300,6 +319,29 @@ def _emit_bulk(out, qnums, subj, d, db):
             for k, (q, s, dd) in enumerate(zip(qnums.tolist(), subj.tolist(), d.tolist()))
         )
     )
+
+
+def _emit_kmode_row(out, qnum, dists, idxs, hits, db, limit_per_sequence):
+    """Emit one row's pre-filtered sorted K-mode hit list.
+
+    The device already applied the cutoff and max-divergence filters; only
+    the limit-per-sequence consecutive-run quirk (reference lib.rs:269-289)
+    remains.
+    """
+    last_seq: tuple[str, int] | None = None
+    lines = []
+    for col in range(hits):
+        i = int(idxs[col])
+        s = db.decoded(i)
+        if limit_per_sequence is not None:
+            if last_seq is not None and last_seq[0] == s:
+                if last_seq[1] >= limit_per_sequence:
+                    continue
+                last_seq = (s, last_seq[1] + 1)
+            else:
+                last_seq = (s, 1)
+        lines.append(f"{qnum}\t{i}\t{int(dists[col])}\t{s}\n")
+    out.write("".join(lines))
 
 
 def _emit_hits(out, qnum, results, row, db, k_mode, max_divergence, limit_per_sequence):

@@ -326,6 +326,197 @@ def collect_loop(scan_bounds, b: int, index_span: int, shift: int, cap: int):
     return dist, ties, count, overflow
 
 
+# ---------------------------------------------------------------------------
+# K-mode (top-K with cutoff ties) without any sort.
+#
+# The packed key (dist << shift) | index orders pairs exactly by
+# (distance, subject_index) — the reference's K-mode output order
+# (lib.rs:243-250). The reference cutoff is the Kth smallest distance (or
+# the row max when K > W, lib.rs:253-256), and every pair with
+# d <= min(cutoff, max_divergence) prints. So K-mode reduces to:
+#
+#   phase 1: per row, find max distance + binary-search the Kth smallest
+#            distance with fused <=-count scans (7 passes), then the exact
+#            hit count at the effective cutoff;
+#   phase 2: enumerate the hit set in key order from BOTH ends — the min
+#            remaining key and the max remaining key per pass (the max via
+#            a reverse key ((L - dist) << shift) | (span-1 - index), whose
+#            min is the (dist, idx)-max) — writing a front cursor forward
+#            and a back cursor backward into a [B, cap] buffer that is
+#            therefore already sorted when the cursors meet.
+#
+# Every pass is matmul + elementwise mask + min/sum reductions — the same
+# fused shape as min2_scan; no top_k, no sort, no HBM intermediates.
+
+
+def kmode_phase1(scan_stats, k, maxdiv, n_windows, seq_len):
+    """cutoff search. scan_stats(t) -> (count of dist <= t per row, max dist
+    per row); k, maxdiv traced int32 scalars (maxdiv = seq_len+1 if unused).
+
+    Returns (eff [B] effective cutoff, hits [B] exact hit count).
+    """
+    steps = max(1, math.ceil(math.log2(seq_len + 2)))
+    # Binary search smallest t in [0, seq_len] with count(<= t) >= k.
+    _, maxd = scan_stats(jnp.full((1,), seq_len, jnp.int32))
+    b = maxd.shape[0]
+    t_lo = jnp.zeros((b,), jnp.int32)
+    t_hi = jnp.full((b,), seq_len, jnp.int32)
+
+    def body(_, carry):
+        t_lo, t_hi = carry
+        mid = (t_lo + t_hi) // 2
+        cnt, _ = scan_stats(mid)
+        ge = cnt >= k
+        return jnp.where(ge, t_lo, mid + 1), jnp.where(ge, mid, t_hi)
+
+    t_lo, t_hi = jax.lax.fori_loop(0, steps, body, (t_lo, t_hi))
+    kth = t_hi  # smallest t with count(<= t) >= k (== row max if k > count)
+    cutoff = jnp.where(k > n_windows, maxd, kth)
+    eff = jnp.minimum(cutoff, maxdiv)
+    hits, _ = scan_stats(eff)
+    return eff, hits
+
+
+def kmode_enumerate(region_scan, b, eff, hits, shift, seq_len, span, cap):
+    """Dual-ended key-order enumeration into a sorted [b, cap] buffer.
+
+    region_scan(eff, lo_key, hi_key) -> (min key1, min rkey) over windows
+    with dist <= eff[row] and lo_key[row] < key1 < hi_key[row].
+    """
+    big = jnp.int32(2**31 - 1)
+    cols = jnp.arange(cap, dtype=jnp.int32)[None, :]
+
+    def rkey_to_key1(rk):
+        d = seq_len - (rk >> shift)
+        i = span - 1 - (rk & ((1 << shift) - 1))
+        return (d << shift) | i
+
+    state = (
+        jnp.full((b, cap), big, jnp.int32),      # buf
+        jnp.zeros((b,), jnp.int32),               # front cursor
+        jnp.minimum(hits, cap) - 1,               # back cursor
+        jnp.full((b,), -1, jnp.int32),            # cur_lo key (exclusive)
+        jnp.full((b,), big, jnp.int32),           # cur_hi key (exclusive)
+        hits > 0,                                 # active
+    )
+
+    def cond(s):
+        return jnp.any(s[5])
+
+    def body(s):
+        buf, front, back, cur_lo, cur_hi, active = s
+        k1, rk = region_scan(
+            jnp.where(active, eff, jnp.int32(-1)),
+            jnp.where(active, cur_lo, big),
+            jnp.where(active, cur_hi, jnp.int32(-1)),
+        )
+        k_top = jnp.where(rk == big, big, rkey_to_key1(rk))
+        found = active & (k1 != big)
+        # write the low end at front, the high end at back (skip the high
+        # write when both cursors point at the same remaining element)
+        buf = jnp.where(
+            (cols == front[:, None]) & found[:, None], k1[:, None], buf
+        )
+        pair = found & (k_top != k1) & (back > front)
+        buf = jnp.where(
+            (cols == back[:, None]) & pair[:, None], k_top[:, None], buf
+        )
+        front2 = front + found.astype(jnp.int32)
+        back2 = back - pair.astype(jnp.int32)
+        active2 = found & (front2 <= back2)
+        return (buf, front2, back2, jnp.where(found, k1, cur_lo),
+                jnp.where(pair, k_top, cur_hi), active2)
+
+    buf, front, back, _, _, _ = jax.lax.while_loop(cond, body, state)
+    return buf
+
+
+@partial(jax.jit, static_argnames=("seq_len", "shift", "chunk", "index_span"))
+def kmode_stats_scan(
+    q_oh, db_oh, n_windows, k, maxdiv, seq_len, shift, chunk, index_span
+):
+    """Phase-1 program (single device): (eff cutoff, exact hit count)."""
+    def scan_stats(t):
+        t = jnp.broadcast_to(t, (q_oh.shape[0],))
+        return _stats_pass(q_oh, db_oh, n_windows, t, seq_len, chunk)
+
+    return kmode_phase1(scan_stats, k, maxdiv, n_windows, seq_len)
+
+
+def _stats_pass(q_oh, db_oh, n_windows, t, seq_len, chunk):
+    """One fused pass: (count of dist <= t[row], max dist) per row."""
+    b = q_oh.shape[0]
+    n_chunks = db_oh.shape[0] // chunk
+
+    def step(carry, off):
+        cnt, mx = carry
+        block = jax.lax.dynamic_slice_in_dim(db_oh, off, chunk, axis=0)
+        dist = seq_len - _match_dots(q_oh, block)
+        valid = ((off + jnp.arange(chunk, dtype=jnp.int32)) < n_windows)[None, :]
+        cnt = cnt + jnp.sum(valid & (dist <= t[:, None]), axis=1, dtype=jnp.int32)
+        mx = jnp.maximum(mx, jnp.max(jnp.where(valid, dist, -1), axis=1))
+        return (cnt, mx), None
+
+    init = (jnp.zeros((b,), jnp.int32), jnp.full((b,), -1, jnp.int32))
+    offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (cnt, mx), _ = jax.lax.scan(step, init, offsets)
+    return cnt, mx
+
+
+def _region_pass(q_oh, db_oh, n_windows, eff, lo_key, hi_key,
+                 seq_len, shift, chunk, index_span, index_offset=0):
+    """One fused pass: (min key1, min rkey) over the per-row key region.
+
+    ``index_offset`` is the global index of db_oh row 0 (nonzero for db
+    shards), so packed keys compare globally and shard merges are pmin.
+    """
+    b = q_oh.shape[0]
+    n_chunks = db_oh.shape[0] // chunk
+    big = jnp.int32(2**31 - 1)
+
+    def step(carry, off):
+        m1, mr = carry
+        block = jax.lax.dynamic_slice_in_dim(db_oh, off, chunk, axis=0)
+        dist = seq_len - _match_dots(q_oh, block)
+        lidx = off + jnp.arange(chunk, dtype=jnp.int32)
+        valid = (lidx < n_windows)[None, :]
+        gidx = index_offset + lidx
+        key1 = (dist << shift) | gidx[None, :]
+        sel = (
+            valid
+            & (dist <= eff[:, None])
+            & (key1 > lo_key[:, None])
+            & (key1 < hi_key[:, None])
+        )
+        rkey = ((seq_len - dist) << shift) | (index_span - 1 - gidx)[None, :]
+        m1 = jnp.minimum(m1, jnp.min(jnp.where(sel, key1, big), axis=1))
+        mr = jnp.minimum(mr, jnp.min(jnp.where(sel, rkey, big), axis=1))
+        return (m1, mr), None
+
+    init = (jnp.full((b,), big, jnp.int32), jnp.full((b,), big, jnp.int32))
+    offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (m1, mr), _ = jax.lax.scan(step, init, offsets)
+    return m1, mr
+
+
+@partial(
+    jax.jit, static_argnames=("seq_len", "shift", "chunk", "index_span", "cap")
+)
+def kmode_enum_scan(
+    q_oh, db_oh, n_windows, eff, hits, seq_len, shift, chunk, index_span, cap
+):
+    """Phase-2 program (single device): sorted key buffer [B, cap]."""
+    def region_scan(e, lo_k, hi_k):
+        return _region_pass(
+            q_oh, db_oh, n_windows, e, lo_k, hi_k,
+            seq_len, shift, chunk, index_span,
+        )
+
+    return kmode_enumerate(
+        region_scan, q_oh.shape[0], eff, hits, shift, seq_len, index_span, cap
+    )
+
+
 def unpack_key(key: np.ndarray, shift: int) -> tuple[np.ndarray, np.ndarray]:
     """Packed keys -> (distance, index); BIG/int32-max for empty rows."""
     big = key == np.int32(2**31 - 1)

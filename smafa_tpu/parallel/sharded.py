@@ -400,6 +400,143 @@ class ScanRunner:
             ties[r] = self._collect_row_host(q_codes[r], dist[r])
         return dist, ties
 
+    # -- sort-free K-mode (exact top-K with cutoff ties) -------------------
+
+    def _build_kstats(self, b: int, shift: int):
+        seq_len, chunk, shard_rows, span = (
+            self.seq_len, self.chunk, self.shard_rows, self.wp
+        )
+
+        if self.n_q == 1 and self.n_w == 1:
+            @jax.jit
+            def run_single(q_codes, db_oh, n_windows, k, maxdiv):
+                q_oh = D.expand_onehot(q_codes, seq_len)
+                return D.kmode_stats_scan(
+                    q_oh, db_oh, n_windows, k, maxdiv, seq_len, shift, chunk, span
+                )
+
+            return run_single
+
+        def shard_fn(q_oh, db_shard, n_windows, k, maxdiv):
+            off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
+            n_valid = jnp.clip(n_windows - off, 0, shard_rows)
+
+            def scan_stats(t):
+                t = jnp.broadcast_to(t, (q_oh.shape[0],))
+                cnt, mx = D._stats_pass(q_oh, db_shard, n_valid, t, seq_len, chunk)
+                return jax.lax.psum(cnt, "w"), jax.lax.pmax(mx, "w")
+
+            return D.kmode_phase1(scan_stats, k, maxdiv, n_windows, seq_len)
+
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(P("q", None), P("w", None), P(), P(), P()),
+            out_specs=(P("q"), P("q")),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run(q_codes, db_oh, n_windows, k, maxdiv):
+            q_oh = D.expand_onehot(q_codes, seq_len)
+            return mapped(q_oh, db_oh, n_windows, k, maxdiv)
+
+        return run
+
+    def _build_kenum(self, b: int, shift: int, cap: int):
+        seq_len, chunk, shard_rows, span = (
+            self.seq_len, self.chunk, self.shard_rows, self.wp
+        )
+
+        if self.n_q == 1 and self.n_w == 1:
+            @jax.jit
+            def run_single(q_codes, db_oh, n_windows, eff, hits):
+                q_oh = D.expand_onehot(q_codes, seq_len)
+                return D.kmode_enum_scan(
+                    q_oh, db_oh, n_windows, eff, hits,
+                    seq_len, shift, chunk, span, cap,
+                )
+
+            return run_single
+
+        def shard_fn(q_oh, db_shard, n_windows, eff, hits):
+            off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
+            n_valid = jnp.clip(n_windows - off, 0, shard_rows)
+
+            def region_scan(e, lo_k, hi_k):
+                m1, mr = D._region_pass(
+                    q_oh, db_shard, n_valid, e, lo_k, hi_k,
+                    seq_len, shift, chunk, span, index_offset=off,
+                )
+                # Local keys/rkeys carry global indices (off folded into
+                # gidx below), so elementwise pmin is the global merge.
+                return jax.lax.pmin(m1, "w"), jax.lax.pmin(mr, "w")
+
+            return D.kmode_enumerate(
+                region_scan, q_oh.shape[0], eff, hits, shift, seq_len, span, cap
+            )
+
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(P("q", None), P("w", None), P(), P("q"), P("q")),
+            out_specs=P("q", None),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run(q_codes, db_oh, n_windows, eff, hits):
+            q_oh = D.expand_onehot(q_codes, seq_len)
+            return mapped(q_oh, db_oh, n_windows, eff, hits)
+
+        return run
+
+    def kmode(self, q_codes: np.ndarray, k: int, max_divergence: int | None):
+        """Exact K-mode hit lists, sorted by (distance, subject index).
+
+        Returns (dists [B, cap], idxs [B, cap], hits [B]) — per row the
+        first hits[r] columns are exactly the reference's print set
+        (lib.rs:241-295 semantics before limit-per-sequence): every window
+        with distance <= min(Kth-smallest distance, max_divergence), ties
+        at the cutoff included. None when key packing overflows (callers
+        fall back to the top-M sort path).
+        """
+        shift = D.packing_shift(self.seq_len, max(self.wp, 2))
+        if shift is None:
+            return None
+        nq = q_codes.shape[0]
+        b = _bucket(nq, minimum=max(16, self.n_q))
+        b = ((b + self.n_q - 1) // self.n_q) * self.n_q
+        if q_codes.shape[0] < b:
+            q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
+        maxdiv = self.seq_len + 1 if max_divergence is None else max_divergence
+
+        skey = ("kstats", b, shift)
+        sfn = self._topm_cache.get(skey)
+        if sfn is None:
+            sfn = self._build_kstats(b, shift)
+            self._topm_cache[skey] = sfn
+        eff, hits = sfn(
+            q_codes, self.db_oh, self.n_windows_dev,
+            jnp.int32(k), jnp.int32(maxdiv),
+        )
+        hits_h = np.asarray(hits)[:nq]
+        max_hits = int(hits_h.max(initial=0))
+        if max_hits == 0:
+            return (
+                np.empty((nq, 0), np.int32), np.empty((nq, 0), np.int32), hits_h
+            )
+        cap = _bucket(min(max_hits, self.wp))
+
+        ekey = ("kenum", b, shift, cap)
+        efn = self._topm_cache.get(ekey)
+        if efn is None:
+            efn = self._build_kenum(b, shift, cap)
+            self._topm_cache[ekey] = efn
+        buf = np.asarray(efn(q_codes, self.db_oh, self.n_windows_dev, eff, hits))
+        dists, idxs = D.unpack_key(buf[:nq], shift)
+        return dists, idxs, hits_h
+
     def _collect_row_host(self, q_row: np.ndarray, dstar: int) -> list[int]:
         """Exhaustively enumerate one overflowing row's ties host-side."""
         found: list[int] = []
