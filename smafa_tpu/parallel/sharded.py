@@ -526,6 +526,12 @@ class ScanRunner:
             return (
                 np.empty((nq, 0), np.int32), np.empty((nq, 0), np.int32), hits_h
             )
+        if max_hits > 4096:
+            # Enumeration costs ~max_hits/2 scan passes; for huge output
+            # sets (K near W with loose divergence) the one-shot top-M
+            # sort-merge wins. Exactness is preserved by the caller's
+            # widening fallback.
+            return None
         cap = _bucket(min(max_hits, self.wp))
 
         ekey = ("kenum", b, shift, cap)
