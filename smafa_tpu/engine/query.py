@@ -19,14 +19,18 @@ lib.rs:198-325):
   with query_number counting records from 0 (lib.rs:231,292,310).
 
 TPU execution: the db lives on device as a one-hot int8 tensor. Best-hit
-mode runs the fused dual-packed-key scan plus iterative range-masked tie
-collection (parallel.sharded.collect_ties) — sort-free and exact over the
-ALL-ties-at-minimum rule. K-mode runs an exact chunked top-M scan
-(ops.distance.topm_scan), with M widened geometrically on the rare
-overflow (all M candidates qualified and more windows remain — exactness
-over the cutoff-tie rule requires it). When more than one device is
-visible the scans shard the db rows across a 'w' mesh axis and merge
-per-shard candidates (parallel.sharded).
+mode runs one on-device program: a fused dual-packed-key scan plus a
+while_loop of range-masked tie-collection passes
+(parallel.sharded.collect_ties) — sort-free and exact over the
+ALL-ties-at-minimum rule. K-mode is sort-free as well
+(parallel.sharded.kmode): an on-device binary search of the Kth-smallest
+distance via fused <=-count scans, then dual-ended enumeration of the
+hit set in packed-key order (which IS the reference's output order),
+cutoff ties included by construction. The chunked top-M sort-merge
+(ops.distance.topm_scan) remains only as the exactness fallback for
+degenerate cases. When more than one device is visible the scans shard
+the db rows across a 'w' mesh axis and merge with pmin/psum collectives
+(parallel.sharded).
 """
 
 from __future__ import annotations
@@ -38,13 +42,11 @@ import time
 from pathlib import Path
 from typing import TextIO
 
-import jax
 import numpy as np
 
 from smafa_tpu.core import alphabet
 from smafa_tpu.io.db import load_db
 from smafa_tpu.io.fastx import read_encoded_batches
-from smafa_tpu.ops import distance as D
 from smafa_tpu.utils.profiling import StageTimers, maybe_trace
 
 logger = logging.getLogger("smafa")
