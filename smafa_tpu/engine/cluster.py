@@ -55,9 +55,13 @@ def _bucket(n: int, minimum: int = 16) -> int:
 
 
 @partial(jax.jit, static_argnames=("seq_len", "chunk"))
-def _scan_centroids(q_codes, cent_oh, n_centroids, seq_len, chunk):
+def _scan_batch_fused(q_codes, cent_oh, n_centroids, seq_len, chunk):
+    """One program per batch: (min dist, argmin) vs centroids AND the
+    batch's self-distance matrix (for intra-batch promotion capture)."""
     q_oh = D.expand_onehot(q_codes, seq_len)
-    return D.min_scan(q_oh, cent_oh, n_centroids, seq_len, chunk)
+    d, i = D.min_scan(q_oh, cent_oh, n_centroids, seq_len, chunk)
+    self_d = D.pairwise_distances(q_oh, q_oh, seq_len)
+    return d, i, self_d
 
 
 @partial(jax.jit, static_argnames=("seq_len",))
@@ -79,7 +83,10 @@ class _CentroidStore:
         self.seq_len = seq_len
         self.ws = WindowSet(version=0)  # version unused, reference cluster.rs:22
         self.decoded: list[str] = []
-        self.cap = 1024
+        # Generous initial capacity: each doubling changes the device
+        # buffer shape and forces a recompile, which costs far more than
+        # the few MB of one-hot int8 it saves.
+        self.cap = 16384
         self.chunk = 1024
         lp = D.padded_feature_dim(seq_len)
         self.buf = jnp.zeros((self.cap, lp), dtype=jnp.int8)
@@ -104,15 +111,20 @@ class _CentroidStore:
         L = self.seq_len
         self.decoded.extend(flat[i * L : (i + 1) * L] for i in range(k))
 
-    def min_scan(self, q_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def scan_batch(self, q_codes: np.ndarray):
+        """(min dist, argmin vs centroids, self-distance matrix) per batch."""
         nq = q_codes.shape[0]
         b = _bucket(nq)
         if nq < b:
             q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
-        d, i = _scan_centroids(
-            q_codes, self.buf, jnp.int32(len(self.ws)), self.seq_len, min(self.chunk, self.cap)
+        d, i, self_d = _scan_batch_fused(
+            q_codes, self.buf, jnp.int32(len(self.ws)), self.seq_len,
+            min(self.chunk, self.cap),
         )
-        return np.asarray(d)[:nq], np.asarray(i)[:nq]
+        return (
+            np.asarray(d)[:nq], np.asarray(i)[:nq],
+            np.asarray(self_d)[:nq, :nq],
+        )
 
 
 def cluster(
@@ -170,10 +182,10 @@ def _process_batch(store, codes_u, raws_u, max_div, out):
     nb = codes_u.shape[0]
     n_old = len(store)
     if n_old:
-        old_d, old_i = store.min_scan(codes_u)
+        old_d, old_i, self_d = store.scan_batch(codes_u)
     else:
         old_d = old_i = None
-    self_d = np.asarray(_self_distances(codes_u, store.seq_len)) if nb > 1 else None
+        self_d = np.asarray(_self_distances(codes_u, store.seq_len)) if nb > 1 else None
 
     sentinel = max_div * 2 + 2  # reference cluster.rs:54-58
     promoted: list[tuple[int, int]] = []  # (batch_row, centroid_idx)
