@@ -38,6 +38,14 @@ def enable_compilation_cache() -> None:
     import jax
 
     try:
+        # CPU compiles are fast and the cached AOT artifacts are machine-
+        # feature-sensitive (cross-host loads warn about possible SIGILL);
+        # only accelerator compiles are worth persisting.
+        if jax.default_backend() == "cpu":
+            return
+    except RuntimeError:
+        pass
+    try:
         cache_dir = os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
             os.path.join(
