@@ -35,16 +35,19 @@ def enable_compilation_cache() -> None:
     """
     if os.environ.get("SMAFA_TPU_NO_COMPILE_CACHE", "") not in ("", "0"):
         return
+    # CPU compiles are fast and cached CPU AOT artifacts are machine-
+    # feature-sensitive (cross-host loads warn about possible SIGILL), so
+    # skip the cache when the user pinned a CPU platform — decided from
+    # env/config ONLY: querying the backend here would eagerly initialize
+    # the TPU runtime at CLI startup (even for the pure-host `count` op)
+    # and break the multihost rule that nothing touches XLA before
+    # jax.distributed.initialize. An explicit JAX_COMPILATION_CACHE_DIR
+    # overrides the skip.
+    plat = os.environ.get("SMAFA_TPU_PLATFORM") or os.environ.get("JAX_PLATFORMS") or ""
+    if "cpu" in plat.lower() and "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+        return
     import jax
 
-    try:
-        # CPU compiles are fast and the cached AOT artifacts are machine-
-        # feature-sensitive (cross-host loads warn about possible SIGILL);
-        # only accelerator compiles are worth persisting.
-        if jax.default_backend() == "cpu":
-            return
-    except RuntimeError:
-        pass
     try:
         cache_dir = os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
