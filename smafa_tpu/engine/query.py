@@ -35,6 +35,7 @@ the db rows across a 'w' mesh axis and merge with pmin/psum collectives
 
 from __future__ import annotations
 
+import io
 import json
 import logging
 import sys
@@ -95,11 +96,14 @@ def query(
     """Scan query_fasta against db_path, emitting reference-format TSV.
 
     ``resume_state``: optional JSON checkpoint path. After each emitted
-    batch the number of completed query records is recorded (atomic
-    rename); restarting with the same state file skips the already-done
-    prefix — the query-stream checkpointing the seconds-long reference
-    jobs never needed (SURVEY.md §5) but 10M-row runs do. The caller is
-    responsible for appending output (shell ``>>``) on resume.
+    batch, output is flushed and then the completed-query count plus the
+    output byte offset are recorded (atomic rename); restarting with the
+    same state file skips the already-done prefix — the query-stream
+    checkpointing the seconds-long reference jobs never needed
+    (SURVEY.md §5) but 10M-row runs do. With a seekable output (append a
+    file with ``>>``, or pass a file object) resume is exactly-once: a
+    torn final batch is truncated away before continuing. Non-seekable
+    outputs (a pipe) get at-least-once semantics.
     """
     out = out or sys.stdout
     logger.info("Decoding db file %s", db_path)
@@ -120,12 +124,12 @@ def query(
 
     logger.info("Querying ..")
     timers = StageTimers()
-    query_number = 0
     pending: tuple | None = None  # (qnum0, nq, codes, handle)
     if not Path(query_fasta).exists():
         # Reference panic text on open failure (lib.rs:221).
         raise QueryError(f"valid path/file of query fasta: {query_fasta}")
     state = _ResumeState(resume_state, query_fasta)
+    state.restore_output(out)
     query_number = state.done
     if state.done:
         logger.info("Resuming after %d completed queries", state.done)
@@ -145,58 +149,18 @@ def query(
                 # Dispatch batch k+1 before draining batch k: the device
                 # scans while the host parses/encodes and formats TSV.
                 with timers.stage("dispatch"):
-                    handle = _dispatch_batch(db, codes, k_mode)
+                    handle = _dispatch_batch(db, codes, k_mode, max_divergence)
                 timers.count("comparisons", len(ids) * db.n_windows)
                 current = (query_number, len(ids), codes, handle)
                 query_number += len(ids)
             else:
                 current = None
             if pending is not None:
-                qnum0, nq, p_codes, p_handle = pending
-                if k_mode is None and p_handle is not None:
-                    # Best-hit mode: dual-key scan + iterative range-masked
-                    # tie collection — no sort anywhere. Bulk TSV emit.
-                    with timers.stage("scan"):
-                        collected = db.runner.collect_ties(p_codes, handle=p_handle)
-                    if collected is not None:
-                        dist, ties = collected
-                        with timers.stage("emit"):
-                            _emit_best_hit_ties(
-                                out, qnum0, nq, dist, ties, db, max_divergence
-                            )
-                        state.mark_done(qnum0 + nq, out)
-                        pending = current
-                        if current is None:
-                            break
-                        continue
-                if k_mode is not None:
-                    # K-mode: on-device cutoff search (fused <=-count binary
-                    # search) + dual-ended key-order enumeration — exact
-                    # cutoff-tie semantics, no sort.
-                    with timers.stage("scan"):
-                        kres = db.runner.kmode(p_codes, k_mode, max_divergence)
-                    if kres is not None:
-                        kdists, kidxs, khits = kres
-                        with timers.stage("emit"):
-                            for row in range(nq):
-                                _emit_kmode_row(
-                                    out, qnum0 + row, kdists[row], kidxs[row],
-                                    int(khits[row]), db, limit_per_sequence,
-                                )
-                        state.mark_done(qnum0 + nq, out)
-                        pending = current
-                        if current is None:
-                            break
-                        continue
-                with timers.stage("scan"):
-                    results = _scan_batch(db, p_codes, k_mode, max_divergence)
-                with timers.stage("emit"):
-                    for row in range(nq):
-                        _emit_hits(
-                            out, qnum0 + row, results, row, db,
-                            k_mode, max_divergence, limit_per_sequence,
-                        )
-                state.mark_done(qnum0 + nq, out)
+                _drain_batch(
+                    out, db, pending, k_mode, max_divergence,
+                    limit_per_sequence, timers,
+                )
+                state.mark_done(pending[0] + pending[1], out)
             pending = current
             if current is None:
                 break
@@ -204,12 +168,80 @@ def query(
     logger.info("Querying complete, took %d seconds", int(time.time() - t0))
 
 
+def _drain_batch(out, db, pending, k_mode, max_divergence, limit_per_sequence, timers):
+    """Resolve one dispatched batch's device work and emit its hits."""
+    qnum0, nq, p_codes, p_handle = pending
+    if k_mode is None and p_handle is not None:
+        # Best-hit mode: dual-key scan + iterative range-masked tie
+        # collection — no sort anywhere. Bulk TSV emit.
+        with timers.stage("scan"):
+            collected = db.runner.collect_ties(p_codes, handle=p_handle)
+        if collected is not None:
+            dist, ties = collected
+            with timers.stage("emit"):
+                _emit_best_hit_ties(out, qnum0, nq, dist, ties, db, max_divergence)
+            return
+    if k_mode is not None:
+        # K-mode: on-device cutoff search (fused <=-count binary search,
+        # dispatched ahead as phase 1) + dual-ended key-order enumeration
+        # — exact cutoff-tie semantics, no sort.
+        with timers.stage("scan"):
+            kres = db.runner.kmode(
+                p_codes, k_mode, max_divergence, stats_handle=p_handle
+            )
+        if kres is not None:
+            kdists, kidxs, khits = kres
+            with timers.stage("emit"):
+                if limit_per_sequence is None:
+                    # Flatten all rows' (already filtered + sorted) hit
+                    # lists into one bulk native TSV call — no per-hit
+                    # Python, no per-subject decode memoization.
+                    counts = khits.astype(np.int64)
+                    total = int(counts.sum())
+                    if total:
+                        qnums = np.repeat(
+                            qnum0 + np.arange(nq, dtype=np.int64), counts
+                        )
+                        cols_mask = (
+                            np.arange(kdists.shape[1])[None, :] < counts[:, None]
+                        )
+                        _emit_bulk(
+                            out, qnums, kidxs[cols_mask], kdists[cols_mask], db
+                        )
+                else:
+                    for row in range(nq):
+                        _emit_kmode_row(
+                            out, qnum0 + row, kdists[row], kidxs[row],
+                            int(khits[row]), db, limit_per_sequence,
+                        )
+            return
+    with timers.stage("scan"):
+        results = _scan_batch(db, p_codes, k_mode, max_divergence)
+    with timers.stage("emit"):
+        for row in range(nq):
+            _emit_hits(
+                out, qnum0 + row, results, row, db,
+                k_mode, max_divergence, limit_per_sequence,
+            )
+
+
 class _ResumeState:
-    """JSON query-stream checkpoint: {"query_fasta", "done"}."""
+    """JSON query-stream checkpoint: {"query_fasta", "done", "out_pos"}.
+
+    Consistency contract: output is flushed BEFORE the state is renamed
+    into place (a flush failure propagates rather than silently recording
+    unwritten batches as done). A crash between flush and rename leaves
+    ``done`` pointing before the already-written batch; when the output
+    stream is seekable, ``restore_output`` truncates it back to the
+    recorded offset on resume, making restart exactly-once. Non-seekable
+    outputs (a pipe/stdout) get at-least-once semantics — the surviving
+    suffix of a torn batch repeats.
+    """
 
     def __init__(self, path: str | Path | None, query_fasta):
         self.path = Path(path) if path else None
         self.done = 0
+        self.out_pos: int | None = None
         if self.path is not None and self.path.exists():
             data = json.loads(self.path.read_text())
             if data.get("query_fasta") != str(query_fasta):
@@ -218,34 +250,49 @@ class _ResumeState:
                     f"{data.get('query_fasta')!r}, not {query_fasta!r}"
                 )
             self.done = int(data.get("done", 0))
+            self.out_pos = data.get("out_pos")
         self._query_fasta = str(query_fasta)
+
+    def restore_output(self, out) -> None:
+        if self.path is None or self.out_pos is None:
+            return
+        try:
+            end = out.seek(0, 2)
+            if end >= self.out_pos:
+                out.seek(self.out_pos)
+                out.truncate()
+            # else: the output was reset (e.g. shell '>' truncation) —
+            # seeking forward would punch a sparse hole; leave it alone.
+        except (AttributeError, OSError, io.UnsupportedOperation):
+            pass  # non-seekable stream: at-least-once
 
     def mark_done(self, done: int, out) -> None:
         self.done = done
         if self.path is None:
             return
-        # Flush emitted lines before recording them as done, then write
-        # the state atomically so a kill leaves a consistent pair.
+        out.flush()  # must succeed before the batch is recorded as done
+        pos = None
         try:
-            out.flush()
-        except (AttributeError, OSError):
+            pos = out.tell()
+        except (AttributeError, OSError, io.UnsupportedOperation):
             pass
         tmp = self.path.with_suffix(self.path.suffix + ".tmp")
-        tmp.write_text(json.dumps({"query_fasta": self._query_fasta, "done": done}))
+        tmp.write_text(json.dumps(
+            {"query_fasta": self._query_fasta, "done": done, "out_pos": pos}
+        ))
         tmp.replace(self.path)
 
 
-def _dispatch_batch(db: _DbOnDevice, codes: np.ndarray, k_mode):
+def _dispatch_batch(db: _DbOnDevice, codes: np.ndarray, k_mode, max_divergence):
     """Start device work for a batch without waiting for it.
 
-    Best-hit mode dispatches the on-device tie-collection program
-    asynchronously (one call resolves the whole batch). K-mode needs the
-    widening top-M loop, which must inspect intermediate results, so it
-    resolves later.
+    Best-hit mode dispatches the on-device tie-collection program; K-mode
+    dispatches its phase-1 cutoff search. Either way the device computes
+    while the host parses the next batch.
     """
     if k_mode is None:
         return db.runner.collect_ties_async(codes)
-    return None
+    return db.runner.kmode_stats_async(codes, k_mode, max_divergence)
 
 
 def _scan_batch(db: _DbOnDevice, codes: np.ndarray, k_mode, max_divergence):

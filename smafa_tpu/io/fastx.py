@@ -130,7 +130,9 @@ def read_encoded_batches(
         if parsed.n == 0:
             raise FastxError(f"Empty or invalid FASTX file: {path}")
         lengths = parsed.seq_lengths()
-        uniform = int(lengths.min(initial=0)) == int(lengths.max(initial=0))
+        # NB: min(initial=0) would include 0 in the reduction and defeat
+        # the uniformity check for every L>0 file; parsed.n >= 1 here.
+        uniform = int(lengths.min()) == int(lengths.max())
         if uniform and (expected_length is None or int(lengths[0]) == expected_length):
             L = int(lengths[0])
             codes = parsed.codes.reshape(parsed.n, L) if L else np.empty(

@@ -28,30 +28,18 @@ VMEM scratch across chunks; outputs are written at the last chunk step.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from smafa_tpu.ops.distance import packing_shift  # single packing rule  # noqa: F401
+
 BIG_KEY = 2**31 - 1  # plain int: jnp constants can't be captured by the kernel
 
 DEFAULT_TILE_B = 256
 DEFAULT_TILE_W = 2048
-
-
-def _ceil_log2(n: int) -> int:
-    return max(1, math.ceil(math.log2(max(2, n))))
-
-
-def packing_shift(seq_len: int, wp: int) -> int | None:
-    """Bit shift for (dist << shift) | index packing, or None if it overflows."""
-    bits_idx = _ceil_log2(wp)
-    bits_dist = _ceil_log2(seq_len + 2)
-    if bits_idx + bits_dist > 31:
-        return None
-    return bits_idx
 
 
 def _min_kernel(nw_ref, q_ref, db_ref, key_ref, cnt_ref, key_acc, cnt_acc, *,

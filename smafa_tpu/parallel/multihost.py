@@ -172,7 +172,4 @@ class MultiHostScanRunner:
         lo, hi = fn(q_codes, self.db_oh, self.n_windows_dev)
         lo = np.asarray(jax.device_get(lo))[:nq]
         hi = np.asarray(jax.device_get(hi))[:nq]
-        dist, idx = D.unpack_key(lo, self.shift)
-        _, idx_rev = D.unpack_key(hi, self.shift)
-        unique = (idx == (self.wp - 1 - idx_rev)) | (lo == np.int32(2**31 - 1))
-        return dist, idx, unique
+        return D.unpack_min2(lo, hi, self.shift, self.wp)

@@ -136,8 +136,4 @@ class ColumnShardedScanRunner:
             fn = self._build(b)
             self._cache[b] = fn
         lo, hi = fn(q_codes, self.db_oh, self.n_windows_dev)
-        lo, hi = np.asarray(lo)[:nq], np.asarray(hi)[:nq]
-        dist, idx = D.unpack_key(lo, self.shift)
-        _, idx_rev = D.unpack_key(hi, self.shift)
-        unique = (idx == (self.wp - 1 - idx_rev)) | (lo == np.int32(BIG_KEY))
-        return dist, idx, unique
+        return D.unpack_min2(np.asarray(lo)[:nq], np.asarray(hi)[:nq], self.shift, self.wp)

@@ -279,12 +279,7 @@ class ScanRunner:
     def min2_result(self, handle) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Fetch + unpack a min2_async handle."""
         lo, hi, nq, shift = handle
-        lo, hi = np.asarray(lo)[:nq], np.asarray(hi)[:nq]
-        dist, idx = D.unpack_key(lo, shift)
-        _, idx_rev = D.unpack_key(hi, shift)
-        unique = idx == (self.wp - 1 - idx_rev)
-        unique |= lo == np.int32(2**31 - 1)  # empty rows: nothing to rescan
-        return dist, idx, unique
+        return D.unpack_min2(np.asarray(lo)[:nq], np.asarray(hi)[:nq], shift, self.wp)
 
     def min2(self, q_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Per row: (min distance, first argmin, unique-min flag).
@@ -491,16 +486,9 @@ class ScanRunner:
 
         return run
 
-    def kmode(self, q_codes: np.ndarray, k: int, max_divergence: int | None):
-        """Exact K-mode hit lists, sorted by (distance, subject index).
-
-        Returns (dists [B, cap], idxs [B, cap], hits [B]) — per row the
-        first hits[r] columns are exactly the reference's print set
-        (lib.rs:241-295 semantics before limit-per-sequence): every window
-        with distance <= min(Kth-smallest distance, max_divergence), ties
-        at the cutoff included. None when key packing overflows (callers
-        fall back to the top-M sort path).
-        """
+    def kmode_stats_async(self, q_codes: np.ndarray, k: int,
+                          max_divergence: int | None):
+        """Dispatch K-mode phase 1 (cutoff search) without waiting."""
         shift = D.packing_shift(self.seq_len, max(self.wp, 2))
         if shift is None:
             return None
@@ -510,7 +498,6 @@ class ScanRunner:
         if q_codes.shape[0] < b:
             q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
         maxdiv = self.seq_len + 1 if max_divergence is None else max_divergence
-
         skey = ("kstats", b, shift)
         sfn = self._topm_cache.get(skey)
         if sfn is None:
@@ -520,6 +507,29 @@ class ScanRunner:
             q_codes, self.db_oh, self.n_windows_dev,
             jnp.int32(k), jnp.int32(maxdiv),
         )
+        return ("kstats", eff, hits, nq, shift, b)
+
+    def kmode(self, q_codes: np.ndarray, k: int, max_divergence: int | None,
+              stats_handle=None):
+        """Exact K-mode hit lists, sorted by (distance, subject index).
+
+        Returns (dists [B, cap], idxs [B, cap], hits [B]) — per row the
+        first hits[r] columns are exactly the reference's print set
+        (lib.rs:241-295 semantics before limit-per-sequence): every window
+        with distance <= min(Kth-smallest distance, max_divergence), ties
+        at the cutoff included. None when key packing overflows or the
+        hit set is degenerate (callers fall back to the top-M sort path).
+        ``stats_handle``: a pre-dispatched kmode_stats_async result.
+        """
+        if stats_handle is None or not (
+            isinstance(stats_handle, tuple) and stats_handle[0] == "kstats"
+        ):
+            stats_handle = self.kmode_stats_async(q_codes, k, max_divergence)
+        if stats_handle is None:
+            return None
+        _, eff, hits, nq, shift, b = stats_handle
+        if q_codes.shape[0] < b:
+            q_codes = np.pad(q_codes, [(0, b - q_codes.shape[0]), (0, 0)])
         hits_h = np.asarray(hits)[:nq]
         max_hits = int(hits_h.max(initial=0))
         if max_hits == 0:

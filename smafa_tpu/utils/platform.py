@@ -23,7 +23,6 @@ def apply_platform_env() -> None:
         except RuntimeError:
             # backends already initialized — too late to switch; leave as-is
             pass
-    enable_compilation_cache()
 
 
 def enable_compilation_cache() -> None:
@@ -35,19 +34,23 @@ def enable_compilation_cache() -> None:
     """
     if os.environ.get("SMAFA_TPU_NO_COMPILE_CACHE", "") not in ("", "0"):
         return
-    # CPU compiles are fast and cached CPU AOT artifacts are machine-
-    # feature-sensitive (cross-host loads warn about possible SIGILL), so
-    # skip the cache when the user pinned a CPU platform — decided from
-    # env/config ONLY: querying the backend here would eagerly initialize
-    # the TPU runtime at CLI startup (even for the pure-host `count` op)
-    # and break the multihost rule that nothing touches XLA before
-    # jax.distributed.initialize. An explicit JAX_COMPILATION_CACHE_DIR
-    # overrides the skip.
-    plat = os.environ.get("SMAFA_TPU_PLATFORM") or os.environ.get("JAX_PLATFORMS") or ""
-    if "cpu" in plat.lower() and "JAX_COMPILATION_CACHE_DIR" not in os.environ:
-        return
+    # Callers are the device runners and bench — places where the backend
+    # is initialized (or about to be) anyway, so querying it is free. The
+    # CLI entry deliberately does NOT call this (the pure-host `count` op
+    # must not initialize a TPU runtime, and multi-host programs must not
+    # touch XLA before jax.distributed.initialize). CPU compiles are fast
+    # and cached CPU AOT artifacts are machine-feature-sensitive
+    # (cross-host loads warn about possible SIGILL), so only accelerator
+    # compiles persist — unless an explicit JAX_COMPILATION_CACHE_DIR
+    # opts in.
     import jax
 
+    try:
+        if (jax.default_backend() == "cpu"
+                and "JAX_COMPILATION_CACHE_DIR" not in os.environ):
+            return
+    except RuntimeError:
+        return
     try:
         cache_dir = os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",

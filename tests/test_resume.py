@@ -49,6 +49,35 @@ def test_resume_continues_where_left_off(tmp_path):
     assert json.loads(state.read_text())["done"] == 23
 
 
+def test_resume_exactly_once_with_seekable_output(tmp_path):
+    # Crash between output flush and state rename leaves a torn batch in
+    # the file; resuming with a seekable output must truncate it away so
+    # the final file equals one straight run (no duplicate lines).
+    dbp, qf = _setup(tmp_path)
+    full_out = tmp_path / "full.tsv"
+    with open(full_out, "w") as f:
+        query(dbp, qf, out=f, batch_size=5)
+
+    state = tmp_path / "state.json"
+    part = tmp_path / "part.tsv"
+    with open(part, "w") as f:
+        query(dbp, qf, out=f, batch_size=5, resume_state=state)
+    # Simulate: state says 10 done, but the file also contains the start
+    # of batch 3 (a torn write past the recorded offset).
+    data = json.loads(state.read_text())
+    lines = part.read_text().splitlines(keepends=True)
+    keep = [l for l in lines if int(l.split("\t")[0]) < 10]
+    torn = keep + [l for l in lines if int(l.split("\t")[0]) in (10, 11)]
+    part.write_text("".join(torn))
+    state.write_text(json.dumps({
+        "query_fasta": str(qf), "done": 10,
+        "out_pos": len("".join(keep)),
+    }))
+    with open(part, "a") as f:
+        query(dbp, qf, out=f, batch_size=5, resume_state=state)
+    assert part.read_text() == full_out.read_text()
+
+
 def test_resume_rejects_different_query_file(tmp_path):
     dbp, qf = _setup(tmp_path)
     state = tmp_path / "state.json"
