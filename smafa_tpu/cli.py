@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
         prog="smafa",
         description="Read aligner for small pre-aligned sequences (TPU-native engine)",
     )
+    from smafa_tpu import __version__
+
+    # clap's command!() provides -V/--version (reference main.rs:65)
+    parser.add_argument("-V", "--version", action="version", version=__version__)
     _add_verbosity(parser)
     sub = parser.add_subparsers(dest="subcommand")
 
