@@ -29,8 +29,9 @@ NORTH_STAR = 1.0e9  # comparisons/sec/chip (BASELINE.json north_star)
 
 
 def main() -> None:
-    from smafa_tpu.utils.platform import enable_compilation_cache
+    from smafa_tpu.utils.platform import apply_platform_env, enable_compilation_cache
 
+    apply_platform_env()  # honor an explicit JAX_PLATFORMS=cpu (CI smoke)
     enable_compilation_cache()
     platform = jax.devices()[0].platform
     on_accel = platform not in ("cpu",)
@@ -47,20 +48,21 @@ def main() -> None:
     db_codes = rng.integers(0, N_CHANNELS, size=(n_windows, seq_len), dtype=np.uint8)
     q_codes = rng.integers(0, N_CHANNELS, size=(batch, seq_len), dtype=np.uint8)
 
-    db_oh = jax.jit(lambda c: D.expand_onehot(c, seq_len))(db_codes)
-    db_oh.block_until_ready()
     shift = D.packing_shift(seq_len, n_windows)
     nw = jnp.int32(n_windows)
     zero = jnp.int32(0)
 
-    lo_b = jnp.full((batch,), -1, jnp.int32)
-    hi_b = jnp.full((batch,), n_windows, jnp.int32)
-    scan = jax.jit(
-        lambda q, db: D.min2_scan(
+    db_oh = jax.jit(lambda c: D.expand_onehot(c, seq_len))(db_codes)
+    db_oh.block_until_ready()
+
+    @jax.jit
+    def scan(q, db):
+        lo_b = jnp.full((q.shape[0],), -1, jnp.int32)
+        hi_b = jnp.full((q.shape[0],), n_windows, jnp.int32)
+        return D.min2_scan(
             D.expand_onehot(q, seq_len), db, nw, zero, lo_b, hi_b,
             seq_len, shift, chunk, n_windows,
         )
-    )
 
     q_dev = jax.device_put(q_codes)
     for _ in range(warmup):

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 
 
@@ -87,6 +88,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume-state", default=None,
                    help="JSON checkpoint file enabling resumable query streaming "
                         "(restart skips already-emitted queries; append output with >>)")
+    p.add_argument("--coordinator", default=None,
+                   help="Multi-host: coordinator address host:port (run the same "
+                        "command on every host; process 0 emits)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="Multi-host: total number of processes")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="Multi-host: this process's id (0-based)")
     _add_verbosity(p, short_q=False)
 
     p = sub.add_parser("cluster", help="Cluster sequences by similarity")
@@ -123,6 +131,19 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     set_log_level(args.verbose, args.quiet)
 
+    # Multi-host bring-up must precede any XLA backend initialization.
+    out_stream = None
+    if getattr(args, "coordinator", None) or getattr(args, "num_processes", None):
+        from smafa_tpu.parallel import multihost
+
+        multihost.initialize(args.coordinator, args.num_processes, args.process_id)
+        if not multihost.is_emitter():
+            out_stream = open(os.devnull, "w")
+        if getattr(args, "resume_state", None):
+            print("--resume-state is not supported with multi-host runs",
+                  file=sys.stderr)
+            return 101
+
     from smafa_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
@@ -142,6 +163,7 @@ def main(argv: list[str] | None = None) -> int:
                 limit_per_sequence=args.limit_per_sequence,
                 batch_size=args.batch_size,
                 resume_state=args.resume_state,
+                out=out_stream,
             )
         elif args.subcommand == "cluster":
             from smafa_tpu.engine.cluster import cluster

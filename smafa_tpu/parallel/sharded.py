@@ -83,7 +83,11 @@ class ScanRunner:
         self.seq_len = max(1, seq_len)
         self.n_windows = int(codes.shape[0])
         if mesh is None:
-            if self.n_windows < _shard_threshold() and not _force_shard():
+            if jax.process_count() > 1:
+                # Multi-host is SPMD over the full global mesh; a
+                # single-device program would strand the other processes.
+                mesh = build_mesh()
+            elif self.n_windows < _shard_threshold() and not _force_shard():
                 mesh = build_mesh(1, 1)
             else:
                 mesh = build_mesh()
@@ -110,7 +114,21 @@ class ScanRunner:
         self.shard_rows = padded // self.n_w
 
         db_spec = NamedSharding(self.mesh, P("w", None))
-        codes_dev = jax.device_put(codes_p, db_spec)
+        if jax.process_count() > 1:
+            # Multi-host: this process contributes only the rows its local
+            # devices own (contiguous for the standard device order); the
+            # global array is assembled without any host seeing the full db.
+            flat = list(self.mesh.devices.reshape(-1))
+            local_ids = {d.id for d in jax.local_devices()}
+            rows_per_pos = padded // len(flat)
+            mine = [i for i, d in enumerate(flat) if d.id in local_ids]
+            lo = min(mine) * rows_per_pos
+            hi = (max(mine) + 1) * rows_per_pos
+            codes_dev = jax.make_array_from_process_local_data(
+                db_spec, np.ascontiguousarray(codes_p[lo:hi])
+            )
+        else:
+            codes_dev = jax.device_put(codes_p, db_spec)
         expand = jax.jit(
             partial(D.expand_onehot, seq_len=self.seq_len),
             out_shardings=db_spec,

@@ -50,6 +50,63 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
+def test_two_process_cli_query_golden(tmp_path):
+    """Full CLI `query` across 2 processes x 4 virtual devices: process 0's
+    stdout must be byte-identical to a single-process run."""
+    rng = np.random.default_rng(11)
+    W, B, L = 500, 23, 60
+    db = rng.integers(0, 5, size=(W, L)).astype(np.uint8)
+    db[50] = db[10]  # tie material
+    q = rng.integers(0, 5, size=(B, L)).astype(np.uint8)
+    q[:4] = db[10:14]
+
+    db_path = tmp_path / "db.smafatpu"
+    native_format.save(WindowSet.from_matrix(db, 2), db_path)
+    q_path = tmp_path / "q.fna"
+    q_path.write_text(
+        "".join(
+            ">r%d\n%s\n" % (i, "".join("ACGTN"[c] for c in row))
+            for i, row in enumerate(q)
+        )
+    )
+
+    env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = os.getcwd()
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    single = subprocess.run(
+        [sys.executable, "-m", "smafa_tpu", "query", "-d", str(db_path),
+         "-q", str(q_path)],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert single.returncode == 0, single.stderr[-2000:]
+
+    coord = f"localhost:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "smafa_tpu", "query", "-d", str(db_path),
+             "-q", str(q_path), "--coordinator", coord,
+             "--num-processes", "2", "--process-id", str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se[-2000:]
+    def _strip_gloo(s: str) -> str:
+        # The CPU Gloo collective backend prints banner lines to stdout;
+        # real TPU pods (ICI/DCN) do not.
+        return "".join(
+            l for l in s.splitlines(keepends=True) if not l.startswith("[Gloo]")
+        )
+
+    assert _strip_gloo(outs[0][0]) == single.stdout  # process 0 emits everything
+    assert _strip_gloo(outs[1][0]) == ""             # process 1 is silent
+
+
+@pytest.mark.slow
 def test_two_process_scan_matches_oracle(tmp_path):
     rng = np.random.default_rng(7)
     W, B, L = 1000, 37, 60
