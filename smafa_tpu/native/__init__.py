@@ -82,6 +82,23 @@ def load() -> ctypes.CDLL | None:
             u8p, c.c_int64, u8p, i64p, u8p, i64p, u8p, c.c_int32,
             i64p, i64p, i32p,
         ]
+        u64p = c.POINTER(c.c_uint64)
+        lib.postcard_encode_codes.restype = c.c_int64
+        lib.postcard_encode_codes.argtypes = [u8p, c.c_int64, c.c_int64, u8p]
+        lib.postcard_decode_codes.restype = c.c_int64
+        lib.postcard_decode_codes.argtypes = [
+            u8p, c.c_int64, c.c_int64, c.c_int64, u8p, i32p,
+        ]
+        lib.postcard_encode_windows.restype = c.c_int64
+        lib.postcard_encode_windows.argtypes = [u64p, c.c_int64, c.c_int64, u8p]
+        lib.postcard_decode_windows.restype = c.c_int64
+        lib.postcard_decode_windows.argtypes = [
+            u8p, c.c_int64, c.c_int64, c.c_int64, u64p,
+        ]
+        lib.unpack_words_codes.restype = c.c_int32
+        lib.unpack_words_codes.argtypes = [
+            u64p, c.c_int64, c.c_int64, c.c_int64, u8p, i32p,
+        ]
         lib.tsv_format_bound.restype = c.c_int64
         lib.tsv_format_bound.argtypes = [c.c_int64, c.c_int64]
         lib.tsv_format.restype = c.c_int64

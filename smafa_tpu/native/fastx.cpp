@@ -203,6 +203,175 @@ int32_t fastx_fill(const uint8_t* buf, int64_t n, uint8_t* ids,
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// Postcard varint codec for the window stream. The reference db body is a
+// flat run of n windows, each `varint(wps)` then wps LEB128-varint u64
+// words (reference lib.rs:160-162 serde of WindowSet under postcard
+// rules). Vectorized numpy decoding goes superlinear past ~1M rows
+// (temp-array thrash); this single-pass C++ codec runs at memory speed.
+
+extern "C" {
+
+// Encode n windows of wps words each; out must hold n*(10*wps+10) bytes.
+// Returns bytes written.
+int64_t postcard_encode_windows(const uint64_t* words, int64_t n,
+                                int64_t wps, uint8_t* out) {
+  uint8_t* p = out;
+  auto put_varint = [&p](uint64_t v) {
+    while (v >= 0x80) {
+      *p++ = (uint8_t)(v & 0x7F) | 0x80;
+      v >>= 7;
+    }
+    *p++ = (uint8_t)v;
+  };
+  for (int64_t i = 0; i < n; ++i) {
+    put_varint((uint64_t)wps);
+    for (int64_t j = 0; j < wps; ++j) put_varint(words[i * wps + j]);
+  }
+  return p - out;
+}
+
+// Encode straight from channel indices (0..4): packs 12 bases/u64 with
+// 5-bit one-hot codes (reference lib.rs:31-46) and varint-encodes, no
+// intermediate word matrix. out must hold n*(10*wps+10) bytes.
+int64_t postcard_encode_codes(const uint8_t* codes, int64_t n, int64_t L,
+                              uint8_t* out) {
+  const int64_t wps = (L + 11) / 12;
+  uint8_t* p = out;
+  auto put_varint = [&p](uint64_t v) {
+    while (v >= 0x80) {
+      *p++ = (uint8_t)(v & 0x7F) | 0x80;
+      v >>= 7;
+    }
+    *p++ = (uint8_t)v;
+  };
+  for (int64_t i = 0; i < n; ++i) {
+    put_varint((uint64_t)wps);
+    const uint8_t* row = codes + i * L;
+    for (int64_t w = 0; w < wps; ++w) {
+      uint64_t word = 0;
+      const int64_t base0 = w * 12;
+      const int64_t hi = (base0 + 12 < L) ? base0 + 12 : L;
+      for (int64_t b = base0; b < hi; ++b) {
+        // channel c -> 5-bit one-hot code 0b10000 >> c (lib.rs:171-180)
+        word |= (uint64_t)(0b10000u >> row[b]) << (5 * (b - base0));
+      }
+      put_varint(word);
+    }
+  }
+  return p - out;
+}
+
+// Decode straight to channel indices. Returns bytes consumed, -1 on
+// malformed stream / wps mismatch, -2 on an invalid 5-bit group (its
+// value is written to *bad_code, mirroring the reference decode panic,
+// lib.rs:126-129).
+int64_t postcard_decode_codes(const uint8_t* buf, int64_t len, int64_t n,
+                              int64_t L, uint8_t* codes_out,
+                              int32_t* bad_code) {
+  const int64_t wps = (L + 11) / 12;
+  uint8_t code_to_chan[32];
+  memset(code_to_chan, 0xFF, sizeof(code_to_chan));
+  for (int c = 0; c < 5; ++c) code_to_chan[0b10000u >> c] = (uint8_t)c;
+
+  const uint8_t* p = buf;
+  const uint8_t* end = buf + len;
+  auto get_varint = [&p, end](uint64_t* v) -> bool {
+    uint64_t acc = 0;
+    int shift = 0;
+    while (p < end) {
+      uint8_t b = *p++;
+      acc |= (uint64_t)(b & 0x7F) << shift;
+      if (!(b & 0x80)) {
+        *v = acc;
+        return true;
+      }
+      shift += 7;
+      if (shift > 63) return false;
+    }
+    return false;
+  };
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t w;
+    if (!get_varint(&w) || (int64_t)w != wps) return -1;
+    uint8_t* row = codes_out + i * L;
+    for (int64_t wi = 0; wi < wps; ++wi) {
+      uint64_t word;
+      if (!get_varint(&word)) return -1;
+      const int64_t base0 = wi * 12;
+      const int64_t hi = (base0 + 12 < L) ? base0 + 12 : L;
+      for (int64_t b = base0; b < hi; ++b) {
+        uint8_t g = (uint8_t)((word >> (5 * (b - base0))) & 31);
+        uint8_t chan = code_to_chan[g];
+        if (chan == 0xFF) {
+          *bad_code = g;
+          return -2;
+        }
+        row[b] = chan;
+      }
+    }
+  }
+  return p - buf;
+}
+
+// Packed u64 words -> channel indices (the trailing-length-aware unpack;
+// numpy's version materializes a [n, wps, 12] u64 temporary). Returns 0,
+// or -2 with *bad_code set on an invalid 5-bit group (reference decode
+// panic, lib.rs:126-129).
+int32_t unpack_words_codes(const uint64_t* words, int64_t n, int64_t wps,
+                           int64_t L, uint8_t* codes_out, int32_t* bad_code) {
+  uint8_t code_to_chan[32];
+  memset(code_to_chan, 0xFF, sizeof(code_to_chan));
+  for (int c = 0; c < 5; ++c) code_to_chan[0b10000u >> c] = (uint8_t)c;
+  for (int64_t i = 0; i < n; ++i) {
+    const uint64_t* row = words + i * wps;
+    uint8_t* out = codes_out + i * L;
+    for (int64_t b = 0; b < L; ++b) {
+      uint8_t g = (uint8_t)((row[b / 12] >> (5 * (b % 12))) & 31);
+      uint8_t chan = code_to_chan[g];
+      if (chan == 0xFF) {
+        *bad_code = g;
+        return -2;
+      }
+      out[b] = chan;
+    }
+  }
+  return 0;
+}
+
+// Decode n windows of wps words each from buf (starting at offset 0).
+// Returns bytes consumed, or -1 on malformed input / length mismatch.
+int64_t postcard_decode_windows(const uint8_t* buf, int64_t len, int64_t n,
+                                int64_t wps, uint64_t* words_out) {
+  const uint8_t* p = buf;
+  const uint8_t* end = buf + len;
+  auto get_varint = [&p, end](uint64_t* v) -> bool {
+    uint64_t acc = 0;
+    int shift = 0;
+    while (p < end) {
+      uint8_t b = *p++;
+      acc |= (uint64_t)(b & 0x7F) << shift;
+      if (!(b & 0x80)) {
+        *v = acc;
+        return true;
+      }
+      shift += 7;
+      if (shift > 63) return false;
+    }
+    return false;
+  };
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t w;
+    if (!get_varint(&w) || (int64_t)w != wps) return -1;
+    for (int64_t j = 0; j < wps; ++j) {
+      if (!get_varint(&words_out[i * wps + j])) return -1;
+    }
+  }
+  return p - buf;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // TSV hit formatter: the reference prints one line per hit
 // ("{qnum}\t{subject}\t{dist}\t{decoded}", lib.rs:292,310) from a hot
 // host-side loop. Bulk-format n hits into a caller-sized buffer.

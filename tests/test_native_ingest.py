@@ -95,6 +95,30 @@ def test_native_multiline_fasta_and_crlf(tmp_path, monkeypatch):
 
 
 @requires_native
+@pytest.mark.parametrize("L", [1, 3, 12, 13, 60, 61])
+def test_native_postcard_codec_differential(L, monkeypatch):
+    # Native C++ varint codec vs numpy fallback: byte-identical encode,
+    # identical decode, across partial-trailing-word lengths.
+    import smafa_tpu.native as native_mod
+    from smafa_tpu.core.windowset import WindowSet
+    from smafa_tpu.io import postcard
+
+    rng = np.random.default_rng(L)
+    codes = rng.integers(0, 5, size=(333, L), dtype=np.uint8)
+    ws = WindowSet.from_matrix(codes, 2)
+    blob_native = postcard.dumps(ws)
+    ws_native = postcard.loads(blob_native)
+
+    monkeypatch.setenv("SMAFA_TPU_NO_NATIVE", "1")
+    blob_py = postcard.dumps(ws)
+    ws_py = postcard.loads(blob_native)
+
+    assert blob_native == blob_py
+    assert np.array_equal(ws_native.codes, codes)
+    assert np.array_equal(ws_py.codes, codes)
+
+
+@requires_native
 def test_native_empty_and_garbage(tmp_path):
     empty = tmp_path / "empty.fna"
     empty.write_text("")
