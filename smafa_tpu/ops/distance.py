@@ -264,9 +264,17 @@ def collect_scan(
     return collect_loop(scan_bounds, q_oh.shape[0], index_span, shift, cap)
 
 
-def collect_loop(scan_bounds, b: int, index_span: int, shift: int, cap: int):
+def collect_loop(scan_bounds, b: int, index_span: int, shift: int, cap: int,
+                 cond_reduce=None):
     """The tie-enumeration while_loop, parameterized by the bounded dual-key
-    scan (single-device min2 or a shard_map pmin-merged variant)."""
+    scan (single-device min2 or a shard_map pmin-merged variant).
+
+    ``cond_reduce``: maps the local any-active bool to a globally agreed
+    value. REQUIRED when the loop body contains collectives spanning
+    devices that hold different query rows (e.g. the ring schedule's
+    ppermute): every participant must run the same number of iterations,
+    so the condition must be reduced across them (pmax). Devices whose
+    rows all finished keep iterating with empty ranges (no-ops)."""
     big_key = jnp.int32(2**31 - 1)
     mask = jnp.int32((1 << shift) - 1)
 
@@ -287,7 +295,8 @@ def collect_loop(scan_bounds, b: int, index_span: int, shift: int, cap: int):
     active = (~empty) & (i_hi > i_lo + 1)
 
     def cond(state):
-        return jnp.any(state[0])
+        local_any = jnp.any(state[0])
+        return cond_reduce(local_any) if cond_reduce is not None else local_any
 
     def body(state):
         active, ties, count, lo_b, hi_b = state

@@ -135,6 +135,95 @@ class RingScanRunner:
 
         return run
 
+    def _build_collect(self, b: int):
+        seq_len = self.seq_len
+        chunk = self.chunk
+        shard_rows = self.shard_rows
+        shift = self.shift
+        span = self.wp
+        n_d = self.n_d
+        fwd = [(j, (j + 1) % n_d) for j in range(n_d)]
+
+        def shard_fn(q_oh, db_shard, n_windows):
+            me = jax.lax.axis_index("d").astype(jnp.int32)
+            b_loc = q_oh.shape[0]
+
+            def scan_bounds(lo_b, hi_b):
+                # One FULL ring sweep (db returns to its home shard after
+                # n_d rotations), merging bounded dual keys along the way.
+                def body(i, carry):
+                    lo, hi, db_cur = carry
+                    owner = (me - i) % n_d
+                    off = owner * shard_rows
+                    n_valid = jnp.clip(n_windows - off, 0, shard_rows)
+                    l2, h2 = D.min2_scan(
+                        q_oh, db_cur, n_valid, off, lo_b, hi_b,
+                        seq_len, shift, chunk, span,
+                    )
+                    return (
+                        jnp.minimum(lo, l2), jnp.minimum(hi, h2),
+                        jax.lax.ppermute(db_cur, "d", fwd),
+                    )
+
+                init = (
+                    jnp.full((b_loc,), BIG_KEY, jnp.int32),
+                    jnp.full((b_loc,), BIG_KEY, jnp.int32),
+                    db_shard,
+                )
+                lo, hi, _ = jax.lax.fori_loop(0, n_d, body, init)
+                return lo, hi
+
+            def cond_reduce(local_any):
+                # The sweep's ppermute spans every ring device, so all of
+                # them must agree on the trip count.
+                return jax.lax.pmax(local_any.astype(jnp.int32), "d") > 0
+
+            return D.collect_loop(
+                scan_bounds, b_loc, span, shift, D.TIE_CAP,
+                cond_reduce=cond_reduce,
+            )
+
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(P("d", None), P("d", None), P()),
+            out_specs=(P("d"), P("d", None), P("d"), P("d")),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run(q_codes, db_oh, n_windows):
+            q_oh = D.expand_onehot(q_codes, seq_len)
+            return mapped(q_oh, db_oh, n_windows)
+
+        return run
+
+    def collect_ties(self, q_codes: np.ndarray):
+        """(min distance, ALL minimum-distance indices ascending) per row —
+        the ScanRunner.collect_ties contract on the ring layout. Each
+        enumeration pass is a full ring sweep (db shards rotate once
+        around); rows overflowing TIE_CAP raise (use ScanRunner for such
+        degenerate dbs)."""
+        nq = q_codes.shape[0]
+        b = max(self.n_d, 1 << math.ceil(math.log2(max(1, nq))))
+        b = ((b + self.n_d - 1) // self.n_d) * self.n_d
+        if nq < b:
+            q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
+        key = ("collect", b)
+        fn = self._cache.get(key)
+        if fn is None:
+            fn = self._build_collect(b)
+            self._cache[key] = fn
+        dist, tbuf, count, overflow = fn(q_codes, self.db_oh, self.n_windows_dev)
+        dist = np.asarray(dist)[:nq]
+        tbuf = np.asarray(tbuf)[:nq]
+        count = np.asarray(count)[:nq]
+        if bool(np.asarray(overflow)[:nq].any()):
+            raise ValueError(f"row exceeds {D.TIE_CAP} ties; use ScanRunner")
+        srt = np.sort(np.where(tbuf >= 0, tbuf, np.int32(2**31 - 1)), axis=1)
+        ties = [srt[r, : count[r]].tolist() for r in range(nq)]
+        return dist, ties
+
     def min2(self, q_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Per row: (min distance, first argmin, unique-min flag) — exact,
         identical contract to ScanRunner.min2."""

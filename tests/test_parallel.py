@@ -93,6 +93,23 @@ def test_collect_ties_matches_oracle(nq, nw, dup):
         assert ties[r] == expect, (r, ties[r], expect)
 
 
+@pytest.mark.parametrize("n", [1, 2, 8])
+@pytest.mark.parametrize("dup", [1, 5])
+def test_ring_collect_ties_matches_oracle(n, dup):
+    rng = np.random.default_rng(dup * 10 + n)
+    L, pool_n, B = 20, 40, 13
+    pool = rng.integers(0, 4, size=(pool_n, L)).astype(np.uint8)
+    db = np.repeat(pool, dup, axis=0)[rng.permutation(pool_n * dup)]
+    q = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+    q[:4] = pool[:4]
+    runner = ring.RingScanRunner(db, L, mesh=ring.build_ring_mesh(n), chunk=64)
+    d, ties = runner.collect_ties(q)
+    full = _oracle(db, q, L)
+    assert np.array_equal(d, full.min(axis=1))
+    for r in range(B):
+        assert ties[r] == np.nonzero(full[r] == full[r].min())[0].tolist()
+
+
 @pytest.mark.parametrize("n", [1, 4, 8])
 def test_column_sharded_min2_matches_oracle(n):
     # Long windows: the one-hot feature axis shards over 'c'; psum of
