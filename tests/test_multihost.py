@@ -96,10 +96,12 @@ def test_two_process_cli_query_golden(tmp_path):
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, se[-2000:]
     def _strip_gloo(s: str) -> str:
-        # The CPU Gloo collective backend prints banner lines to stdout;
-        # real TPU pods (ICI/DCN) do not.
+        # The CPU Gloo collective backend prints banner lines to stdout
+        # (sometimes without its "[Gloo]" prefix — e.g. "<rank> is
+        # connected to N peer ranks..."); real TPU pods (ICI/DCN) do not.
         return "".join(
-            l for l in s.splitlines(keepends=True) if not l.startswith("[Gloo]")
+            l for l in s.splitlines(keepends=True)
+            if not l.startswith("[Gloo]") and "peer ranks" not in l
         )
 
     assert _strip_gloo(outs[0][0]) == single.stdout  # process 0 emits everything
