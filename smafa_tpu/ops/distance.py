@@ -386,11 +386,14 @@ def kmode_phase1(scan_stats, k, maxdiv, n_windows, seq_len):
     return eff, hits
 
 
-def kmode_enumerate(region_scan, b, eff, hits, shift, seq_len, span, cap):
+def kmode_enumerate(region_scan, b, eff, hits, shift, seq_len, span, cap,
+                    cond_reduce=None):
     """Dual-ended key-order enumeration into a sorted [b, cap] buffer.
 
     region_scan(eff, lo_key, hi_key) -> (min key1, min rkey) over windows
     with dist <= eff[row] and lo_key[row] < key1 < hi_key[row].
+    ``cond_reduce``: see collect_loop — required when region_scan contains
+    collectives spanning devices with different query rows (ring).
     """
     big = jnp.int32(2**31 - 1)
     cols = jnp.arange(cap, dtype=jnp.int32)[None, :]
@@ -410,7 +413,8 @@ def kmode_enumerate(region_scan, b, eff, hits, shift, seq_len, span, cap):
     )
 
     def cond(s):
-        return jnp.any(s[5])
+        local_any = jnp.any(s[5])
+        return cond_reduce(local_any) if cond_reduce is not None else local_any
 
     def body(s):
         buf, front, back, cur_lo, cur_hi, active = s

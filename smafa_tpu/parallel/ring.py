@@ -224,6 +224,134 @@ class RingScanRunner:
         ties = [srt[r, : count[r]].tolist() for r in range(nq)]
         return dist, ties
 
+    def _build_kmode(self, b: int, cap: int | None):
+        """cap None -> phase-1 (cutoff stats) program; else phase-2."""
+        seq_len = self.seq_len
+        chunk = self.chunk
+        shard_rows = self.shard_rows
+        shift = self.shift
+        span = self.wp
+        n_d = self.n_d
+        fwd = [(j, (j + 1) % n_d) for j in range(n_d)]
+
+        def shard_fn(q_oh, db_shard, n_windows, *extra):
+            me = jax.lax.axis_index("d").astype(jnp.int32)
+            b_loc = q_oh.shape[0]
+
+            if cap is None:
+                k, maxdiv = extra
+
+                def scan_stats(t):
+                    t = jnp.broadcast_to(t, (b_loc,))
+
+                    def body(i, carry):
+                        cnt, mx, db_cur = carry
+                        owner = (me - i) % n_d
+                        off = owner * shard_rows
+                        n_valid = jnp.clip(n_windows - off, 0, shard_rows)
+                        c2, m2 = D._stats_pass(
+                            q_oh, db_cur, n_valid, t, seq_len, chunk
+                        )
+                        return (
+                            cnt + c2, jnp.maximum(mx, m2),
+                            jax.lax.ppermute(db_cur, "d", fwd),
+                        )
+
+                    init = (
+                        jnp.zeros((b_loc,), jnp.int32),
+                        jnp.full((b_loc,), -1, jnp.int32),
+                        db_shard,
+                    )
+                    cnt, mx, _ = jax.lax.fori_loop(0, n_d, body, init)
+                    return cnt, mx
+
+                return D.kmode_phase1(scan_stats, k, maxdiv, n_windows, seq_len)
+
+            eff, hits = extra
+
+            def region_scan(e, lo_k, hi_k):
+                def body(i, carry):
+                    m1, mr, db_cur = carry
+                    owner = (me - i) % n_d
+                    off = owner * shard_rows
+                    n_valid = jnp.clip(n_windows - off, 0, shard_rows)
+                    a, r = D._region_pass(
+                        q_oh, db_cur, n_valid, e, lo_k, hi_k,
+                        seq_len, shift, chunk, span, index_offset=off,
+                    )
+                    return (
+                        jnp.minimum(m1, a), jnp.minimum(mr, r),
+                        jax.lax.ppermute(db_cur, "d", fwd),
+                    )
+
+                big = jnp.int32(2**31 - 1)
+                init = (
+                    jnp.full((b_loc,), big, jnp.int32),
+                    jnp.full((b_loc,), big, jnp.int32),
+                    db_shard,
+                )
+                m1, mr, _ = jax.lax.fori_loop(0, n_d, body, init)
+                return m1, mr
+
+            def cond_reduce(local_any):
+                return jax.lax.pmax(local_any.astype(jnp.int32), "d") > 0
+
+            return D.kmode_enumerate(
+                region_scan, b_loc, eff, hits, shift, seq_len, span, cap,
+                cond_reduce=cond_reduce,
+            )
+
+        if cap is None:
+            in_specs = (P("d", None), P("d", None), P(), P(), P())
+            out_specs = (P("d"), P("d"))
+        else:
+            in_specs = (P("d", None), P("d", None), P(), P("d"), P("d"))
+            out_specs = P("d", None)
+        mapped = jax.shard_map(
+            shard_fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run(q_codes, db_oh, n_windows, *extra):
+            q_oh = D.expand_onehot(q_codes, seq_len)
+            return mapped(q_oh, db_oh, n_windows, *extra)
+
+        return run
+
+    def kmode(self, q_codes: np.ndarray, k: int, max_divergence: int | None):
+        """Exact K-mode hit lists on the ring layout — ScanRunner.kmode
+        contract: (dists [B, cap], idxs [B, cap], hits [B])."""
+        nq = q_codes.shape[0]
+        b = max(self.n_d, 1 << math.ceil(math.log2(max(1, nq))))
+        b = ((b + self.n_d - 1) // self.n_d) * self.n_d
+        if nq < b:
+            q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
+        maxdiv = self.seq_len + 1 if max_divergence is None else max_divergence
+
+        skey = ("kstats", b)
+        sfn = self._cache.get(skey)
+        if sfn is None:
+            sfn = self._build_kmode(b, None)
+            self._cache[skey] = sfn
+        eff, hits = sfn(
+            q_codes, self.db_oh, self.n_windows_dev,
+            jnp.int32(k), jnp.int32(maxdiv),
+        )
+        hits_h = np.asarray(hits)[:nq]
+        max_hits = int(hits_h.max(initial=0))
+        if max_hits == 0:
+            return np.empty((nq, 0), np.int32), np.empty((nq, 0), np.int32), hits_h
+        cap = max(16, 1 << math.ceil(math.log2(max_hits)))
+        ekey = ("kenum", b, cap)
+        efn = self._cache.get(ekey)
+        if efn is None:
+            efn = self._build_kmode(b, cap)
+            self._cache[ekey] = efn
+        buf = np.asarray(efn(q_codes, self.db_oh, self.n_windows_dev, eff, hits))
+        dists, idxs = D.unpack_key(buf[:nq], self.shift)
+        return dists, idxs, hits_h
+
     def min2(self, q_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Per row: (min distance, first argmin, unique-min flag) — exact,
         identical contract to ScanRunner.min2."""

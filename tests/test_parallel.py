@@ -110,6 +110,26 @@ def test_ring_collect_ties_matches_oracle(n, dup):
         assert ties[r] == np.nonzero(full[r] == full[r].min())[0].tolist()
 
 
+@pytest.mark.parametrize("n", [1, 2, 8])
+@pytest.mark.parametrize("k,maxdiv", [(5, None), (99, 8), (3, 0)])
+def test_ring_kmode_matches_oracle(n, k, maxdiv):
+    rng = np.random.default_rng(n * 7 + k)
+    W, B, L = 300, 11, 24
+    db = rng.integers(0, 3, size=(W, L)).astype(np.uint8)  # heavy ties
+    q = rng.integers(0, 3, size=(B, L)).astype(np.uint8)
+    runner = ring.RingScanRunner(db, L, mesh=ring.build_ring_mesh(n), chunk=64)
+    d, i, hits = runner.kmode(q, k, maxdiv)
+    full = _oracle(db, q, L)
+    for r in range(B):
+        srt = np.sort(full[r])
+        cutoff = full[r].max() if k > W else srt[min(k, W) - 1]
+        eff = cutoff if maxdiv is None else min(cutoff, maxdiv)
+        pairs = sorted((int(full[r, w]), w) for w in range(W) if full[r, w] <= eff)
+        assert hits[r] == len(pairs)
+        assert d[r, : hits[r]].tolist() == [p[0] for p in pairs]
+        assert i[r, : hits[r]].tolist() == [p[1] for p in pairs]
+
+
 @pytest.mark.parametrize("n", [1, 4, 8])
 def test_column_sharded_min2_matches_oracle(n):
     # Long windows: the one-hot feature axis shards over 'c'; psum of
