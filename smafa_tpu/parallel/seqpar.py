@@ -126,6 +126,89 @@ class ColumnShardedScanRunner:
 
         return run
 
+    def _build_collect(self, b: int):
+        seq_len, chunk, shift, span = self.seq_len, self.chunk, self.shift, self.wp
+        n_chunks = span // chunk
+
+        def shard_fn(q_oh, db_sh, n_windows):
+            b_loc = q_oh.shape[0]
+
+            def scan_bounds(lo_b, hi_b):
+                def step(carry, off):
+                    lo_c, hi_c = carry
+                    block = jax.lax.dynamic_slice_in_dim(db_sh, off, chunk, axis=0)
+                    part = jax.lax.dot_general(
+                        q_oh, block,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    dist = seq_len - jax.lax.psum(part, "c")
+                    lidx = off + jnp.arange(chunk, dtype=jnp.int32)
+                    valid = (
+                        (lidx < n_windows)[None, :]
+                        & (lidx[None, :] > lo_b[:, None])
+                        & (lidx[None, :] < hi_b[:, None])
+                    )
+                    shifted = dist << shift
+                    key_lo = jnp.where(valid, shifted | lidx[None, :], BIG_KEY)
+                    key_hi = jnp.where(
+                        valid, shifted | (span - 1 - lidx)[None, :], BIG_KEY
+                    )
+                    return (
+                        jnp.minimum(lo_c, jnp.min(key_lo, axis=1)),
+                        jnp.minimum(hi_c, jnp.min(key_hi, axis=1)),
+                    ), None
+
+                init = (
+                    jnp.full((b_loc,), BIG_KEY, jnp.int32),
+                    jnp.full((b_loc,), BIG_KEY, jnp.int32),
+                )
+                offs = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+                (lo, hi), _ = jax.lax.scan(step, init, offs)
+                return lo, hi
+
+            # All 'c' devices hold every query row and see identical
+            # psum-merged values, so the loop condition is naturally
+            # agreed — no cond_reduce needed.
+            return D.collect_loop(scan_bounds, b_loc, span, shift, D.TIE_CAP)
+
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(P(None, "c"), P(None, "c"), P()),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run(q_codes, db_oh, n_windows):
+            q_oh = self._expand_q(q_codes)
+            return mapped(q_oh, db_oh, n_windows)
+
+        return run
+
+    def collect_ties(self, q_codes: np.ndarray):
+        """(min distance, ALL minimum-distance indices ascending) per row —
+        ScanRunner.collect_ties contract on the column-sharded layout.
+        Rows overflowing TIE_CAP raise (use ScanRunner)."""
+        nq = q_codes.shape[0]
+        b = max(8, 1 << math.ceil(math.log2(max(1, nq))))
+        if nq < b:
+            q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
+        key = ("collect", b)
+        fn = self._cache.get(key)
+        if fn is None:
+            fn = self._build_collect(b)
+            self._cache[key] = fn
+        dist, tbuf, count, overflow = fn(q_codes, self.db_oh, self.n_windows_dev)
+        dist = np.asarray(dist)[:nq]
+        tbuf = np.asarray(tbuf)[:nq]
+        count = np.asarray(count)[:nq]
+        if bool(np.asarray(overflow)[:nq].any()):
+            raise ValueError(f"row exceeds {D.TIE_CAP} ties; use ScanRunner")
+        srt = np.sort(np.where(tbuf >= 0, tbuf, np.int32(2**31 - 1)), axis=1)
+        return dist, [srt[r, : count[r]].tolist() for r in range(nq)]
+
     def min2(self, q_codes: np.ndarray):
         nq = q_codes.shape[0]
         b = max(8, 1 << math.ceil(math.log2(max(1, nq))))

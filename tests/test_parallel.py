@@ -148,6 +148,26 @@ def test_column_sharded_min2_matches_oracle(n):
     assert np.array_equal(u, ties == 1)
 
 
+@pytest.mark.parametrize("n", [1, 8])
+def test_column_sharded_collect_ties_matches_oracle(n):
+    from smafa_tpu.parallel import seqpar
+
+    rng = np.random.default_rng(n)
+    W, B, L = 120, 9, 300
+    pool = rng.integers(0, 4, size=(40, L)).astype(np.uint8)
+    db = np.repeat(pool, 3, axis=0)[rng.permutation(120)]
+    q = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+    q[:3] = pool[:3]
+    runner = seqpar.ColumnShardedScanRunner(
+        db, L, mesh=seqpar.build_col_mesh(n), chunk=64
+    )
+    d, ties = runner.collect_ties(q)
+    full = _oracle(db, q, L)
+    assert np.array_equal(d, full.min(axis=1))
+    for r in range(B):
+        assert ties[r] == np.nonzero(full[r] == full[r].min())[0].tolist()
+
+
 def test_short_sequences_and_tiny_db():
     # L=3, W=2 (the tests/data scale) through the sharded machinery
     db, q, L = _problem(seed=3, W=2, B=5, L=3)
