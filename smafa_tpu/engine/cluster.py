@@ -64,6 +64,50 @@ def _scan_batch_fused(q_codes, cent_oh, n_centroids, seq_len, chunk):
     return d, i, self_d
 
 
+def _build_sharded_scan(mesh, seq_len: int, chunk: int, shard_rows: int, span: int):
+    """Centroid scan over a ('q','w') mesh: centroid rows sharded over 'w',
+    packed keys pmin-merged — the cluster op's tensor-parallel axis
+    (centroid tensor distances merged via collectives). Queries stay
+    replicated; the batch self-distance matmul is computed redundantly on
+    each device (it is tiny relative to the centroid scan)."""
+    from jax.sharding import PartitionSpec as P
+
+    shift = D.packing_shift(seq_len, span)
+
+    def shard_fn(q_oh, cent_shard, n_centroids):
+        off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
+        n_valid = jnp.clip(n_centroids - off, 0, shard_rows)
+        b_loc = q_oh.shape[0]
+        lo, _ = D.min2_scan(
+            q_oh, cent_shard, n_valid, off,
+            jnp.full((b_loc,), -1, jnp.int32),
+            jnp.full((b_loc,), span, jnp.int32),
+            seq_len, shift, chunk, span,
+        )
+        lo = jax.lax.pmin(lo, "w")
+        big = jnp.int32(2**31 - 1)
+        d = jnp.where(lo == big, jnp.int32(2**30), lo >> shift)
+        i = jnp.where(lo == big, big, lo & ((1 << shift) - 1))
+        return d, i
+
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P("w", None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(q_codes, cent_oh, n_centroids):
+        q_oh = D.expand_onehot(q_codes, seq_len)
+        d, i = mapped(q_oh, cent_oh, n_centroids)
+        self_d = D.pairwise_distances(q_oh, q_oh, seq_len)
+        return d, i, self_d
+
+    return run
+
+
 @partial(jax.jit, static_argnames=("seq_len",))
 def _self_distances(q_codes, seq_len):
     q_oh = D.expand_onehot(q_codes, seq_len)
@@ -80,6 +124,8 @@ class _CentroidStore:
     """Host WindowSet mirror + growable device one-hot buffer."""
 
     def __init__(self, seq_len: int):
+        from smafa_tpu.parallel import sharded
+
         self.seq_len = seq_len
         self.ws = WindowSet(version=0)  # version unused, reference cluster.rs:22
         self.decoded: list[str] = []
@@ -88,8 +134,28 @@ class _CentroidStore:
         # the few MB of one-hot int8 it saves.
         self.cap = 16384
         self.chunk = 1024
+        # Shard the centroid tensor over the 'w' mesh axis when more than
+        # one device is visible (or tests force it): the packed-key scan
+        # merges with a pmin collective, exactly like the query db.
+        self.mesh = None
+        if sharded._force_shard() or jax.process_count() > 1:
+            self.mesh = sharded.build_mesh()
+            if self.mesh.devices.size == 1:
+                self.mesh = None
+        self._scan_cache: dict[tuple, callable] = {}
         lp = D.padded_feature_dim(seq_len)
-        self.buf = jnp.zeros((self.cap, lp), dtype=jnp.int8)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_w = self.mesh.devices.shape[1]
+            self.cap = max(self.cap, self.chunk * n_w)
+            self._buf_sharding = NamedSharding(self.mesh, P("w", None))
+            self.buf = jax.device_put(
+                np.zeros((self.cap, lp), dtype=np.int8), self._buf_sharding
+            )
+        else:
+            self._buf_sharding = None
+            self.buf = jnp.zeros((self.cap, lp), dtype=jnp.int8)
 
     def __len__(self) -> int:
         return len(self.ws)
@@ -103,7 +169,11 @@ class _CentroidStore:
             all_codes = np.zeros((self.cap, self.seq_len), dtype=np.uint8)
             all_codes[:n0] = self.ws.codes
             all_codes[n0 : n0 + k] = codes_rows
-            self.buf = jax.jit(partial(D.expand_onehot, seq_len=self.seq_len))(all_codes)
+            expand = jax.jit(
+                partial(D.expand_onehot, seq_len=self.seq_len),
+                out_shardings=self._buf_sharding,
+            )
+            self.buf = expand(all_codes)
         else:
             self.buf = _append_rows(self.buf, codes_rows, n0, self.seq_len)
         self.ws.push_batch(codes_rows)
@@ -117,10 +187,22 @@ class _CentroidStore:
         b = _bucket(nq)
         if nq < b:
             q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
-        d, i, self_d = _scan_batch_fused(
-            q_codes, self.buf, jnp.int32(len(self.ws)), self.seq_len,
-            min(self.chunk, self.cap),
-        )
+        if self.mesh is not None:
+            n_w = self.mesh.devices.shape[1]
+            key = (b, self.cap)
+            fn = self._scan_cache.get(key)
+            if fn is None:
+                fn = _build_sharded_scan(
+                    self.mesh, self.seq_len, min(self.chunk, self.cap // n_w),
+                    self.cap // n_w, self.cap,
+                )
+                self._scan_cache[key] = fn
+            d, i, self_d = fn(q_codes, self.buf, jnp.int32(len(self.ws)))
+        else:
+            d, i, self_d = _scan_batch_fused(
+                q_codes, self.buf, jnp.int32(len(self.ws)), self.seq_len,
+                min(self.chunk, self.cap),
+            )
         return (
             np.asarray(d)[:nq], np.asarray(i)[:nq],
             np.asarray(self_d)[:nq, :nq],
