@@ -131,7 +131,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     set_log_level(args.verbose, args.quiet)
 
-    # Multi-host bring-up must precede any XLA backend initialization.
+    # Platform re-assertion first (config only, no backend init), THEN
+    # multi-host bring-up (which does initialize the backend), then ops.
+    from smafa_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     out_stream = None
     if getattr(args, "coordinator", None) or getattr(args, "num_processes", None):
         from smafa_tpu.parallel import multihost
@@ -143,10 +147,6 @@ def main(argv: list[str] | None = None) -> int:
             print("--resume-state is not supported with multi-host runs",
                   file=sys.stderr)
             return 101
-
-    from smafa_tpu.utils.platform import apply_platform_env
-
-    apply_platform_env()
 
     try:
         if args.subcommand == "makedb":

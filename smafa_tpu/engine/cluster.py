@@ -134,9 +134,12 @@ class _CentroidStore:
         # the few MB of one-hot int8 it saves.
         self.cap = 16384
         self.chunk = 1024
-        # Shard the centroid tensor over the 'w' mesh axis when more than
-        # one device is visible (or tests force it): the packed-key scan
-        # merges with a pmin collective, exactly like the query db.
+        # Shard the centroid tensor over the 'w' mesh axis in multi-host
+        # runs, or when tests force sharding; single-process runs keep
+        # the simpler single-device program (centroid scans are small —
+        # the host-side sequential assignment pass dominates — so the
+        # collective path is for multi-host and validation). The packed-
+        # key scan merges with a pmin collective, like the query db scan.
         self.mesh = None
         if sharded._force_shard() or jax.process_count() > 1:
             self.mesh = sharded.build_mesh()
@@ -148,12 +151,16 @@ class _CentroidStore:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             n_w = self.mesh.devices.shape[1]
-            self.cap = max(self.cap, self.chunk * n_w)
+            # Capacity must split evenly into chunk-sized scan steps per
+            # shard (stride = chunk * n_w), for any device count.
+            self._stride = self.chunk * n_w
+            self.cap = ((self.cap + self._stride - 1) // self._stride) * self._stride
             self._buf_sharding = NamedSharding(self.mesh, P("w", None))
             self.buf = jax.device_put(
                 np.zeros((self.cap, lp), dtype=np.int8), self._buf_sharding
             )
         else:
+            self._stride = 1
             self._buf_sharding = None
             self.buf = jnp.zeros((self.cap, lp), dtype=jnp.int8)
 
@@ -166,6 +173,7 @@ class _CentroidStore:
         if n0 + k > self.cap:
             while self.cap < n0 + k:
                 self.cap *= 2
+            self.cap = ((self.cap + self._stride - 1) // self._stride) * self._stride
             all_codes = np.zeros((self.cap, self.seq_len), dtype=np.uint8)
             all_codes[:n0] = self.ws.codes
             all_codes[n0 : n0 + k] = codes_rows

@@ -83,6 +83,7 @@ def load(path: str | Path, rows: tuple[int, int] | None = None) -> WindowSet:
     offset = ((len(MAGIC) + 1 + 4 + hlen + _ALIGN - 1) // _ALIGN) * _ALIGN
     mm = np.memmap(path, dtype=np.uint8, mode="r", offset=offset, shape=(n, length))
     first, last = rows if rows is not None else (0, n)
-    codes = np.asarray(mm[first:last])
-    ws = WindowSet.from_matrix(codes, header["db_version"])
-    return ws
+    # Keep the memmap (no copy): pages are only read when rows are
+    # actually touched, so a multi-host process that slices its shard
+    # never faults in the rest of the db.
+    return WindowSet.from_matrix(mm[first:last], header["db_version"])

@@ -85,10 +85,6 @@ def load() -> ctypes.CDLL | None:
         u64p = c.POINTER(c.c_uint64)
         lib.postcard_encode_codes.restype = c.c_int64
         lib.postcard_encode_codes.argtypes = [u8p, c.c_int64, c.c_int64, u8p]
-        lib.postcard_decode_codes.restype = c.c_int64
-        lib.postcard_decode_codes.argtypes = [
-            u8p, c.c_int64, c.c_int64, c.c_int64, u8p, i32p,
-        ]
         lib.postcard_encode_windows.restype = c.c_int64
         lib.postcard_encode_windows.argtypes = [u64p, c.c_int64, c.c_int64, u8p]
         lib.postcard_decode_windows.restype = c.c_int64

@@ -261,58 +261,6 @@ int64_t postcard_encode_codes(const uint8_t* codes, int64_t n, int64_t L,
   return p - out;
 }
 
-// Decode straight to channel indices. Returns bytes consumed, -1 on
-// malformed stream / wps mismatch, -2 on an invalid 5-bit group (its
-// value is written to *bad_code, mirroring the reference decode panic,
-// lib.rs:126-129).
-int64_t postcard_decode_codes(const uint8_t* buf, int64_t len, int64_t n,
-                              int64_t L, uint8_t* codes_out,
-                              int32_t* bad_code) {
-  const int64_t wps = (L + 11) / 12;
-  uint8_t code_to_chan[32];
-  memset(code_to_chan, 0xFF, sizeof(code_to_chan));
-  for (int c = 0; c < 5; ++c) code_to_chan[0b10000u >> c] = (uint8_t)c;
-
-  const uint8_t* p = buf;
-  const uint8_t* end = buf + len;
-  auto get_varint = [&p, end](uint64_t* v) -> bool {
-    uint64_t acc = 0;
-    int shift = 0;
-    while (p < end) {
-      uint8_t b = *p++;
-      acc |= (uint64_t)(b & 0x7F) << shift;
-      if (!(b & 0x80)) {
-        *v = acc;
-        return true;
-      }
-      shift += 7;
-      if (shift > 63) return false;
-    }
-    return false;
-  };
-  for (int64_t i = 0; i < n; ++i) {
-    uint64_t w;
-    if (!get_varint(&w) || (int64_t)w != wps) return -1;
-    uint8_t* row = codes_out + i * L;
-    for (int64_t wi = 0; wi < wps; ++wi) {
-      uint64_t word;
-      if (!get_varint(&word)) return -1;
-      const int64_t base0 = wi * 12;
-      const int64_t hi = (base0 + 12 < L) ? base0 + 12 : L;
-      for (int64_t b = base0; b < hi; ++b) {
-        uint8_t g = (uint8_t)((word >> (5 * (b - base0))) & 31);
-        uint8_t chan = code_to_chan[g];
-        if (chan == 0xFF) {
-          *bad_code = g;
-          return -2;
-        }
-        row[b] = chan;
-      }
-    }
-  }
-  return p - buf;
-}
-
 // Packed u64 words -> channel indices (the trailing-length-aware unpack;
 // numpy's version materializes a [n, wps, 12] u64 temporary). Returns 0,
 // or -2 with *bad_code set on an invalid 5-bit group (reference decode
@@ -339,7 +287,9 @@ int32_t unpack_words_codes(const uint64_t* words, int64_t n, int64_t wps,
 }
 
 // Decode n windows of wps words each from buf (starting at offset 0).
-// Returns bytes consumed, or -1 on malformed input / length mismatch.
+// Returns bytes consumed; -1 on a per-window word-count mismatch; -3 on
+// a truncated stream (distinct so callers keep the reference's
+// end-of-buffer error text).
 int64_t postcard_decode_windows(const uint8_t* buf, int64_t len, int64_t n,
                                 int64_t wps, uint64_t* words_out) {
   const uint8_t* p = buf;
@@ -361,9 +311,10 @@ int64_t postcard_decode_windows(const uint8_t* buf, int64_t len, int64_t n,
   };
   for (int64_t i = 0; i < n; ++i) {
     uint64_t w;
-    if (!get_varint(&w) || (int64_t)w != wps) return -1;
+    if (!get_varint(&w)) return -3;
+    if ((int64_t)w != wps) return -1;
     for (int64_t j = 0; j < wps; ++j) {
-      if (!get_varint(&words_out[i * wps + j])) return -1;
+      if (!get_varint(&words_out[i * wps + j])) return -3;
     }
   }
   return p - buf;

@@ -160,10 +160,12 @@ class RingScanRunner:
                         q_oh, db_cur, n_valid, off, lo_b, hi_b,
                         seq_len, shift, chunk, span,
                     )
-                    return (
-                        jnp.minimum(lo, l2), jnp.minimum(hi, h2),
-                        jax.lax.ppermute(db_cur, "d", fwd),
+                    db_nxt = jax.lax.cond(
+                        i < n_d - 1,  # final rotation's result is discarded
+                        lambda x: jax.lax.ppermute(x, "d", fwd),
+                        lambda x: x, db_cur,
                     )
+                    return jnp.minimum(lo, l2), jnp.minimum(hi, h2), db_nxt
 
                 init = (
                     jnp.full((b_loc,), BIG_KEY, jnp.int32),
@@ -252,10 +254,12 @@ class RingScanRunner:
                         c2, m2 = D._stats_pass(
                             q_oh, db_cur, n_valid, t, seq_len, chunk
                         )
-                        return (
-                            cnt + c2, jnp.maximum(mx, m2),
-                            jax.lax.ppermute(db_cur, "d", fwd),
+                        db_nxt = jax.lax.cond(
+                            i < n_d - 1,
+                            lambda x: jax.lax.ppermute(x, "d", fwd),
+                            lambda x: x, db_cur,
                         )
+                        return cnt + c2, jnp.maximum(mx, m2), db_nxt
 
                     init = (
                         jnp.zeros((b_loc,), jnp.int32),
@@ -279,10 +283,12 @@ class RingScanRunner:
                         q_oh, db_cur, n_valid, e, lo_k, hi_k,
                         seq_len, shift, chunk, span, index_offset=off,
                     )
-                    return (
-                        jnp.minimum(m1, a), jnp.minimum(mr, r),
-                        jax.lax.ppermute(db_cur, "d", fwd),
+                    db_nxt = jax.lax.cond(
+                        i < n_d - 1,
+                        lambda x: jax.lax.ppermute(x, "d", fwd),
+                        lambda x: x, db_cur,
                     )
+                    return jnp.minimum(m1, a), jnp.minimum(mr, r), db_nxt
 
                 big = jnp.int32(2**31 - 1)
                 init = (
@@ -342,6 +348,12 @@ class RingScanRunner:
         max_hits = int(hits_h.max(initial=0))
         if max_hits == 0:
             return np.empty((nq, 0), np.int32), np.empty((nq, 0), np.int32), hits_h
+        if max_hits > 4096:
+            raise ValueError(
+                f"{max_hits} hits in one row: enumeration would need "
+                "~hits/2 ring sweeps; use ScanRunner (top-M fallback) for "
+                "such degenerate hit sets"
+            )
         cap = max(16, 1 << math.ceil(math.log2(max_hits)))
         ekey = ("kenum", b, cap)
         efn = self._cache.get(ekey)

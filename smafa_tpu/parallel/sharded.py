@@ -94,6 +94,15 @@ class ScanRunner:
         self.mesh = mesh
         self.n_q = self.mesh.devices.shape[0]
         self.n_w = self.mesh.devices.shape[1]
+        if jax.process_count() > 1 and self.n_q != 1:
+            # q-sharded outputs would span processes (not fetchable on any
+            # single host); multi-host batches are replicated instead and
+            # the db shards over every device.
+            raise ValueError(
+                "multi-host runs require a (1, n_devices) mesh: the query "
+                "batch is replicated and the db shards over 'w' "
+                f"(got SMAFA_TPU_MESH={self.n_q},{self.n_w})"
+            )
         # chunk: db rows per scan step; large enough to keep the MXU busy,
         # small enough that the per-chunk [B, chunk] block stays in VMEM.
         self.chunk = chunk or min(2048, _bucket(max(1, self.n_windows), 128))
@@ -115,17 +124,23 @@ class ScanRunner:
 
         db_spec = NamedSharding(self.mesh, P("w", None))
         if jax.process_count() > 1:
-            # Multi-host: this process contributes only the rows its local
-            # devices own (contiguous for the standard device order); the
-            # global array is assembled without any host seeing the full db.
-            flat = list(self.mesh.devices.reshape(-1))
+            # Multi-host: each addressable device gets exactly its own
+            # w-shard (replicated over 'q'), assembled per-device so any
+            # mesh shape works; this host touches only the row ranges its
+            # devices own (zero-copy when codes is a memmap).
             local_ids = {d.id for d in jax.local_devices()}
-            rows_per_pos = padded // len(flat)
-            mine = [i for i, d in enumerate(flat) if d.id in local_ids]
-            lo = min(mine) * rows_per_pos
-            hi = (max(mine) + 1) * rows_per_pos
-            codes_dev = jax.make_array_from_process_local_data(
-                db_spec, np.ascontiguousarray(codes_p[lo:hi])
+            pieces = []
+            for qi in range(self.n_q):
+                for wi in range(self.n_w):
+                    dev = self.mesh.devices[qi, wi]
+                    if dev.id not in local_ids:
+                        continue
+                    shard = np.ascontiguousarray(
+                        codes_p[wi * self.shard_rows : (wi + 1) * self.shard_rows]
+                    )
+                    pieces.append(jax.device_put(shard, dev))
+            codes_dev = jax.make_array_from_single_device_arrays(
+                codes_p.shape, db_spec, pieces
             )
         else:
             codes_dev = jax.device_put(codes_p, db_spec)
