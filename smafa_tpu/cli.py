@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Maximum number of hits to report per sequence. Requires "
                         "--max-num-hits > 1 for now. [default: not used]")
     p.add_argument("--batch-size", type=int, default=2048, help=argparse.SUPPRESS)
+    p.add_argument("-o", "--output", default=None,
+                   help="Write hits to FILE instead of stdout (with "
+                        "--resume-state, reopens and truncates a torn tail "
+                        "for exactly-once resume)")
     p.add_argument("--resume-state", default=None,
                    help="JSON checkpoint file enabling resumable query streaming "
                         "(restart skips already-emitted queries; append output with >>)")
@@ -137,11 +141,18 @@ def main(argv: list[str] | None = None) -> int:
 
     apply_platform_env()
     out_stream = None
+    if getattr(args, "output", None):
+        # a+ keeps existing bytes (resume truncates any torn tail itself)
+        # and permits the seek/truncate that exactly-once resume needs.
+        mode = "a+" if getattr(args, "resume_state", None) else "w"
+        out_stream = open(args.output, mode)
     if getattr(args, "coordinator", None) or getattr(args, "num_processes", None):
         from smafa_tpu.parallel import multihost
 
         multihost.initialize(args.coordinator, args.num_processes, args.process_id)
         if not multihost.is_emitter():
+            if out_stream is not None:
+                out_stream.close()
             out_stream = open(os.devnull, "w")
         if getattr(args, "resume_state", None):
             print("--resume-state is not supported with multi-host runs",
