@@ -105,6 +105,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--input", required=True, help="FASTA file to cluster [required]")
     p.add_argument("-d", "--max-divergence", type=int, required=True,
                    help="Maximum divergence to report hits for, for each sequence")
+    p.add_argument("--coordinator", default=None,
+                   help="Multi-host: coordinator address host:port")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="Multi-host: total number of processes")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="Multi-host: this process's id (0-based)")
     _add_verbosity(p)
 
     p = sub.add_parser("count",
@@ -179,7 +185,7 @@ def main(argv: list[str] | None = None) -> int:
         elif args.subcommand == "cluster":
             from smafa_tpu.engine.cluster import cluster
 
-            cluster(args.input, args.max_divergence)
+            cluster(args.input, args.max_divergence, out=out_stream)
         elif args.subcommand == "count":
             from smafa_tpu.engine.count import count
 

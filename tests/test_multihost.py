@@ -109,6 +109,59 @@ def test_two_process_cli_query_golden(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_cli_cluster_golden(tmp_path):
+    """Full CLI `cluster` across 2 processes: process 0's stdout matches a
+    single-process run (the centroid tensor shards over the global mesh)."""
+    rng = np.random.default_rng(5)
+    n, L = 300, 30
+    cent = rng.integers(0, 4, size=(30, L)).astype(np.uint8)
+    seqs = cent[rng.integers(0, 30, n)].copy()
+    mut = rng.integers(0, L, n)
+    seqs[np.arange(n), mut] = rng.integers(0, 4, n)
+    in_path = tmp_path / "in.fna"
+    in_path.write_text(
+        "".join(
+            ">s%d\n%s\n" % (i, "".join("ACGTN"[c] for c in row))
+            for i, row in enumerate(seqs)
+        )
+    )
+
+    env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = os.getcwd()
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    single = subprocess.run(
+        [sys.executable, "-m", "smafa_tpu", "cluster", "-i", str(in_path), "-d", "3"],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert single.returncode == 0, single.stderr[-2000:]
+
+    coord = f"localhost:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "smafa_tpu", "cluster", "-i", str(in_path),
+             "-d", "3", "--coordinator", coord,
+             "--num-processes", "2", "--process-id", str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se[-2000:]
+
+    def _strip_gloo(s):
+        return "".join(
+            l for l in s.splitlines(keepends=True)
+            if not l.startswith("[Gloo]") and "peer ranks" not in l
+        )
+
+    assert _strip_gloo(outs[0][0]) == single.stdout
+    assert _strip_gloo(outs[1][0]) == ""
+
+
+@pytest.mark.slow
 def test_two_process_scan_matches_oracle(tmp_path):
     rng = np.random.default_rng(7)
     W, B, L = 1000, 37, 60
