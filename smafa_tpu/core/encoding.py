@@ -53,6 +53,11 @@ def unpack_words(words: np.ndarray, length: int) -> np.ndarray:
     "Invalid character in query sequence: {b}").
     """
     words = np.asarray(words, dtype=np.uint64)
+    if words.shape[-1] * BASES_PER_WORD < length:
+        raise ValueError(
+            f"Packed stream has {words.shape[-1]} words per window — too few "
+            f"for sequences of length {length}"
+        )
     groups = (words[..., :, None] >> _SHIFTS) & np.uint64(31)
     groups = groups.reshape(words.shape[:-1] + (-1,))[..., :length].astype(np.uint8)
     chans = CODE_TO_CHANNEL[groups]

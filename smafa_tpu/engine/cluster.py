@@ -125,7 +125,9 @@ class _CentroidStore:
 
     def __init__(self, seq_len: int):
         from smafa_tpu.parallel import sharded
+        from smafa_tpu.utils.platform import enable_compilation_cache
 
+        enable_compilation_cache()
         self.seq_len = seq_len
         self.ws = WindowSet(version=0)  # version unused, reference cluster.rs:22
         self.decoded: list[str] = []
@@ -147,6 +149,11 @@ class _CentroidStore:
                 self.mesh = None
         self._scan_cache: dict[tuple, callable] = {}
         lp = D.padded_feature_dim(seq_len)
+        if self.mesh is not None and D.packing_shift(seq_len, self.cap * 64) is None:
+            # The sharded scan needs packed 31-bit keys with growth
+            # headroom; absurdly long sequences fall back to the
+            # single-device path (which has a pair-carry fallback).
+            self.mesh = None
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -174,6 +181,13 @@ class _CentroidStore:
             while self.cap < n0 + k:
                 self.cap *= 2
             self.cap = ((self.cap + self._stride - 1) // self._stride) * self._stride
+            if self.mesh is not None and D.packing_shift(self.seq_len, self.cap) is None:
+                # Growth outran the 31-bit key budget: drop to the
+                # single-device pair-carry path (the buffer is being
+                # rebuilt anyway, so resharding is free here).
+                self.mesh = None
+                self._buf_sharding = None
+                self._stride = 1
             all_codes = np.zeros((self.cap, self.seq_len), dtype=np.uint8)
             all_codes[:n0] = self.ws.codes
             all_codes[n0 : n0 + k] = codes_rows

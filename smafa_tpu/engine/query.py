@@ -254,12 +254,16 @@ class _ResumeState:
         self._query_fasta = str(query_fasta)
 
     def restore_output(self, out) -> None:
-        if self.path is None or self.out_pos is None:
+        if self.path is None:
             return
+        # No checkpoint yet -> this is a FRESH run: any existing bytes are
+        # a torn prefix from a crash before the first mark_done, so a
+        # seekable output starts empty (otherwise batch 0 would duplicate).
+        target = self.out_pos if self.out_pos is not None else 0
         try:
             end = out.seek(0, 2)
-            if end >= self.out_pos:
-                out.seek(self.out_pos)
+            if end >= target:
+                out.seek(target)
                 out.truncate()
             # else: the output was reset (e.g. shell '>' truncation) —
             # seeking forward would punch a sparse hole; leave it alone.

@@ -287,7 +287,9 @@ def loads(buf: bytes) -> WindowSet:
     length = None
     if tag:
         length, pos = read_varint(data, pos)
-    if lib is not None and length:
+    from smafa_tpu.core.encoding import words_per_seq
+
+    if lib is not None and length and wps == words_per_seq(length):
         import ctypes
 
         codes = np.empty((n, length), dtype=np.uint8)

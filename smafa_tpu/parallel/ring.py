@@ -200,12 +200,12 @@ class RingScanRunner:
 
         return run
 
-    def collect_ties(self, q_codes: np.ndarray):
+    def collect_ties(self, q_codes: np.ndarray, handle=None):
         """(min distance, ALL minimum-distance indices ascending) per row —
-        the ScanRunner.collect_ties contract on the ring layout. Each
-        enumeration pass is a full ring sweep (db shards rotate once
-        around); rows overflowing TIE_CAP raise (use ScanRunner for such
-        degenerate dbs)."""
+        the ScanRunner.collect_ties contract on the ring layout (``handle``
+        accepted for parity, ignored). Each enumeration pass is a full
+        ring sweep (db shards rotate once around); rows overflowing
+        TIE_CAP return None (callers fall back to top-M)."""
         nq = q_codes.shape[0]
         b = max(self.n_d, 1 << math.ceil(math.log2(max(1, nq))))
         b = ((b + self.n_d - 1) // self.n_d) * self.n_d
@@ -221,7 +221,7 @@ class RingScanRunner:
         tbuf = np.asarray(tbuf)[:nq]
         count = np.asarray(count)[:nq]
         if bool(np.asarray(overflow)[:nq].any()):
-            raise ValueError(f"row exceeds {D.TIE_CAP} ties; use ScanRunner")
+            return None  # caller falls back to the exact top-M path
         srt = np.sort(np.where(tbuf >= 0, tbuf, np.int32(2**31 - 1)), axis=1)
         ties = [srt[r, : count[r]].tolist() for r in range(nq)]
         return dist, ties
@@ -325,9 +325,13 @@ class RingScanRunner:
 
         return run
 
-    def kmode(self, q_codes: np.ndarray, k: int, max_divergence: int | None):
+    def kmode(self, q_codes: np.ndarray, k: int, max_divergence: int | None,
+              stats_handle=None):
         """Exact K-mode hit lists on the ring layout — ScanRunner.kmode
-        contract: (dists [B, cap], idxs [B, cap], hits [B])."""
+        contract: (dists [B, cap], idxs [B, cap], hits [B]); None for
+        degenerate hit sets (callers fall back to the top-M path).
+        ``stats_handle`` is accepted for interface parity and ignored
+        (ring phase 1 is cheap relative to its sweeps)."""
         nq = q_codes.shape[0]
         b = max(self.n_d, 1 << math.ceil(math.log2(max(1, nq))))
         b = ((b + self.n_d - 1) // self.n_d) * self.n_d
@@ -349,11 +353,9 @@ class RingScanRunner:
         if max_hits == 0:
             return np.empty((nq, 0), np.int32), np.empty((nq, 0), np.int32), hits_h
         if max_hits > 4096:
-            raise ValueError(
-                f"{max_hits} hits in one row: enumeration would need "
-                "~hits/2 ring sweeps; use ScanRunner (top-M fallback) for "
-                "such degenerate hit sets"
-            )
+            # Enumeration would need ~hits/2 full ring sweeps; signal the
+            # caller to use its exact top-M fallback (ScanRunner contract).
+            return None
         cap = max(16, 1 << math.ceil(math.log2(max_hits)))
         ekey = ("kenum", b, cap)
         efn = self._cache.get(ekey)

@@ -116,18 +116,16 @@ class ScanRunner:
             return
         stride = self.chunk * self.n_w
         padded = ((self.n_windows + stride - 1) // stride) * stride
-        codes_p = codes
-        if codes_p.shape[0] < padded:
-            codes_p = np.pad(codes_p, [(0, padded - codes_p.shape[0]), (0, 0)])
         self.wp = padded
         self.shard_rows = padded // self.n_w
 
         db_spec = NamedSharding(self.mesh, P("w", None))
         if jax.process_count() > 1:
             # Multi-host: each addressable device gets exactly its own
-            # w-shard (replicated over 'q'), assembled per-device so any
-            # mesh shape works; this host touches only the row ranges its
-            # devices own (zero-copy when codes is a memmap).
+            # w-shard (replicated over 'q'), padded per-shard and assembled
+            # per-device so any mesh shape works. Only the row ranges this
+            # host's devices own are ever read — with a memmap-backed db
+            # (native format) the rest of the file is never paged in.
             local_ids = {d.id for d in jax.local_devices()}
             pieces = []
             for qi in range(self.n_q):
@@ -135,14 +133,21 @@ class ScanRunner:
                     dev = self.mesh.devices[qi, wi]
                     if dev.id not in local_ids:
                         continue
-                    shard = np.ascontiguousarray(
-                        codes_p[wi * self.shard_rows : (wi + 1) * self.shard_rows]
+                    lo = wi * self.shard_rows
+                    hi = min((wi + 1) * self.shard_rows, self.n_windows)
+                    shard = np.zeros(
+                        (self.shard_rows, codes.shape[1]), dtype=np.uint8
                     )
+                    if hi > lo:
+                        shard[: hi - lo] = codes[lo:hi]
                     pieces.append(jax.device_put(shard, dev))
             codes_dev = jax.make_array_from_single_device_arrays(
-                codes_p.shape, db_spec, pieces
+                (padded, codes.shape[1]), db_spec, pieces
             )
         else:
+            codes_p = codes
+            if codes_p.shape[0] < padded:
+                codes_p = np.pad(codes_p, [(0, padded - codes_p.shape[0]), (0, 0)])
             codes_dev = jax.device_put(codes_p, db_spec)
         expand = jax.jit(
             partial(D.expand_onehot, seq_len=self.seq_len),

@@ -113,7 +113,7 @@ def test_two_process_cli_cluster_golden(tmp_path):
     """Full CLI `cluster` across 2 processes: process 0's stdout matches a
     single-process run (the centroid tensor shards over the global mesh)."""
     rng = np.random.default_rng(5)
-    n, L = 300, 30
+    n, L = 1300, 30  # > 2 batches at the default 512 batch size
     cent = rng.integers(0, 4, size=(30, L)).astype(np.uint8)
     seqs = cent[rng.integers(0, 30, n)].copy()
     mut = rng.integers(0, L, n)
