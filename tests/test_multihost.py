@@ -41,6 +41,17 @@ WORKER = textwrap.dedent(
 )
 
 
+def _strip_gloo(s: str) -> str:
+    """Drop CPU-Gloo stdout artifacts: "[Gloo]" banners, bare
+    "<rank> is connected to N peer ranks" lines (sometimes unprefixed),
+    and stray blank lines — TSV output never contains any of these.
+    Real TPU pods (ICI/DCN collectives) emit nothing."""
+    return "".join(
+        l for l in s.splitlines(keepends=True)
+        if l.strip() and not l.startswith("[Gloo]") and "peer ranks" not in l
+    )
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -95,15 +106,6 @@ def test_two_process_cli_query_golden(tmp_path):
     outs = [p.communicate(timeout=300) for p in procs]
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, se[-2000:]
-    def _strip_gloo(s: str) -> str:
-        # The CPU Gloo collective backend prints banner lines to stdout
-        # (sometimes without its "[Gloo]" prefix — e.g. "<rank> is
-        # connected to N peer ranks..."); real TPU pods (ICI/DCN) do not.
-        return "".join(
-            l for l in s.splitlines(keepends=True)
-            if not l.startswith("[Gloo]") and "peer ranks" not in l
-        )
-
     assert _strip_gloo(outs[0][0]) == single.stdout  # process 0 emits everything
     assert _strip_gloo(outs[1][0]) == ""             # process 1 is silent
 
@@ -150,12 +152,6 @@ def test_two_process_cli_cluster_golden(tmp_path):
     outs = [p.communicate(timeout=300) for p in procs]
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, se[-2000:]
-
-    def _strip_gloo(s):
-        return "".join(
-            l for l in s.splitlines(keepends=True)
-            if not l.startswith("[Gloo]") and "peer ranks" not in l
-        )
 
     assert _strip_gloo(outs[0][0]) == single.stdout
     assert _strip_gloo(outs[1][0]) == ""
