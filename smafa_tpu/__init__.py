@@ -8,11 +8,16 @@ Capability-parity rebuild of the reference tool smafa (wwood/smafa, see
 - The reference's per-pair ``popcount(a ^ b) / 2`` Hamming scan
   (reference lib.rs:80-88) becomes a single batched int8 matmul on the MXU:
   ``distance[b, w] = L - Q[b, L*5] @ D[w, L*5]^T``.
-- Hit selection (best-hit / top-K with cutoff ties) runs on-device as a
-  chunked exact top-M merge; greedy clustering runs as batched
-  distance+argmin rounds with host-side order resolution.
-- Scale-out via ``jax.sharding`` over a ('q', 'w') device mesh: query
-  batches data-parallel on 'q', database rows tensor-parallel on 'w'.
+- Hit selection is sort-free: packed ``(distance << shift) | index``
+  keys reduce with integer ``min`` (the reference's lowest-index tie
+  rule by construction); best-hit tie sets and K-mode hit lists are
+  enumerated by on-device ``while_loop``s of range-masked dual-key
+  scans. Greedy clustering runs as batched distance+argmin rounds with
+  host-side order resolution.
+- Scale-out via ``jax.sharding`` over a ('q', 'w') device mesh (query
+  batches data-parallel on 'q', database rows tensor-parallel on 'w'),
+  a ppermute ring schedule, column sharding for long windows, and
+  multi-host meshes (``--coordinator``; process 0 emits).
 
 Public API mirrors the reference ops layer (lib.rs:137,198,378; cluster.rs:13):
 ``makedb``, ``query``, ``cluster``, ``count``.

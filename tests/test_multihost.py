@@ -52,6 +52,21 @@ def _strip_gloo(s: str) -> str:
     )
 
 
+def _retry_flaky(fn):
+    """Multi-process tests depend on OS ports and Gloo startup; retry once
+    so a transient bind/race cannot abort a -x CI run."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(tmp_path):
+        try:
+            return fn(tmp_path)
+        except AssertionError:
+            return fn(tmp_path)
+
+    return wrapper
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -61,6 +76,7 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
+@_retry_flaky
 def test_two_process_cli_query_golden(tmp_path):
     """Full CLI `query` across 2 processes x 4 virtual devices: process 0's
     stdout must be byte-identical to a single-process run."""
@@ -111,6 +127,7 @@ def test_two_process_cli_query_golden(tmp_path):
 
 
 @pytest.mark.slow
+@_retry_flaky
 def test_two_process_cli_cluster_golden(tmp_path):
     """Full CLI `cluster` across 2 processes: process 0's stdout matches a
     single-process run (the centroid tensor shards over the global mesh)."""
@@ -158,6 +175,7 @@ def test_two_process_cli_cluster_golden(tmp_path):
 
 
 @pytest.mark.slow
+@_retry_flaky
 def test_two_process_scan_matches_oracle(tmp_path):
     rng = np.random.default_rng(7)
     W, B, L = 1000, 37, 60
