@@ -209,6 +209,141 @@ class ColumnShardedScanRunner:
         srt = np.sort(np.where(tbuf >= 0, tbuf, np.int32(2**31 - 1)), axis=1)
         return dist, [srt[r, : count[r]].tolist() for r in range(nq)]
 
+    def _build_kmode(self, b: int, cap: int | None):
+        """cap None -> phase-1 (cutoff stats); else phase-2 enumeration.
+        Distances come from psum-merged partial matches; since every 'c'
+        device holds all rows and identical merged values, the enumeration
+        while_loop condition is naturally agreed."""
+        seq_len, chunk, shift, span = self.seq_len, self.chunk, self.shift, self.wp
+        n_chunks = span // chunk
+
+        def shard_fn(q_oh, db_sh, n_windows, *extra):
+            b_loc = q_oh.shape[0]
+
+            def dist_chunk(off):
+                block = jax.lax.dynamic_slice_in_dim(db_sh, off, chunk, axis=0)
+                part = jax.lax.dot_general(
+                    q_oh, block,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                return seq_len - jax.lax.psum(part, "c")
+
+            offs = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+
+            if cap is None:
+                k, maxdiv = extra
+
+                def scan_stats(t):
+                    t = jnp.broadcast_to(t, (b_loc,))
+
+                    def step(carry, off):
+                        cnt, mx = carry
+                        dist = dist_chunk(off)
+                        lidx = off + jnp.arange(chunk, dtype=jnp.int32)
+                        valid = (lidx < n_windows)[None, :]
+                        cnt = cnt + jnp.sum(
+                            valid & (dist <= t[:, None]), axis=1, dtype=jnp.int32
+                        )
+                        mx = jnp.maximum(
+                            mx, jnp.max(jnp.where(valid, dist, -1), axis=1)
+                        )
+                        return (cnt, mx), None
+
+                    init = (
+                        jnp.zeros((b_loc,), jnp.int32),
+                        jnp.full((b_loc,), -1, jnp.int32),
+                    )
+                    (cnt, mx), _ = jax.lax.scan(step, init, offs)
+                    return cnt, mx
+
+                return D.kmode_phase1(scan_stats, k, maxdiv, n_windows, seq_len)
+
+            eff, hits = extra
+
+            def region_scan(e, lo_k, hi_k):
+                big = jnp.int32(2**31 - 1)
+
+                def step(carry, off):
+                    m1, mr = carry
+                    dist = dist_chunk(off)
+                    lidx = off + jnp.arange(chunk, dtype=jnp.int32)
+                    valid = (lidx < n_windows)[None, :]
+                    key1 = (dist << shift) | lidx[None, :]
+                    sel = (
+                        valid
+                        & (dist <= e[:, None])
+                        & (key1 > lo_k[:, None])
+                        & (key1 < hi_k[:, None])
+                    )
+                    rkey = ((seq_len - dist) << shift) | (span - 1 - lidx)[None, :]
+                    m1 = jnp.minimum(m1, jnp.min(jnp.where(sel, key1, big), axis=1))
+                    mr = jnp.minimum(mr, jnp.min(jnp.where(sel, rkey, big), axis=1))
+                    return (m1, mr), None
+
+                init = (
+                    jnp.full((b_loc,), big, jnp.int32),
+                    jnp.full((b_loc,), big, jnp.int32),
+                )
+                (m1, mr), _ = jax.lax.scan(step, init, offs)
+                return m1, mr
+
+            return D.kmode_enumerate(
+                region_scan, b_loc, eff, hits, shift, seq_len, span, cap
+            )
+
+        if cap is None:
+            in_specs = (P(None, "c"), P(None, "c"), P(), P(), P())
+            out_specs = (P(), P())
+        else:
+            in_specs = (P(None, "c"), P(None, "c"), P(), P(), P())
+            out_specs = P()
+        mapped = jax.shard_map(
+            shard_fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run(q_codes, db_oh, n_windows, *extra):
+            q_oh = self._expand_q(q_codes)
+            return mapped(q_oh, db_oh, n_windows, *extra)
+
+        return run
+
+    def kmode(self, q_codes: np.ndarray, k: int, max_divergence: int | None,
+              stats_handle=None):
+        """Exact K-mode hit lists on the column-sharded layout —
+        ScanRunner.kmode contract; None for degenerate hit sets."""
+        nq = q_codes.shape[0]
+        b = max(8, 1 << math.ceil(math.log2(max(1, nq))))
+        if nq < b:
+            q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
+        maxdiv = self.seq_len + 1 if max_divergence is None else max_divergence
+        skey = ("kstats", b)
+        sfn = self._cache.get(skey)
+        if sfn is None:
+            sfn = self._build_kmode(b, None)
+            self._cache[skey] = sfn
+        eff, hits = sfn(
+            q_codes, self.db_oh, self.n_windows_dev,
+            jnp.int32(k), jnp.int32(maxdiv),
+        )
+        hits_h = np.asarray(hits)[:nq]
+        max_hits = int(hits_h.max(initial=0))
+        if max_hits == 0:
+            return np.empty((nq, 0), np.int32), np.empty((nq, 0), np.int32), hits_h
+        if max_hits > 4096:
+            return None
+        cap = max(16, 1 << math.ceil(math.log2(max_hits)))
+        ekey = ("kenum", b, cap)
+        efn = self._cache.get(ekey)
+        if efn is None:
+            efn = self._build_kmode(b, cap)
+            self._cache[ekey] = efn
+        buf = np.asarray(efn(q_codes, self.db_oh, self.n_windows_dev, eff, hits))
+        dists, idxs = D.unpack_key(buf[:nq], self.shift)
+        return dists, idxs, hits_h
+
     def min2(self, q_codes: np.ndarray):
         nq = q_codes.shape[0]
         b = max(8, 1 << math.ceil(math.log2(max(1, nq))))

@@ -1,0 +1,74 @@
+"""Db auto-detection loader and native-format edge cases."""
+
+import numpy as np
+import pytest
+
+from smafa_tpu.core.windowset import WindowSet
+from smafa_tpu.io import native_format, postcard
+from smafa_tpu.io.db import load_db
+
+
+def _ws(n=5, L=7, seed=0):
+    rng = np.random.default_rng(seed)
+    return WindowSet.from_matrix(
+        rng.integers(0, 5, size=(n, L)).astype(np.uint8), 2
+    )
+
+
+def test_loader_autodetects_both_formats(tmp_path):
+    ws = _ws()
+    p1 = tmp_path / "a.smafadb"
+    p1.write_bytes(postcard.dumps(ws))
+    p2 = tmp_path / "b.smafatpu"
+    native_format.save(ws, p2)
+    for p in (p1, p2):
+        got = load_db(p)
+        assert np.array_equal(got.codes, ws.codes)
+        assert got.length == ws.length
+
+
+def test_native_empty_db_roundtrip(tmp_path):
+    ws = WindowSet(version=2)
+    p = tmp_path / "empty"
+    native_format.save(ws, p)
+    got = native_format.load(p)
+    assert len(got) == 0 and got.length is None
+
+
+def test_native_row_slicing_matches_full(tmp_path):
+    ws = _ws(n=100, L=13, seed=3)
+    p = tmp_path / "db"
+    native_format.save(ws, p)
+    part = native_format.load(p, rows=(30, 70))
+    assert np.array_equal(part.codes, ws.codes[30:70])
+    header = native_format.read_header(p)
+    assert header["num_windows"] == 100 and header["length"] == 13
+
+
+def test_native_rejects_garbage(tmp_path):
+    p = tmp_path / "bad"
+    p.write_bytes(b"NOTADB\x00\x00\x00 garbage")
+    with pytest.raises(ValueError):
+        native_format.load(p)
+
+
+def test_postcard_truncated_stream_error(tmp_path):
+    ws = _ws(n=50, L=9, seed=4)
+    blob = postcard.dumps(ws)
+    with pytest.raises(postcard.PostcardError, match="end of buffer"):
+        postcard.loads(blob[: len(blob) // 2])
+
+
+def test_postcard_inconsistent_wps_rejected():
+    # Declared length larger than the word stream supports must not
+    # OOB-read (native) or mis-decode (numpy): both raise.
+    out = bytearray()
+    postcard.write_varint(2, out)   # version
+    postcard.write_varint(2, out)   # two windows
+    for _ in range(2):
+        postcard.write_varint(1, out)       # wps = 1
+        postcard.write_varint(0b10000, out)  # one word: "A"
+    out.append(0x01)
+    postcard.write_varint(100, out)  # Some(length=100): inconsistent
+    with pytest.raises(ValueError):
+        postcard.loads(bytes(out))

@@ -168,6 +168,30 @@ def test_column_sharded_collect_ties_matches_oracle(n):
         assert ties[r] == np.nonzero(full[r] == full[r].min())[0].tolist()
 
 
+@pytest.mark.parametrize("n", [1, 8])
+@pytest.mark.parametrize("k,maxdiv", [(5, None), (40, 60)])
+def test_column_sharded_kmode_matches_oracle(n, k, maxdiv):
+    from smafa_tpu.parallel import seqpar
+
+    rng = np.random.default_rng(n * 3 + k)
+    W, B, L = 150, 7, 200
+    db = rng.integers(0, 3, size=(W, L)).astype(np.uint8)
+    q = rng.integers(0, 3, size=(B, L)).astype(np.uint8)
+    runner = seqpar.ColumnShardedScanRunner(
+        db, L, mesh=seqpar.build_col_mesh(n), chunk=64
+    )
+    d, i, hits = runner.kmode(q, k, maxdiv)
+    full = _oracle(db, q, L)
+    for r in range(B):
+        srt = np.sort(full[r])
+        cutoff = full[r].max() if k > W else srt[min(k, W) - 1]
+        eff = cutoff if maxdiv is None else min(cutoff, maxdiv)
+        pairs = sorted((int(full[r, w]), w) for w in range(W) if full[r, w] <= eff)
+        assert hits[r] == len(pairs)
+        assert d[r, : hits[r]].tolist() == [p[0] for p in pairs]
+        assert i[r, : hits[r]].tolist() == [p[1] for p in pairs]
+
+
 def test_short_sequences_and_tiny_db():
     # L=3, W=2 (the tests/data scale) through the sharded machinery
     db, q, L = _problem(seed=3, W=2, B=5, L=3)
