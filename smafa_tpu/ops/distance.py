@@ -12,16 +12,31 @@ int8 matmul on the MXU::
 
     distance[b, w] = L - Q[b, L*5] @ D[w, L*5]^T
 
-Selection (best-hit / top-K including ties at the cutoff) runs as an exact
-chunked top-M merge: the db is scanned in W-chunks, each chunk's distances
-fused by XLA into the matmul, and a running (distance, index) top-M carried
-through a ``lax.scan``. Tie order is pinned to the reference's
-``(distance, subject_index)`` ascending sort (lib.rs:243-250) by relying on
-``lax.top_k``'s lower-index-first tie-breaking over a concatenation that
-always places lower global indices first.
+Selection is sort-free. Distances are bounded by the window length, so a
+packed key ``(dist << shift) | subject_index`` orders pairs exactly as
+the reference's ``(distance, subject_index)`` ascending sort
+(lib.rs:243-250), and every selection mode reduces to fused integer-min
+scans over those keys:
+
+- ``min2_scan``: dual keys (index ascending + descending) over a per-row
+  open index interval — one pass gives the best hit (lowest-index tie,
+  lib.rs:306-313), the highest tied index, and range-narrowing bounds.
+- ``collect_scan`` / ``collect_loop``: a while_loop of range-masked
+  min2 passes enumerating EVERY minimum-distance window (best-hit mode's
+  full output set), two ties per iteration, on device.
+- ``kmode_phase1`` / ``kmode_enumerate``: binary-search the Kth-smallest
+  distance with ``<=``-count scans, then enumerate all hits at
+  ``<= min(cutoff, max_divergence)`` from both ends of key order into a
+  buffer that is sorted when the cursors meet — the reference's K-mode
+  print set, cutoff ties included (lib.rs:241-295).
+- ``topm_scan``: the exact chunked (distance, index) top-M sort-merge,
+  retained as the fallback for degenerate cases (key-packing overflow,
+  >4096 hits per row).
 
 Everything here is shape-static and jit-cached; callers pad B/W/L to the
-canonical grid (see ``pad_*`` helpers).
+canonical grid (see ``pad_*`` helpers). Shard-map wrappers in
+smafa_tpu.parallel reuse these primitives with pmin/psum merges (packed
+keys carry global indices, so elementwise pmin IS the cross-shard merge).
 """
 
 from __future__ import annotations
