@@ -471,19 +471,52 @@ def kmode_stats_scan(
     return kmode_phase1(scan_stats, k, maxdiv, n_windows, seq_len)
 
 
+def stats_chunk_update(carry, dist, lidx, n_windows, t):
+    """Fold one distance chunk into the running (count <= t, max) stats.
+
+    Shared by the single-device/row-sharded passes (dist from the plain
+    matmul) and the column-sharded pass (dist from a psum of partial
+    matmuls) — the selection semantics live in exactly one place.
+    """
+    cnt, mx = carry
+    valid = (lidx < n_windows)[None, :]
+    cnt = cnt + jnp.sum(valid & (dist <= t[:, None]), axis=1, dtype=jnp.int32)
+    mx = jnp.maximum(mx, jnp.max(jnp.where(valid, dist, -1), axis=1))
+    return cnt, mx
+
+
+def region_chunk_update(carry, dist, lidx, n_windows, eff, lo_key, hi_key,
+                        seq_len, shift, index_span, index_offset=0):
+    """Fold one distance chunk into the running (min key1, min rkey) over
+    the per-row key region (see _region_pass). Shared like
+    stats_chunk_update."""
+    m1, mr = carry
+    big = jnp.int32(2**31 - 1)
+    valid = (lidx < n_windows)[None, :]
+    gidx = index_offset + lidx
+    key1 = (dist << shift) | gidx[None, :]
+    sel = (
+        valid
+        & (dist <= eff[:, None])
+        & (key1 > lo_key[:, None])
+        & (key1 < hi_key[:, None])
+    )
+    rkey = ((seq_len - dist) << shift) | (index_span - 1 - gidx)[None, :]
+    m1 = jnp.minimum(m1, jnp.min(jnp.where(sel, key1, big), axis=1))
+    mr = jnp.minimum(mr, jnp.min(jnp.where(sel, rkey, big), axis=1))
+    return m1, mr
+
+
 def _stats_pass(q_oh, db_oh, n_windows, t, seq_len, chunk):
     """One fused pass: (count of dist <= t[row], max dist) per row."""
     b = q_oh.shape[0]
     n_chunks = db_oh.shape[0] // chunk
 
     def step(carry, off):
-        cnt, mx = carry
         block = jax.lax.dynamic_slice_in_dim(db_oh, off, chunk, axis=0)
         dist = seq_len - _match_dots(q_oh, block)
-        valid = ((off + jnp.arange(chunk, dtype=jnp.int32)) < n_windows)[None, :]
-        cnt = cnt + jnp.sum(valid & (dist <= t[:, None]), axis=1, dtype=jnp.int32)
-        mx = jnp.maximum(mx, jnp.max(jnp.where(valid, dist, -1), axis=1))
-        return (cnt, mx), None
+        lidx = off + jnp.arange(chunk, dtype=jnp.int32)
+        return stats_chunk_update(carry, dist, lidx, n_windows, t), None
 
     init = (jnp.zeros((b,), jnp.int32), jnp.full((b,), -1, jnp.int32))
     offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
@@ -503,23 +536,13 @@ def _region_pass(q_oh, db_oh, n_windows, eff, lo_key, hi_key,
     big = jnp.int32(2**31 - 1)
 
     def step(carry, off):
-        m1, mr = carry
         block = jax.lax.dynamic_slice_in_dim(db_oh, off, chunk, axis=0)
         dist = seq_len - _match_dots(q_oh, block)
         lidx = off + jnp.arange(chunk, dtype=jnp.int32)
-        valid = (lidx < n_windows)[None, :]
-        gidx = index_offset + lidx
-        key1 = (dist << shift) | gidx[None, :]
-        sel = (
-            valid
-            & (dist <= eff[:, None])
-            & (key1 > lo_key[:, None])
-            & (key1 < hi_key[:, None])
-        )
-        rkey = ((seq_len - dist) << shift) | (index_span - 1 - gidx)[None, :]
-        m1 = jnp.minimum(m1, jnp.min(jnp.where(sel, key1, big), axis=1))
-        mr = jnp.minimum(mr, jnp.min(jnp.where(sel, rkey, big), axis=1))
-        return (m1, mr), None
+        return region_chunk_update(
+            carry, dist, lidx, n_windows, eff, lo_key, hi_key,
+            seq_len, shift, index_span, index_offset,
+        ), None
 
     init = (jnp.full((b,), big, jnp.int32), jnp.full((b,), big, jnp.int32))
     offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk

@@ -348,7 +348,10 @@ class RingScanRunner:
             q_codes, self.db_oh, self.n_windows_dev,
             jnp.int32(k), jnp.int32(maxdiv),
         )
-        hits_h = np.asarray(hits)[:nq]
+        hits_all = np.array(hits)  # writable copy
+        hits_all[nq:] = 0  # padded rows must not drive enumeration sweeps
+        hits = jnp.asarray(hits_all)
+        hits_h = hits_all[:nq]
         max_hits = int(hits_h.max(initial=0))
         if max_hits == 0:
             return np.empty((nq, 0), np.int32), np.empty((nq, 0), np.int32), hits_h

@@ -238,17 +238,11 @@ class ColumnShardedScanRunner:
                     t = jnp.broadcast_to(t, (b_loc,))
 
                     def step(carry, off):
-                        cnt, mx = carry
                         dist = dist_chunk(off)
                         lidx = off + jnp.arange(chunk, dtype=jnp.int32)
-                        valid = (lidx < n_windows)[None, :]
-                        cnt = cnt + jnp.sum(
-                            valid & (dist <= t[:, None]), axis=1, dtype=jnp.int32
-                        )
-                        mx = jnp.maximum(
-                            mx, jnp.max(jnp.where(valid, dist, -1), axis=1)
-                        )
-                        return (cnt, mx), None
+                        return D.stats_chunk_update(
+                            carry, dist, lidx, n_windows, t
+                        ), None
 
                     init = (
                         jnp.zeros((b_loc,), jnp.int32),
@@ -265,21 +259,12 @@ class ColumnShardedScanRunner:
                 big = jnp.int32(2**31 - 1)
 
                 def step(carry, off):
-                    m1, mr = carry
                     dist = dist_chunk(off)
                     lidx = off + jnp.arange(chunk, dtype=jnp.int32)
-                    valid = (lidx < n_windows)[None, :]
-                    key1 = (dist << shift) | lidx[None, :]
-                    sel = (
-                        valid
-                        & (dist <= e[:, None])
-                        & (key1 > lo_k[:, None])
-                        & (key1 < hi_k[:, None])
-                    )
-                    rkey = ((seq_len - dist) << shift) | (span - 1 - lidx)[None, :]
-                    m1 = jnp.minimum(m1, jnp.min(jnp.where(sel, key1, big), axis=1))
-                    mr = jnp.minimum(mr, jnp.min(jnp.where(sel, rkey, big), axis=1))
-                    return (m1, mr), None
+                    return D.region_chunk_update(
+                        carry, dist, lidx, n_windows, e, lo_k, hi_k,
+                        seq_len, shift, span,
+                    ), None
 
                 init = (
                     jnp.full((b_loc,), big, jnp.int32),
@@ -292,12 +277,8 @@ class ColumnShardedScanRunner:
                 region_scan, b_loc, eff, hits, shift, seq_len, span, cap
             )
 
-        if cap is None:
-            in_specs = (P(None, "c"), P(None, "c"), P(), P(), P())
-            out_specs = (P(), P())
-        else:
-            in_specs = (P(None, "c"), P(None, "c"), P(), P(), P())
-            out_specs = P()
+        in_specs = (P(None, "c"), P(None, "c"), P(), P(), P())
+        out_specs = (P(), P()) if cap is None else P()
         mapped = jax.shard_map(
             shard_fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
             check_vma=False,
@@ -310,10 +291,9 @@ class ColumnShardedScanRunner:
 
         return run
 
-    def kmode(self, q_codes: np.ndarray, k: int, max_divergence: int | None,
-              stats_handle=None):
+    def kmode(self, q_codes: np.ndarray, k: int, max_divergence: int | None):
         """Exact K-mode hit lists on the column-sharded layout —
-        ScanRunner.kmode contract; None for degenerate hit sets."""
+        ScanRunner.kmode result contract; None for degenerate hit sets."""
         nq = q_codes.shape[0]
         b = max(8, 1 << math.ceil(math.log2(max(1, nq))))
         if nq < b:
@@ -328,7 +308,9 @@ class ColumnShardedScanRunner:
             q_codes, self.db_oh, self.n_windows_dev,
             jnp.int32(k), jnp.int32(maxdiv),
         )
-        hits_h = np.asarray(hits)[:nq]
+        hits_all = np.array(hits)  # writable copy
+        hits_all[nq:] = 0  # padded rows must not drive enumeration passes
+        hits_h = hits_all[:nq]
         max_hits = int(hits_h.max(initial=0))
         if max_hits == 0:
             return np.empty((nq, 0), np.int32), np.empty((nq, 0), np.int32), hits_h
@@ -340,7 +322,8 @@ class ColumnShardedScanRunner:
         if efn is None:
             efn = self._build_kmode(b, cap)
             self._cache[ekey] = efn
-        buf = np.asarray(efn(q_codes, self.db_oh, self.n_windows_dev, eff, hits))
+        buf = np.asarray(efn(q_codes, self.db_oh, self.n_windows_dev, eff,
+                             jnp.asarray(hits_all)))
         dists, idxs = D.unpack_key(buf[:nq], self.shift)
         return dists, idxs, hits_h
 

@@ -568,7 +568,10 @@ class ScanRunner:
         _, eff, hits, nq, shift, b = stats_handle
         if q_codes.shape[0] < b:
             q_codes = np.pad(q_codes, [(0, b - q_codes.shape[0]), (0, 0)])
-        hits_h = np.asarray(hits)[:nq]
+        hits_all = np.array(hits)  # writable copy
+        hits_all[nq:] = 0  # padded rows must not drive enumeration passes
+        hits = jnp.asarray(hits_all)
+        hits_h = hits_all[:nq]
         max_hits = int(hits_h.max(initial=0))
         if max_hits == 0:
             return (

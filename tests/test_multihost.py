@@ -61,7 +61,7 @@ def _retry_flaky(fn):
     def wrapper(tmp_path):
         try:
             return fn(tmp_path)
-        except AssertionError:
+        except (AssertionError, subprocess.TimeoutExpired):
             return fn(tmp_path)
 
     return wrapper

@@ -169,7 +169,7 @@ def test_column_sharded_collect_ties_matches_oracle(n):
 
 
 @pytest.mark.parametrize("n", [1, 8])
-@pytest.mark.parametrize("k,maxdiv", [(5, None), (40, 60)])
+@pytest.mark.parametrize("k,maxdiv", [(5, None), (40, 125)])
 def test_column_sharded_kmode_matches_oracle(n, k, maxdiv):
     from smafa_tpu.parallel import seqpar
 
