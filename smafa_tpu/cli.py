@@ -84,7 +84,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit-per-sequence", type=int, default=None,
                    help="Maximum number of hits to report per sequence. Requires "
                         "--max-num-hits > 1 for now. [default: not used]")
-    p.add_argument("--batch-size", type=int, default=2048, help=argparse.SUPPRESS)
+    p.add_argument("--batch-size", type=int, default=None, help=argparse.SUPPRESS)
     p.add_argument("-o", "--output", default=None,
                    help="Write hits to FILE instead of stdout (with "
                         "--resume-state, reopens and truncates a torn tail "

@@ -83,6 +83,17 @@ class _DbOnDevice:
         return s
 
 
+def _auto_batch(n_windows: int) -> int:
+    """Bigger query batches for bigger dbs: per-batch device compute then
+    dominates dispatch latency, and the scan kernel's throughput rises
+    with B (HBM reads of the db amortize over more queries)."""
+    if n_windows >= 1 << 19:
+        return 8192
+    if n_windows >= 1 << 16:
+        return 4096
+    return DEFAULT_BATCH
+
+
 def query(
     db_path: str | Path,
     query_fasta: str | Path,
@@ -90,7 +101,7 @@ def query(
     max_num_hits: int | None = None,
     limit_per_sequence: int | None = None,
     out: TextIO | None = None,
-    batch_size: int = DEFAULT_BATCH,
+    batch_size: int | None = None,
     resume_state: str | Path | None = None,
 ) -> None:
     """Scan query_fasta against db_path, emitting reference-format TSV.
@@ -110,6 +121,8 @@ def query(
     t0 = time.time()
     windows = load_db(db_path)
     db = _DbOnDevice(windows)
+    if batch_size is None:
+        batch_size = _auto_batch(db.n_windows)
 
     # 1 is a special case, equivalent to None (reference lib.rs:224).
     k_mode = max_num_hits if (max_num_hits is not None and max_num_hits != 1) else None
