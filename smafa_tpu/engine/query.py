@@ -62,7 +62,7 @@ class QueryError(ValueError):
 class _DbOnDevice:
     """A loaded db, one-hot expanded and resident on device(s)."""
 
-    def __init__(self, windows, devices: list | None = None):
+    def __init__(self, windows):
         self.windows = windows
         self.n_windows = len(windows)
         self.seq_len = windows.length
@@ -151,23 +151,37 @@ def query(
             query_fasta, batch_size=batch_size, skip_records=state.done
         )
         while True:
-            with timers.stage("parse"):
-                item = next(batches, None)
-            if item is not None:
-                ids, _raws, codes = item
-                qlen = codes.shape[1] if codes.ndim == 2 else 0
-                windows.check_query_length(qlen)
-                if db.n_windows == 0:
-                    raise QueryError("Cannot query an empty database")
-                # Dispatch batch k+1 before draining batch k: the device
-                # scans while the host parses/encodes and formats TSV.
-                with timers.stage("dispatch"):
-                    handle = _dispatch_batch(db, codes, k_mode, max_divergence)
-                timers.count("comparisons", len(ids) * db.n_windows)
-                current = (query_number, len(ids), codes, handle)
-                query_number += len(ids)
-            else:
-                current = None
+            # Parsing, validating, or dispatching the next batch can raise
+            # (invalid base, length mismatch). The already-scanned pending
+            # batch must be emitted FIRST, matching the reference's
+            # streaming behavior: it prints every record's hits up to the
+            # offending one before panicking (lib.rs:231-318).
+            try:
+                with timers.stage("parse"):
+                    item = next(batches, None)
+                if item is not None:
+                    ids, _raws, codes = item
+                    qlen = codes.shape[1] if codes.ndim == 2 else 0
+                    windows.check_query_length(qlen)
+                    if db.n_windows == 0:
+                        raise QueryError("Cannot query an empty database")
+                    # Dispatch batch k+1 before draining batch k: the device
+                    # scans while the host parses/encodes and formats TSV.
+                    with timers.stage("dispatch"):
+                        handle = _dispatch_batch(db, codes, k_mode, max_divergence)
+                    timers.count("comparisons", len(ids) * db.n_windows)
+                    current = (query_number, len(ids), codes, handle)
+                    query_number += len(ids)
+                else:
+                    current = None
+            except Exception:
+                if pending is not None:
+                    _drain_batch(
+                        out, db, pending, k_mode, max_divergence,
+                        limit_per_sequence, timers,
+                    )
+                    state.mark_done(pending[0] + pending[1], out)
+                raise
             if pending is not None:
                 _drain_batch(
                     out, db, pending, k_mode, max_divergence,
@@ -269,9 +283,16 @@ class _ResumeState:
     def restore_output(self, out) -> None:
         if self.path is None:
             return
-        # No checkpoint yet -> this is a FRESH run: any existing bytes are
-        # a torn prefix from a crash before the first mark_done, so a
-        # seekable output starts empty (otherwise batch 0 would duplicate).
+        if self.done > 0 and self.out_pos is None:
+            # A checkpoint exists but the original run's output was
+            # non-seekable (no offset recorded). The surviving output may
+            # have been collected into this file out-of-band; truncating
+            # would destroy queries 0..done-1. At-least-once semantics:
+            # leave the file alone.
+            return
+        # Otherwise: resume to the recorded offset, or — with no
+        # checkpoint yet (fresh run) — to 0, so a torn batch-0 prefix
+        # from a pre-checkpoint crash cannot duplicate.
         target = self.out_pos if self.out_pos is not None else 0
         try:
             end = out.seek(0, 2)

@@ -129,6 +129,9 @@ def read_encoded_batches(
     if parsed is not None:
         if parsed.n == 0:
             raise FastxError(f"Empty or invalid FASTX file: {path}")
+        # A deferred invalid-base error belongs to a specific record:
+        # yield everything before it, then raise (streaming parity).
+        n_ok = parsed.n if parsed.error is None else parsed.error_record
         lengths = parsed.seq_lengths()
         # NB: min(initial=0) would include 0 in the reduction and defeat
         # the uniformity check for every L>0 file; parsed.n >= 1 here.
@@ -138,19 +141,23 @@ def read_encoded_batches(
             codes = parsed.codes.reshape(parsed.n, L) if L else np.empty(
                 (parsed.n, 0), np.uint8
             )
-            for s in range(skip_records, parsed.n, batch_size):
-                e = min(s + batch_size, parsed.n)
+            for s in range(skip_records, n_ok, batch_size):
+                e = min(s + batch_size, n_ok)
                 yield (
                     [parsed.record_id(i) for i in range(s, e)],
                     [parsed.raw_seq(i) for i in range(s, e)],
                     codes[s:e],
                 )
+            if parsed.error is not None:
+                raise parsed.error
             return
         # Non-uniform lengths: group consecutive same-length runs so the
         # caller's WindowSet length check fires on the right record.
         yield from _batches_from_parsed(
-            parsed, lengths, batch_size, expected_length, skip_records
+            parsed, lengths, batch_size, expected_length, skip_records, n_ok
         )
+        if parsed.error is not None:
+            raise parsed.error
         return
 
     ids: list[str] = []
@@ -162,7 +169,14 @@ def read_encoded_batches(
         if next(records, None) is None:
             return
     for rid, seq in records:
-        chans = encode_bytes(seq, identifier=rid)
+        try:
+            chans = encode_bytes(seq, identifier=rid)
+        except Exception:
+            # Streaming parity: emit the accumulated records before the
+            # offending one, then raise (reference lib.rs:231-238).
+            if ids:
+                yield ids, raws, np.vstack(rows)
+            raise
         if length is None:
             length = len(seq)
         if len(seq) != length or len(ids) == batch_size:
@@ -177,13 +191,14 @@ def read_encoded_batches(
         yield ids, raws, np.vstack(rows)
 
 
-def _batches_from_parsed(parsed, lengths, batch_size, expected_length, skip_records=0):
+def _batches_from_parsed(parsed, lengths, batch_size, expected_length,
+                         skip_records=0, n_ok=None):
     """Batch a natively-parsed file with non-uniform record lengths."""
     ids: list[str] = []
     raws: list[bytes] = []
     rows: list[np.ndarray] = []
     length = expected_length
-    for i in range(skip_records, parsed.n):
+    for i in range(skip_records, parsed.n if n_ok is None else n_ok):
         L = int(lengths[i])
         chans = parsed.codes[parsed.seq_offs[i] : parsed.seq_offs[i + 1]]
         if length is None:

@@ -272,6 +272,8 @@ def loads(buf: bytes) -> WindowSet:
             len(data) - pos, n, wps,
             words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         )
+        if consumed == -4:
+            raise PostcardError("Found a varint that didn't terminate")
         if consumed == -3:
             raise PostcardError("Hit the end of buffer, expected more data")
         if consumed < 0:

@@ -305,16 +305,23 @@ int64_t postcard_decode_windows(const uint8_t* buf, int64_t len, int64_t n,
         return true;
       }
       shift += 7;
-      if (shift > 63) return false;
+      if (shift > 63) return false;  // overlong varint: caller sees p past 10 bytes
     }
     return false;
   };
+  // Distinguish truncation (-3) from an overlong varint (-4) so Python
+  // raises the same error text as the numpy fallback for each case.
+  auto classify = [&](const uint8_t* start) -> int64_t {
+    return (p - start) > 10 ? -4 : -3;
+  };
   for (int64_t i = 0; i < n; ++i) {
     uint64_t w;
-    if (!get_varint(&w)) return -3;
+    const uint8_t* s0 = p;
+    if (!get_varint(&w)) return classify(s0);
     if ((int64_t)w != wps) return -1;
     for (int64_t j = 0; j < wps; ++j) {
-      if (!get_varint(&words_out[i * wps + j])) return -3;
+      const uint8_t* s1 = p;
+      if (!get_varint(&words_out[i * wps + j])) return classify(s1);
     }
   }
   return p - buf;

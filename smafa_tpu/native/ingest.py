@@ -58,17 +58,28 @@ def format_hits_tsv(
 
 
 class ParsedFastx:
-    """All records of one file: concatenated arrays + offset indexes."""
+    """All records of one file: concatenated arrays + offset indexes.
 
-    __slots__ = ("ids", "id_offs", "seqs", "seq_offs", "codes", "n")
+    ``error``/``error_record``: a deferred InvalidBaseError and the record
+    it belongs to. The reference STREAMS records — it emits output for
+    every record preceding an invalid base before panicking
+    (lib.rs:231-238) — so whole-file parsing must not raise eagerly;
+    batch consumers yield records [0, error_record) and then raise.
+    """
 
-    def __init__(self, ids, id_offs, seqs, seq_offs, codes):
+    __slots__ = ("ids", "id_offs", "seqs", "seq_offs", "codes", "n",
+                 "error", "error_record")
+
+    def __init__(self, ids, id_offs, seqs, seq_offs, codes,
+                 error=None, error_record=None):
         self.ids = ids
         self.id_offs = id_offs
         self.seqs = seqs
         self.seq_offs = seq_offs
         self.codes = codes
         self.n = len(id_offs) - 1
+        self.error = error
+        self.error_record = error_record
 
     def record_id(self, i: int) -> str:
         return self.ids[self.id_offs[i] : self.id_offs[i + 1]].tobytes().decode(
@@ -129,9 +140,10 @@ def parse_buffer(data: bytes, encode: bool = True, path: str = "") -> ParsedFast
     )
     parsed = ParsedFastx(ids, id_offs, seqs, seq_offs, codes if encode else None)
     if rc == 5:  # FASTX_BAD_BASE — reference panic params (lib.rs:38-42)
-        raise InvalidBaseError(
+        parsed.error = InvalidBaseError(
             bad_byte.value, parsed.record_id(bad_record.value), bad_pos.value
         )
-    if rc != 0:
+        parsed.error_record = bad_record.value
+    elif rc != 0:
         raise FastxError(f"{_ERRORS.get(rc, 'Parse error')}: {path}")
     return parsed

@@ -112,6 +112,7 @@ class ScanRunner:
             self.wp = 0
             self.shard_rows = 0
             self.db_oh = None
+            self.n_windows_dev = jnp.int32(0)
             self._topm_cache = {}
             return
         stride = self.chunk * self.n_w
@@ -205,11 +206,16 @@ class ScanRunner:
 
         return run
 
+    def _require_windows(self) -> None:
+        if self.n_windows == 0:
+            raise ValueError("Cannot query an empty database")
+
     def topm(self, q_codes: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Exact smallest-m (distance, index) per query row, plus per-row max.
 
         Returns host numpy arrays trimmed to the actual batch size.
         """
+        self._require_windows()
         nq = q_codes.shape[0]
         # bucket m to powers of two (extra columns are harmless BIG-padded
         # entries) so jit programs are reused across nearby m requests
@@ -292,6 +298,7 @@ class ScanRunner:
         (SURVEY.md §2.2 PP row). ``lo_bound``/``hi_bound`` restrict each
         row to the open index interval (used by tie collection).
         """
+        self._require_windows()
         shift = D.packing_shift(self.seq_len, max(self.wp, 2))
         if shift is None:
             return None
@@ -386,6 +393,7 @@ class ScanRunner:
 
     def collect_ties_async(self, q_codes: np.ndarray):
         """Dispatch the on-device tie enumeration; handle for collect_ties."""
+        self._require_windows()
         shift = D.packing_shift(self.seq_len, max(self.wp, 2))
         if shift is None:
             return None
@@ -527,6 +535,7 @@ class ScanRunner:
     def kmode_stats_async(self, q_codes: np.ndarray, k: int,
                           max_divergence: int | None):
         """Dispatch K-mode phase 1 (cutoff search) without waiting."""
+        self._require_windows()
         shift = D.packing_shift(self.seq_len, max(self.wp, 2))
         if shift is None:
             return None
