@@ -644,10 +644,20 @@ def min_scan(
     return d, i
 
 
-def pad_rows(arr: np.ndarray, multiple: int, fill=0) -> np.ndarray:
-    n = arr.shape[0]
-    target = ((n + multiple - 1) // multiple) * multiple
-    if target == n:
-        return arr
-    pad = [(0, target - n)] + [(0, 0)] * (arr.ndim - 1)
-    return np.pad(arr, pad, constant_values=fill)
+def pad_batch(
+    q_codes: np.ndarray, multiple: int = 1, minimum: int = 16
+) -> tuple[np.ndarray, int, int]:
+    """Pad a query batch to a power-of-two bucket rounded up to a multiple
+    of the mesh axis size. Returns (padded, nq, b).
+
+    The single batch-padding rule for every runner: power-of-two
+    bucketing caps the number of distinct jit program shapes; rounding to
+    ``multiple`` keeps shard_map splits even. Padded rows produce garbage
+    results that callers trim with nq.
+    """
+    nq = q_codes.shape[0]
+    b = max(minimum, 1 << math.ceil(math.log2(max(1, nq))))
+    b = ((b + multiple - 1) // multiple) * multiple
+    if nq < b:
+        q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
+    return q_codes, nq, b

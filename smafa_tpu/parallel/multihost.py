@@ -161,10 +161,7 @@ class MultiHostScanRunner:
 
     def min2(self, q_codes: np.ndarray):
         """(min dist, lowest-index argmin, unique flag) per row, replicated."""
-        nq = q_codes.shape[0]
-        b = max(16, 1 << math.ceil(math.log2(max(1, nq))))
-        if nq < b:
-            q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
+        q_codes, nq, b = D.pad_batch(q_codes)
         fn = self._cache.get(b)
         if fn is None:
             fn = self._build(b)

@@ -206,11 +206,8 @@ class RingScanRunner:
         accepted for parity, ignored). Each enumeration pass is a full
         ring sweep (db shards rotate once around); rows overflowing
         TIE_CAP return None (callers fall back to top-M)."""
-        nq = q_codes.shape[0]
-        b = max(self.n_d, 1 << math.ceil(math.log2(max(1, nq))))
-        b = ((b + self.n_d - 1) // self.n_d) * self.n_d
-        if nq < b:
-            q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
+        q_codes, nq, b = D.pad_batch(q_codes, multiple=self.n_d,
+                                     minimum=self.n_d)
         key = ("collect", b)
         fn = self._cache.get(key)
         if fn is None:
@@ -332,11 +329,8 @@ class RingScanRunner:
         degenerate hit sets (callers fall back to the top-M path).
         ``stats_handle`` is accepted for interface parity and ignored
         (ring phase 1 is cheap relative to its sweeps)."""
-        nq = q_codes.shape[0]
-        b = max(self.n_d, 1 << math.ceil(math.log2(max(1, nq))))
-        b = ((b + self.n_d - 1) // self.n_d) * self.n_d
-        if nq < b:
-            q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
+        q_codes, nq, b = D.pad_batch(q_codes, multiple=self.n_d,
+                                     minimum=self.n_d)
         maxdiv = self.seq_len + 1 if max_divergence is None else max_divergence
 
         skey = ("kstats", b)
@@ -372,11 +366,8 @@ class RingScanRunner:
     def min2(self, q_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Per row: (min distance, first argmin, unique-min flag) — exact,
         identical contract to ScanRunner.min2."""
-        nq = q_codes.shape[0]
-        b = max(self.n_d, 1 << math.ceil(math.log2(max(1, nq))))
-        b = ((b + self.n_d - 1) // self.n_d) * self.n_d
-        if nq < b:
-            q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
+        q_codes, nq, b = D.pad_batch(q_codes, multiple=self.n_d,
+                                     minimum=self.n_d)
         fn = self._cache.get(b)
         if fn is None:
             fn = self._build(b)

@@ -76,40 +76,56 @@ class ColumnShardedScanRunner:
         self.n_windows_dev = jnp.int32(self.n_windows)
         self._cache: dict[int, callable] = {}
 
-    def _build(self, b: int):
+    def _bounded_min2(self, q_oh, db_sh, n_windows, lo_b, hi_b):
+        """Dual packed-key minima over the per-row open index interval,
+        with distances psum-reassembled from column-slice partial matches.
+        The single scan body behind min2 (_build, full bounds) and tie
+        collection (_build_collect, narrowing bounds)."""
         seq_len, chunk, shift, span = self.seq_len, self.chunk, self.shift, self.wp
         n_chunks = span // chunk
+        b_loc = q_oh.shape[0]
+
+        def step(carry, off):
+            lo_c, hi_c = carry
+            block = jax.lax.dynamic_slice_in_dim(db_sh, off, chunk, axis=0)
+            part = jax.lax.dot_general(
+                q_oh, block,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            dist = seq_len - jax.lax.psum(part, "c")
+            lidx = off + jnp.arange(chunk, dtype=jnp.int32)
+            valid = (
+                (lidx < n_windows)[None, :]
+                & (lidx[None, :] > lo_b[:, None])
+                & (lidx[None, :] < hi_b[:, None])
+            )
+            shifted = dist << shift
+            key_lo = jnp.where(valid, shifted | lidx[None, :], BIG_KEY)
+            key_hi = jnp.where(valid, shifted | (span - 1 - lidx)[None, :], BIG_KEY)
+            return (
+                jnp.minimum(lo_c, jnp.min(key_lo, axis=1)),
+                jnp.minimum(hi_c, jnp.min(key_hi, axis=1)),
+            ), None
+
+        init = (
+            jnp.full((b_loc,), BIG_KEY, jnp.int32),
+            jnp.full((b_loc,), BIG_KEY, jnp.int32),
+        )
+        offs = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+        (lo, hi), _ = jax.lax.scan(step, init, offs)
+        return lo, hi
+
+    def _build(self, b: int):
+        span = self.wp
 
         def shard_fn(q_oh, db_sh, n_windows):
-            # Local partial match counts over this device's column slice;
-            # psum reassembles the exact distance before key packing.
-            def step(carry, off):
-                lo_c, hi_c = carry
-                block = jax.lax.dynamic_slice_in_dim(db_sh, off, chunk, axis=0)
-                part = jax.lax.dot_general(
-                    q_oh, block,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                match = jax.lax.psum(part, "c")
-                dist = seq_len - match
-                lidx = off + jnp.arange(chunk, dtype=jnp.int32)
-                valid = (lidx < n_windows)[None, :]
-                shifted = dist << shift
-                key_lo = jnp.where(valid, shifted | lidx[None, :], BIG_KEY)
-                key_hi = jnp.where(valid, shifted | (span - 1 - lidx)[None, :], BIG_KEY)
-                return (
-                    jnp.minimum(lo_c, jnp.min(key_lo, axis=1)),
-                    jnp.minimum(hi_c, jnp.min(key_hi, axis=1)),
-                ), None
-
-            init = (
-                jnp.full((q_oh.shape[0],), BIG_KEY, jnp.int32),
-                jnp.full((q_oh.shape[0],), BIG_KEY, jnp.int32),
+            b_loc = q_oh.shape[0]
+            return self._bounded_min2(
+                q_oh, db_sh, n_windows,
+                jnp.full((b_loc,), -1, jnp.int32),
+                jnp.full((b_loc,), span, jnp.int32),
             )
-            offs = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-            (lo, hi), _ = jax.lax.scan(step, init, offs)
-            return lo, hi
 
         mapped = jax.shard_map(
             shard_fn,
@@ -127,45 +143,13 @@ class ColumnShardedScanRunner:
         return run
 
     def _build_collect(self, b: int):
-        seq_len, chunk, shift, span = self.seq_len, self.chunk, self.shift, self.wp
-        n_chunks = span // chunk
+        shift, span = self.shift, self.wp
 
         def shard_fn(q_oh, db_sh, n_windows):
             b_loc = q_oh.shape[0]
 
             def scan_bounds(lo_b, hi_b):
-                def step(carry, off):
-                    lo_c, hi_c = carry
-                    block = jax.lax.dynamic_slice_in_dim(db_sh, off, chunk, axis=0)
-                    part = jax.lax.dot_general(
-                        q_oh, block,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.int32,
-                    )
-                    dist = seq_len - jax.lax.psum(part, "c")
-                    lidx = off + jnp.arange(chunk, dtype=jnp.int32)
-                    valid = (
-                        (lidx < n_windows)[None, :]
-                        & (lidx[None, :] > lo_b[:, None])
-                        & (lidx[None, :] < hi_b[:, None])
-                    )
-                    shifted = dist << shift
-                    key_lo = jnp.where(valid, shifted | lidx[None, :], BIG_KEY)
-                    key_hi = jnp.where(
-                        valid, shifted | (span - 1 - lidx)[None, :], BIG_KEY
-                    )
-                    return (
-                        jnp.minimum(lo_c, jnp.min(key_lo, axis=1)),
-                        jnp.minimum(hi_c, jnp.min(key_hi, axis=1)),
-                    ), None
-
-                init = (
-                    jnp.full((b_loc,), BIG_KEY, jnp.int32),
-                    jnp.full((b_loc,), BIG_KEY, jnp.int32),
-                )
-                offs = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-                (lo, hi), _ = jax.lax.scan(step, init, offs)
-                return lo, hi
+                return self._bounded_min2(q_oh, db_sh, n_windows, lo_b, hi_b)
 
             # All 'c' devices hold every query row and see identical
             # psum-merged values, so the loop condition is naturally
@@ -191,10 +175,7 @@ class ColumnShardedScanRunner:
         """(min distance, ALL minimum-distance indices ascending) per row —
         ScanRunner.collect_ties contract on the column-sharded layout.
         Rows overflowing TIE_CAP raise (use ScanRunner)."""
-        nq = q_codes.shape[0]
-        b = max(8, 1 << math.ceil(math.log2(max(1, nq))))
-        if nq < b:
-            q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
+        q_codes, nq, b = D.pad_batch(q_codes, minimum=8)
         key = ("collect", b)
         fn = self._cache.get(key)
         if fn is None:
@@ -294,10 +275,7 @@ class ColumnShardedScanRunner:
     def kmode(self, q_codes: np.ndarray, k: int, max_divergence: int | None):
         """Exact K-mode hit lists on the column-sharded layout —
         ScanRunner.kmode result contract; None for degenerate hit sets."""
-        nq = q_codes.shape[0]
-        b = max(8, 1 << math.ceil(math.log2(max(1, nq))))
-        if nq < b:
-            q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
+        q_codes, nq, b = D.pad_batch(q_codes, minimum=8)
         maxdiv = self.seq_len + 1 if max_divergence is None else max_divergence
         skey = ("kstats", b)
         sfn = self._cache.get(skey)
@@ -328,10 +306,7 @@ class ColumnShardedScanRunner:
         return dists, idxs, hits_h
 
     def min2(self, q_codes: np.ndarray):
-        nq = q_codes.shape[0]
-        b = max(8, 1 << math.ceil(math.log2(max(1, nq))))
-        if nq < b:
-            q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
+        q_codes, nq, b = D.pad_batch(q_codes, minimum=8)
         fn = self._cache.get(b)
         if fn is None:
             fn = self._build(b)

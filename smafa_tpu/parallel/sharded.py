@@ -216,14 +216,11 @@ class ScanRunner:
         Returns host numpy arrays trimmed to the actual batch size.
         """
         self._require_windows()
-        nq = q_codes.shape[0]
         # bucket m to powers of two (extra columns are harmless BIG-padded
         # entries) so jit programs are reused across nearby m requests
         m = min(_bucket(min(m, self.n_windows)), self.wp)
-        b = _bucket(nq, minimum=max(16, self.n_q))
-        b = ((b + self.n_q - 1) // self.n_q) * self.n_q
-        if q_codes.shape[0] < b:
-            q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
+        q_codes, nq, b = D.pad_batch(q_codes, multiple=self.n_q,
+                                     minimum=max(16, self.n_q))
         key = (b, m)
         fn = self._topm_cache.get(key)
         if fn is None:
@@ -302,11 +299,8 @@ class ScanRunner:
         shift = D.packing_shift(self.seq_len, max(self.wp, 2))
         if shift is None:
             return None
-        nq = q_codes.shape[0]
-        b = _bucket(nq, minimum=max(16, self.n_q))
-        b = ((b + self.n_q - 1) // self.n_q) * self.n_q
-        if q_codes.shape[0] < b:
-            q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
+        q_codes, nq, b = D.pad_batch(q_codes, multiple=self.n_q,
+                                     minimum=max(16, self.n_q))
         if lo_bound is None:
             lo_b = np.full(b, -1, np.int32)
         else:
@@ -397,11 +391,8 @@ class ScanRunner:
         shift = D.packing_shift(self.seq_len, max(self.wp, 2))
         if shift is None:
             return None
-        nq = q_codes.shape[0]
-        b = _bucket(nq, minimum=max(16, self.n_q))
-        b = ((b + self.n_q - 1) // self.n_q) * self.n_q
-        if q_codes.shape[0] < b:
-            q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
+        q_codes, nq, b = D.pad_batch(q_codes, multiple=self.n_q,
+                                     minimum=max(16, self.n_q))
         key = ("collect", b, shift)
         fn = self._topm_cache.get(key)
         if fn is None:
@@ -539,11 +530,8 @@ class ScanRunner:
         shift = D.packing_shift(self.seq_len, max(self.wp, 2))
         if shift is None:
             return None
-        nq = q_codes.shape[0]
-        b = _bucket(nq, minimum=max(16, self.n_q))
-        b = ((b + self.n_q - 1) // self.n_q) * self.n_q
-        if q_codes.shape[0] < b:
-            q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
+        q_codes, nq, b = D.pad_batch(q_codes, multiple=self.n_q,
+                                     minimum=max(16, self.n_q))
         maxdiv = self.seq_len + 1 if max_divergence is None else max_divergence
         skey = ("kstats", b, shift)
         sfn = self._topm_cache.get(skey)
