@@ -50,8 +50,7 @@ logger = logging.getLogger("smafa")
 DEFAULT_BATCH = 512
 
 
-def _bucket(n: int, minimum: int = 16) -> int:
-    return max(minimum, 1 << math.ceil(math.log2(max(1, n))))
+_bucket = D.bucket  # single bucketing policy (ops.distance)
 
 
 @partial(jax.jit, static_argnames=("seq_len", "chunk"))

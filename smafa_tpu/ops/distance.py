@@ -644,6 +644,12 @@ def min_scan(
     return d, i
 
 
+def bucket(n: int, minimum: int = 16) -> int:
+    """Power-of-two size bucketing — the single shape-bucketing policy
+    (jit program shapes, top-M widths, capacity growth)."""
+    return max(minimum, 1 << math.ceil(math.log2(max(1, n))))
+
+
 def pad_batch(
     q_codes: np.ndarray, multiple: int = 1, minimum: int = 16
 ) -> tuple[np.ndarray, int, int]:
@@ -656,8 +662,7 @@ def pad_batch(
     results that callers trim with nq.
     """
     nq = q_codes.shape[0]
-    b = max(minimum, 1 << math.ceil(math.log2(max(1, nq))))
-    b = ((b + multiple - 1) // multiple) * multiple
+    b = ((bucket(nq, minimum) + multiple - 1) // multiple) * multiple
     if nq < b:
         q_codes = np.pad(q_codes, [(0, b - nq), (0, 0)])
     return q_codes, nq, b

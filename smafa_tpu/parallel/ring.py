@@ -353,7 +353,7 @@ class RingScanRunner:
             # Enumeration would need ~hits/2 full ring sweeps; signal the
             # caller to use its exact top-M fallback (ScanRunner contract).
             return None
-        cap = max(16, 1 << math.ceil(math.log2(max_hits)))
+        cap = D.bucket(max_hits)
         ekey = ("kenum", b, cap)
         efn = self._cache.get(ekey)
         if efn is None:

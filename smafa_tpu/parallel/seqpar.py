@@ -76,11 +76,11 @@ class ColumnShardedScanRunner:
         self.n_windows_dev = jnp.int32(self.n_windows)
         self._cache: dict[int, callable] = {}
 
-    def _bounded_min2(self, q_oh, db_sh, n_windows, lo_b, hi_b):
+    def _bounded_min2(self, q_oh, db_sh, n_windows, lo_b=None, hi_b=None):
         """Dual packed-key minima over the per-row open index interval,
         with distances psum-reassembled from column-slice partial matches.
-        The single scan body behind min2 (_build, full bounds) and tie
-        collection (_build_collect, narrowing bounds)."""
+        The single scan body behind min2 (_build, bounds None -> no mask
+        cost) and tie collection (_build_collect, narrowing bounds)."""
         seq_len, chunk, shift, span = self.seq_len, self.chunk, self.shift, self.wp
         n_chunks = span // chunk
         b_loc = q_oh.shape[0]
@@ -95,11 +95,11 @@ class ColumnShardedScanRunner:
             )
             dist = seq_len - jax.lax.psum(part, "c")
             lidx = off + jnp.arange(chunk, dtype=jnp.int32)
-            valid = (
-                (lidx < n_windows)[None, :]
-                & (lidx[None, :] > lo_b[:, None])
-                & (lidx[None, :] < hi_b[:, None])
-            )
+            valid = (lidx < n_windows)[None, :]
+            if lo_b is not None:
+                valid = valid & (lidx[None, :] > lo_b[:, None])
+            if hi_b is not None:
+                valid = valid & (lidx[None, :] < hi_b[:, None])
             shifted = dist << shift
             key_lo = jnp.where(valid, shifted | lidx[None, :], BIG_KEY)
             key_hi = jnp.where(valid, shifted | (span - 1 - lidx)[None, :], BIG_KEY)
@@ -120,12 +120,7 @@ class ColumnShardedScanRunner:
         span = self.wp
 
         def shard_fn(q_oh, db_sh, n_windows):
-            b_loc = q_oh.shape[0]
-            return self._bounded_min2(
-                q_oh, db_sh, n_windows,
-                jnp.full((b_loc,), -1, jnp.int32),
-                jnp.full((b_loc,), span, jnp.int32),
-            )
+            return self._bounded_min2(q_oh, db_sh, n_windows)
 
         mapped = jax.shard_map(
             shard_fn,
@@ -294,7 +289,7 @@ class ColumnShardedScanRunner:
             return np.empty((nq, 0), np.int32), np.empty((nq, 0), np.int32), hits_h
         if max_hits > 4096:
             return None
-        cap = max(16, 1 << math.ceil(math.log2(max_hits)))
+        cap = D.bucket(max_hits)
         ekey = ("kenum", b, cap)
         efn = self._cache.get(ekey)
         if efn is None:

@@ -64,8 +64,7 @@ def build_mesh(n_q: int | None = None, n_w: int | None = None) -> Mesh:
     return Mesh(devices[: n_q * n_w].reshape(n_q, n_w), ("q", "w"))
 
 
-def _bucket(n: int, minimum: int = 16) -> int:
-    return max(minimum, 1 << math.ceil(math.log2(max(1, n))))
+_bucket = D.bucket  # single bucketing policy (ops.distance)
 
 
 class ScanRunner:
