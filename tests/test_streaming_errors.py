@@ -74,3 +74,13 @@ def test_empty_db_runner_raises_domain_error():
         runner.min2(np.zeros((3, 1), np.uint8))
     with pytest.raises(ValueError, match="empty database"):
         runner.topm(np.zeros((3, 1), np.uint8), 5)
+
+
+def test_auto_batch_scaling():
+    from smafa_tpu.engine.query import DEFAULT_BATCH, _auto_batch
+
+    assert _auto_batch(100) == DEFAULT_BATCH
+    assert _auto_batch((1 << 16) - 1) == DEFAULT_BATCH
+    assert _auto_batch(1 << 16) == 4096
+    assert _auto_batch(1 << 19) == 8192
+    assert _auto_batch(10_000_000) == 8192
