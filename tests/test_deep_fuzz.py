@@ -49,3 +49,41 @@ def test_random_configuration(tmp_path, seed):
     buf = io.StringIO()
     cluster(f, maxd, out=buf, batch_size=int(rng.integers(1, 40)))
     assert buf.getvalue() == oracle_cluster(db, maxd)
+
+
+@pytest.mark.parametrize("seed", range(20000, 20006))
+def test_singlem_shaped_boundary(tmp_path, seed):
+    """Mutation-cluster data at 60bp with divergence near the boundary —
+    distances concentrate exactly at the cutoff, the tie-heaviest regime."""
+    rng = np.random.default_rng(seed)
+    L = 60
+    n_pool = int(rng.integers(2, 12))
+    pool = rng.integers(0, 4, size=(n_pool, L))
+
+    def mk(n, maxmut):
+        rows = pool[rng.integers(0, n_pool, n)].copy()
+        for i in range(n):
+            k = int(rng.integers(0, maxmut + 1))
+            pos = rng.choice(L, size=k, replace=False)
+            rows[i, pos] = rng.integers(0, 5, k)
+        return ["".join("ACGTN"[c] for c in r) for r in rows]
+
+    nd, nq = int(rng.integers(3, 150)), int(rng.integers(1, 50))
+    db = mk(nd, int(rng.integers(0, 8)))
+    qs = mk(nq, int(rng.integers(0, 8)))
+    div = int(rng.integers(0, 9))
+    mode = seed % 3
+    if mode == 0:
+        kw = dict(max_divergence=div)
+    elif mode == 1:
+        kw = dict(max_num_hits=int(rng.integers(2, 120)), max_divergence=div)
+    else:
+        kw = dict(max_num_hits=int(rng.integers(2, 40)),
+                  limit_per_sequence=int(rng.integers(1, 4)))
+    assert _run_query(tmp_path, db, qs, **kw) == oracle_query(db, qs, **kw)
+
+    f = tmp_path / "c.fna"
+    _write_fasta(f, db)
+    buf = io.StringIO()
+    cluster(f, div, out=buf, batch_size=int(rng.integers(1, 40)))
+    assert buf.getvalue() == oracle_cluster(db, div)
