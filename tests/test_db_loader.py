@@ -72,3 +72,23 @@ def test_postcard_inconsistent_wps_rejected():
     postcard.write_varint(100, out)  # Some(length=100): inconsistent
     with pytest.raises(ValueError):
         postcard.loads(bytes(out))
+
+
+def test_fastq_gz_roundtrip_through_engine(tmp_path, data_dir):
+    """FASTQ(.gz) works as both makedb subject input and query stream
+    (the reference accepts FASTX everywhere; only count was covered)."""
+    import io as _io
+
+    from smafa_tpu.engine.makedb import makedb
+    from smafa_tpu.engine.query import query as run_query
+
+    src = data_dir / "random_30_4.fq.gz"
+    dbp = tmp_path / "db"
+    makedb(src, dbp)
+    buf = _io.StringIO()
+    run_query(dbp, src, out=buf)
+    lines = [l.split("\t") for l in buf.getvalue().splitlines()]
+    # every read must best-hit itself at distance 0
+    self_hits = {(p[0], p[1]) for p in lines if p[2] == "0"}
+    for i in range(4):
+        assert (str(i), str(i)) in self_hits
