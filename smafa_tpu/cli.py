@@ -115,7 +115,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("count",
                        help="Print the number of reads/bases in a possibly gzipped FASTX file")
-    p.add_argument("-i", "--input", nargs="+", required=True, help="FASTQ file to count [required]")
+    # num_args(0..) in the reference (main.rs:113): zero files is legal
+    # and prints an empty JSON array.
+    p.add_argument("-i", "--input", nargs="*", required=True,
+                   help="FASTQ file to count [required]")
     _add_verbosity(p)
 
     return parser

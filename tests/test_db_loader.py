@@ -92,3 +92,10 @@ def test_fastq_gz_roundtrip_through_engine(tmp_path, data_dir):
     self_hits = {(p[0], p[1]) for p in lines if p[2] == "0"}
     for i in range(4):
         assert (str(i), str(i)) in self_hits
+
+
+def test_count_zero_files_prints_empty_array(capsys):
+    from smafa_tpu.cli import main
+
+    assert main(["count", "-i"]) == 0
+    assert capsys.readouterr().out.strip() == "[]"
