@@ -201,10 +201,11 @@ def dumps(ws: WindowSet) -> bytes:
                 n, ws.length,
                 buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             )
-            out.extend(buf[:written].tobytes())
-            out.append(0x01)  # Some
-            write_varint(ws.length, out)
-            return bytes(out)
+            tail = bytearray([0x01])  # Some
+            write_varint(ws.length, tail)
+            # One join: bytearray.extend + bytes() would copy the ~45B/row
+            # body two extra times (tens of seconds at 10M rows).
+            return b"".join([bytes(out), buf[:written].tobytes(), bytes(tail)])
         words = ws.packed_words()  # [n, wps]
         # stream: per window, varint(wps) then wps varints. Encode all words
         # vectorized, then interleave the per-window length prefixes.
