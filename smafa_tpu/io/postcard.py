@@ -24,7 +24,7 @@ The version can be "peeked" by parsing the first varint, mirroring
 
 The window-stream varint coding has two implementations with identical
 bytes: a native C++ single-pass codec (smafa_tpu/native/fastx.cpp —
-10M-row dbs encode in ~30s / decode in ~9s, memory-bound) used whenever
+10M-row dbs encode in ~4s / decode in ~4s, memory-bound) used whenever
 the extension is built, and a vectorized-numpy fallback that is fine to
 ~1M rows but goes superlinear beyond (temporary-array pressure).
 """
