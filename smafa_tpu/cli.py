@@ -105,6 +105,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--input", required=True, help="FASTA file to cluster [required]")
     p.add_argument("-d", "--max-divergence", type=int, required=True,
                    help="Maximum divergence to report hits for, for each sequence")
+    p.add_argument("--batch-size", type=int, default=512, help=argparse.SUPPRESS)
     p.add_argument("--coordinator", default=None,
                    help="Multi-host: coordinator address host:port")
     p.add_argument("--num-processes", type=int, default=None,
@@ -188,7 +189,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.subcommand == "cluster":
             from smafa_tpu.engine.cluster import cluster
 
-            cluster(args.input, args.max_divergence, out=out_stream)
+            cluster(args.input, args.max_divergence, out=out_stream,
+                    batch_size=args.batch_size)
         elif args.subcommand == "count":
             from smafa_tpu.engine.count import count
 
