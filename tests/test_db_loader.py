@@ -99,3 +99,12 @@ def test_count_zero_files_prints_empty_array(capsys):
 
     assert main(["count", "-i"]) == 0
     assert capsys.readouterr().out.strip() == "[]"
+
+
+def test_no_subcommand_prints_help_and_exits_zero(capsys):
+    # Reference: no subcommand -> print help, exit 0 (main.rs:52-56).
+    from smafa_tpu.cli import main
+
+    assert main([]) == 0
+    out = capsys.readouterr().out
+    assert "makedb" in out and "query" in out and "cluster" in out and "count" in out
