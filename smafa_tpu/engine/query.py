@@ -19,18 +19,20 @@ lib.rs:198-325):
   with query_number counting records from 0 (lib.rs:231,292,310).
 
 TPU execution: the db lives on device as a one-hot int8 tensor. Best-hit
-mode runs one on-device program: a fused dual-packed-key scan plus a
-while_loop of range-masked tie-collection passes
-(parallel.sharded.collect_ties) — sort-free and exact over the
-ALL-ties-at-minimum rule. K-mode is sort-free as well
-(parallel.sharded.kmode): an on-device binary search of the Kth-smallest
-distance via fused <=-count scans, then dual-ended enumeration of the
-hit set in packed-key order (which IS the reference's output order),
-cutoff ties included by construction. The chunked top-M sort-merge
-(ops.distance.topm_scan) remains only as the exactness fallback for
-degenerate cases. When more than one device is visible the scans shard
-the db rows across a 'w' mesh axis and merge with pmin/psum collectives
-(parallel.sharded).
+mode is two fused passes at most: phase A (dispatched ahead) is a
+dual-packed-key min scan fused with an exact tie count — rows with <= 2
+ties are fully resolved by it — and batches containing a row with more
+ties take ONE compaction pass that enumerates every minimum-distance
+window in (row, index) order (ops.distance.compact_scan). K-mode is the
+same shape: phase A computes the exact [B, L+1] distance histogram in
+one pass (the host reads the reference's cutoff rule off its cumulative
+sum), phase B is one compaction pass at the cutoff — cutoff ties
+included by construction, sort-free end to end. The chunked top-M
+sort-merge (ops.distance.topm_scan) remains only as the exactness
+fallback when packed 31-bit keys overflow. When more than one device is
+visible the scans shard over the selected layout (row-sharded mesh,
+ppermute ring, or column-sharded — parallel.sharded/ring/seqpar, chosen
+by db size / window length / SMAFA_TPU_LAYOUT).
 """
 
 from __future__ import annotations
@@ -70,10 +72,10 @@ class _DbOnDevice:
         self._setup()
 
     def _setup(self):
-        from smafa_tpu.parallel import sharded
+        from smafa_tpu.parallel.select import make_runner
 
         codes = self.windows.codes
-        self.runner = sharded.ScanRunner(codes, self.seq_len or 1)
+        self.runner = make_runner(codes, self.seq_len or 1)
 
     def decoded(self, idx: int) -> str:
         s = self._decoded.get(idx)
@@ -199,47 +201,41 @@ def _drain_batch(out, db, pending, k_mode, max_divergence, limit_per_sequence, t
     """Resolve one dispatched batch's device work and emit its hits."""
     qnum0, nq, p_codes, p_handle = pending
     if k_mode is None and p_handle is not None:
-        # Best-hit mode: dual-key scan + iterative range-masked tie
-        # collection — no sort anywhere. Bulk TSV emit.
+        # Best-hit mode: phase A (fused min + tie count, already
+        # dispatched) resolves rows with <= 2 ties outright; one
+        # compaction pass enumerates the rest. Bulk TSV emit.
         with timers.stage("scan"):
-            collected = db.runner.collect_ties(p_codes, handle=p_handle)
-        if collected is not None:
-            dist, ties = collected
+            res = db.runner.best_hit(p_codes, max_divergence, handle=p_handle)
+        if res is not None:
+            dist, _counts, rows, idx = res
             with timers.stage("emit"):
-                _emit_best_hit_ties(out, qnum0, nq, dist, ties, db, max_divergence)
+                if rows.size:
+                    _emit_bulk(
+                        out, qnum0 + rows.astype(np.int64), idx,
+                        dist[rows], db,
+                    )
             return
     if k_mode is not None:
-        # K-mode: on-device cutoff search (fused <=-count binary search,
-        # dispatched ahead as phase 1) + dual-ended key-order enumeration
-        # — exact cutoff-tie semantics, no sort.
+        # K-mode: cutoff + exact hit counts from the (pre-dispatched)
+        # histogram phase, then one compaction pass at the cutoff —
+        # exact cutoff-tie semantics, flat (distance, index)-sorted.
         with timers.stage("scan"):
-            kres = db.runner.kmode(
+            kres = db.runner.kmode_flat(
                 p_codes, k_mode, max_divergence, stats_handle=p_handle
             )
         if kres is not None:
-            kdists, kidxs, khits = kres
+            counts, rows, idx, dv = kres
             with timers.stage("emit"):
                 if limit_per_sequence is None:
-                    # Flatten all rows' (already filtered + sorted) hit
-                    # lists into one bulk native TSV call — no per-hit
-                    # Python, no per-subject decode memoization.
-                    counts = khits.astype(np.int64)
-                    total = int(counts.sum())
-                    if total:
-                        qnums = np.repeat(
-                            qnum0 + np.arange(nq, dtype=np.int64), counts
-                        )
-                        cols_mask = (
-                            np.arange(kdists.shape[1])[None, :] < counts[:, None]
-                        )
-                        _emit_bulk(
-                            out, qnums, kidxs[cols_mask], kdists[cols_mask], db
-                        )
+                    if rows.size:
+                        _emit_bulk(out, qnum0 + rows.astype(np.int64), idx, dv, db)
                 else:
+                    starts = np.cumsum(counts.astype(np.int64)) - counts
                     for row in range(nq):
+                        s, n = int(starts[row]), int(counts[row])
                         _emit_kmode_row(
-                            out, qnum0 + row, kdists[row], kidxs[row],
-                            int(khits[row]), db, limit_per_sequence,
+                            out, qnum0 + row, dv[s:s + n], idx[s:s + n],
+                            n, db, limit_per_sequence,
                         )
             return
     with timers.stage("scan"):
@@ -329,7 +325,7 @@ def _dispatch_batch(db: _DbOnDevice, codes: np.ndarray, k_mode, max_divergence):
     while the host parses the next batch.
     """
     if k_mode is None:
-        return db.runner.collect_ties_async(codes)
+        return db.runner.min_count_async(codes)
     return db.runner.kmode_stats_async(codes, k_mode, max_divergence)
 
 
@@ -362,30 +358,6 @@ def _any_overflow(dists, maxd, w, m, k_mode, max_divergence) -> bool:
     else:
         mind_eff = mind
     return bool(np.any(last == mind_eff))
-
-
-def _emit_best_hit_ties(out, qnum0, nq, dist, ties, db, max_divergence):
-    """Bulk emission for a tie-collected best-hit batch.
-
-    Flattens every row's (ascending) tie list into one triple array and
-    formats all lines in a single native call (reference output order:
-    query number ascending, then subject index, lib.rs:306-313).
-    """
-    counts = np.fromiter((len(t) for t in ties), dtype=np.int64, count=nq)
-    keep = dist[:nq] < 2**30  # drop empty rows
-    if max_divergence is not None:
-        keep &= dist[:nq] <= max_divergence
-    counts = np.where(keep, counts, 0)
-    total = int(counts.sum())
-    if total == 0:
-        return
-    qnums = np.repeat(qnum0 + np.arange(nq, dtype=np.int64), counts)
-    subj = np.fromiter(
-        (i for r in range(nq) if counts[r] for i in ties[r]),
-        dtype=np.int32, count=total,
-    )
-    d = np.repeat(dist[:nq].astype(np.int32), counts)
-    _emit_bulk(out, qnums, subj, d, db)
 
 
 def _emit_bulk(out, qnums, subj, d, db):

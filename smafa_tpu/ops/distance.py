@@ -20,18 +20,22 @@ scans over those keys:
 
 - ``min2_scan``: dual keys (index ascending + descending) over a per-row
   open index interval — one pass gives the best hit (lowest-index tie,
-  lib.rs:306-313), the highest tied index, and range-narrowing bounds.
-- ``collect_scan`` / ``collect_loop``: a while_loop of range-masked
-  min2 passes enumerating EVERY minimum-distance window (best-hit mode's
-  full output set), two ties per iteration, on device.
-- ``kmode_phase1`` / ``kmode_enumerate``: binary-search the Kth-smallest
-  distance with ``<=``-count scans, then enumerate all hits at
-  ``<= min(cutoff, max_divergence)`` from both ends of key order into a
-  buffer that is sorted when the cursors meet — the reference's K-mode
-  print set, cutoff ties included (lib.rs:241-295).
+  lib.rs:306-313) and the highest tied index.
+- ``min2_count_scan``: the dual-key pass fused with an exact count of
+  windows at the min — best-hit phase A. Rows with <= 2 ties are fully
+  resolved; the rest are enumerated by ONE ``compact_scan`` pass.
+- ``compact_scan``: one pass emitting EVERY (row, window) pair with
+  dist <= thresh[row] into a flat buffer in (row, index) order, via a
+  cumulative-rank + searchsorted gather (no sort, no scatter). Serves
+  best-hit tie enumeration (thresh = row min, lib.rs:306-313) and the
+  K-mode print set (thresh = effective cutoff, lib.rs:261-265).
+- ``hist_scan`` / ``kmode_cutoffs_from_hist``: one pass computing the
+  exact [B, L+1] distance histogram; the host reads the Kth-smallest
+  distance, row max, and hit counts off its cumulative sum — the K-mode
+  cutoff rule (lib.rs:253-265). ``kmode_phase1`` (binary-search count
+  scans) remains for very long windows.
 - ``topm_scan``: the exact chunked (distance, index) top-M sort-merge,
-  retained as the fallback for degenerate cases (key-packing overflow,
-  >4096 hits per row).
+  retained as the fallback when key packing overflows 31 bits.
 
 Everything here is shape-static and jit-cached; callers pad B/W/L to the
 canonical grid (see ``pad_*`` helpers). Shard-map wrappers in
@@ -244,110 +248,248 @@ def min2_scan(
     return lo, hi
 
 
-TIE_CAP = 64  # device-side tie buffer width; overflow rows resolve on host
+# ---------------------------------------------------------------------------
+# Fused min + tie count, and one-pass hit-set compaction.
+#
+# Best-hit mode must print EVERY window at the minimum distance in index
+# order (reference lib.rs:306-313); K-mode must print every window at
+# <= min(Kth-smallest, max_divergence) in (distance, index) order
+# (lib.rs:241-295). Both output sets are enumerated by ONE extra pass over
+# the db — ``compact_scan`` — instead of the round-1 while_loop of
+# range-masked rescans (two ties per full rescan):
+#
+#   phase A (dispatch): ``min2_count_scan`` — the dual packed-key min scan
+#            fused with an exact count of windows at the min. Rows with
+#            count <= 2 are fully resolved by phase A alone (the dual keys
+#            carry the lowest AND highest tied index).
+#   phase B (only when some row has >= 3 ties, or in K-mode): one
+#            compaction pass. Per chunk, the hits (dist <= thresh[row])
+#            are ranked by a row-major cumulative sum and gathered into a
+#            flat [t_cap] buffer via ``searchsorted`` on the cumulative
+#            ranks — an all-gather formulation (no scatter, which XLA
+#            serializes on TPU; no sort). The buffer comes back in
+#            (row, index) order; hosts lexsort the few thousand entries
+#            when a merge across shards or a (distance, index) K-mode
+#            order is needed.
+#
+# t_cap is chosen by the host from phase A's exact counts (or the
+# histogram), so phase B never overflows.
 
 
-@partial(jax.jit, static_argnames=("seq_len", "shift", "chunk", "index_span", "cap"))
-def collect_scan(
+def min_count_chunk_update(carry, dist, lidx, n_windows, gidx, shift,
+                           index_span):
+    """Fold one distance chunk into the running (lo key, hi key, count at
+    min, min dist) state. Shared by the single-device/row-sharded scans
+    and the ring/column-sharded loops."""
+    lo_c, hi_c, cnt_c, d_c = carry
+    big_key = jnp.int32(2**31 - 1)
+    valid = (lidx < n_windows)[None, :]
+    dist_m = jnp.where(valid, dist, BIG)
+    blk_d = jnp.min(dist_m, axis=1)
+    blk_cnt = jnp.sum(valid & (dist == blk_d[:, None]), axis=1,
+                      dtype=jnp.int32)
+    shifted = dist << shift
+    key_lo = jnp.where(valid, shifted | gidx[None, :], big_key)
+    key_hi = jnp.where(valid, shifted | (index_span - 1 - gidx)[None, :],
+                       big_key)
+    cnt_n = jnp.where(
+        blk_d < d_c, blk_cnt,
+        jnp.where(blk_d == d_c, cnt_c + blk_cnt, cnt_c),
+    )
+    return (
+        jnp.minimum(lo_c, jnp.min(key_lo, axis=1)),
+        jnp.minimum(hi_c, jnp.min(key_hi, axis=1)),
+        cnt_n,
+        jnp.minimum(d_c, blk_d),
+    )
+
+
+@partial(jax.jit, static_argnames=("seq_len", "shift", "chunk", "index_span"))
+def min2_count_scan(
     q_oh: jax.Array,       # int8 [B, LP]
     db_oh: jax.Array,      # int8 [Wp, LP]
-    n_windows: jax.Array,  # int32 scalar
+    n_windows: jax.Array,  # int32 scalar: valid rows of this db block
+    index_offset: jax.Array,  # int32 scalar: global index of db row 0
     seq_len: int,
     shift: int,
     chunk: int,
     index_span: int,
-    cap: int = TIE_CAP,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Per row: (min distance, ALL minimum-distance indices, count, overflow).
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per row: (lo key, hi key, exact count of windows at the min dist).
 
-    The full best-hit resolution — reference lib.rs:306-313 "print every
-    window at the min" — as ONE device program: a ``lax.while_loop`` of
-    range-masked dual-key scans, narrowing each row's open interval to the
-    innermost indices found so far (two new ties per iteration for rows
-    still active). Device iterations cost ~a scan each; doing this
-    on-device removes the per-pass host round trip that dominates the
-    host-driven variant. Ties land unsorted in a [B, cap] buffer (-1
-    padded); rows with more than ``cap`` ties set overflow and must be
-    finished on the host (never at 60 bp scale: cap=64).
+    One fused pass: the best-hit phase-A program. lo/hi are the dual
+    packed keys of min2_scan (lowest- and highest-index window at the
+    min); count is exact, so the caller knows up front whether phase B
+    (compaction) is needed and how big its buffer must be. Empty rows
+    (n_windows == 0) return BIG keys and count 0.
     """
-    def scan_bounds(lo_b, hi_b):
-        return min2_scan(
-            q_oh, db_oh, n_windows, jnp.int32(0), lo_b, hi_b,
-            seq_len, shift, chunk, index_span,
-        )
-
-    return collect_loop(scan_bounds, q_oh.shape[0], index_span, shift, cap)
-
-
-def collect_loop(scan_bounds, b: int, index_span: int, shift: int, cap: int,
-                 cond_reduce=None):
-    """The tie-enumeration while_loop, parameterized by the bounded dual-key
-    scan (single-device min2 or a shard_map pmin-merged variant).
-
-    ``cond_reduce``: maps the local any-active bool to a globally agreed
-    value. REQUIRED when the loop body contains collectives spanning
-    devices that hold different query rows (e.g. the ring schedule's
-    ppermute): every participant must run the same number of iterations,
-    so the condition must be reduced across them (pmax). Devices whose
-    rows all finished keep iterating with empty ranges (no-ops)."""
+    n_chunks = db_oh.shape[0] // chunk
+    b = q_oh.shape[0]
     big_key = jnp.int32(2**31 - 1)
-    mask = jnp.int32((1 << shift) - 1)
-
-    lo1, hi1 = scan_bounds(
-        jnp.full((b,), -1, jnp.int32), jnp.full((b,), index_span, jnp.int32)
+    init = (
+        jnp.full((b,), big_key, jnp.int32),
+        jnp.full((b,), big_key, jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.full((b,), BIG, jnp.int32),
     )
-    empty = lo1 == big_key
-    dist = jnp.where(empty, jnp.int32(2**30), lo1 >> shift)
-    i_lo = jnp.where(empty, jnp.int32(-1), lo1 & mask)
-    i_hi = jnp.where(empty, jnp.int32(-1), index_span - 1 - (hi1 & mask))
 
-    ties = jnp.full((b, cap), -1, jnp.int32)
-    cols = jnp.arange(cap, dtype=jnp.int32)[None, :]
-    ties = jnp.where((cols == 0) & ~empty[:, None], i_lo[:, None], ties)
-    two = (~empty) & (i_hi != i_lo)
-    ties = jnp.where((cols == 1) & two[:, None], i_hi[:, None], ties)
-    count = jnp.where(empty, 0, 1) + two.astype(jnp.int32)
-    active = (~empty) & (i_hi > i_lo + 1)
+    def step(carry, off):
+        block = jax.lax.dynamic_slice_in_dim(db_oh, off, chunk, axis=0)
+        dist = seq_len - _match_dots(q_oh, block)
+        lidx = off + jnp.arange(chunk, dtype=jnp.int32)
+        gidx = index_offset + lidx
+        return min_count_chunk_update(
+            carry, dist, lidx, n_windows, gidx, shift, index_span
+        ), None
 
-    def cond(state):
-        local_any = jnp.any(state[0])
-        return cond_reduce(local_any) if cond_reduce is not None else local_any
+    offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (lo, hi, cnt, _), _ = jax.lax.scan(step, init, offsets)
+    return lo, hi, cnt
 
-    def body(state):
-        active, ties, count, lo_b, hi_b = state
-        # Inactive rows get an empty interval, so their scan work is
-        # masked to BIG_KEY (the matmul still runs; device FLOPs are
-        # cheap, host round trips were not).
-        lo2, hi2 = scan_bounds(
-            jnp.where(active, lo_b, jnp.int32(0)),
-            jnp.where(active, hi_b, jnp.int32(0)),
-        )
-        d2 = jnp.where(lo2 == big_key, jnp.int32(2**30), lo2 >> shift)
-        found = active & (d2 == dist)
-        f_lo = lo2 & mask
-        f_hi = index_span - 1 - (hi2 & mask)
-        pair = found & (f_hi != f_lo)
-        c1 = jnp.where(found & (count < cap), count, cap)  # clamp writes
-        ties = jnp.where(
-            (cols == c1[:, None]) & found[:, None] & (count < cap)[:, None],
-            f_lo[:, None], ties,
-        )
-        c2 = jnp.where(pair & (count + 1 < cap), count + 1, cap)
-        ties = jnp.where(
-            (cols == c2[:, None]) & pair[:, None] & (count + 1 < cap)[:, None],
-            f_hi[:, None], ties,
-        )
-        count = count + found.astype(jnp.int32) + pair.astype(jnp.int32)
-        lo_b = jnp.where(found, f_lo, lo_b)
-        hi_b = jnp.where(found, f_hi, hi_b)
-        active = found & (f_hi > f_lo + 1) & (count <= cap)
-        return active, ties, count, lo_b, hi_b
 
-    active, ties, count, _, _ = jax.lax.while_loop(
-        cond, body, (active, ties, count, i_lo, i_hi)
+def compact_chunk_update(carry, dist, lidx, n_windows, thresh, index_offset,
+                         t_cap):
+    """Fold one distance chunk into the flat compaction buffer.
+
+    carry = (rows [t_cap], idx [t_cap], dvals [t_cap], total scalar).
+    Hits are entries with dist <= thresh[row] (thresh = -1 disables a
+    row); they are appended to the buffer in (row, window index) order.
+    The append is gather-based: a row-major cumulative count ranks every
+    hit, and ``searchsorted`` over the (sorted) flat ranks finds, for each
+    destination slot, the source element — no scatter, no sort.
+    Entries past t_cap are dropped but still counted, so the caller can
+    detect (and with exact phase-A/histogram counts, prevent) overflow.
+    """
+    rows_b, idx_b, dist_b, total = carry
+    b, chunk = dist.shape
+    valid = (lidx < n_windows)[None, :]
+    mask = valid & (dist <= thresh[:, None])
+    inc = mask.astype(jnp.int32)
+    within = jnp.cumsum(inc, axis=1)              # 1-based rank within row
+    row_counts = within[:, -1]
+    row_start = jnp.cumsum(row_counts) - row_counts
+    flat_cum = (row_start[:, None] + within).reshape(-1)  # nondecreasing
+    chunk_total = row_start[-1] + row_counts[-1]
+    slots = jnp.arange(t_cap, dtype=jnp.int32)
+    s_rel = slots - total
+    take = (s_rel >= 0) & (s_rel < chunk_total)
+    # First flat element whose cumulative rank reaches s_rel+1 IS the
+    # (s_rel+1)-th hit of this chunk (ranks only increment at hits).
+    src = jnp.searchsorted(flat_cum, s_rel + 1, side="left")
+    src = jnp.clip(src, 0, b * chunk - 1).astype(jnp.int32)
+    b_src = src // chunk
+    w_src = src % chunk
+    g = (index_offset + lidx[w_src]).astype(jnp.int32)
+    dval = jnp.take(dist.reshape(-1), src)
+    return (
+        jnp.where(take, b_src, rows_b),
+        jnp.where(take, g, idx_b),
+        jnp.where(take, dval, dist_b),
+        total + chunk_total,
     )
-    overflow = count > cap
-    return dist, ties, count, overflow
+
+
+@partial(jax.jit, static_argnames=("seq_len", "chunk", "t_cap"))
+def compact_scan(
+    q_oh: jax.Array,       # int8 [B, LP]
+    db_oh: jax.Array,      # int8 [Wp, LP]
+    n_windows: jax.Array,  # int32 scalar
+    thresh: jax.Array,     # int32 [B]: per-row inclusive cutoff (-1 = skip row)
+    index_offset: jax.Array,  # int32 scalar
+    seq_len: int,
+    chunk: int,
+    t_cap: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One pass: every (row, window) with dist <= thresh[row], flattened.
+
+    Returns (rows [t_cap], idx [t_cap], dvals [t_cap], total) with unused
+    slots at rows == -1. Output is ordered by (row, window index) — the
+    best-hit emission order; K-mode re-orders per row by (dist, index) on
+    the host.
+    """
+    n_chunks = db_oh.shape[0] // chunk
+    init = (
+        jnp.full((t_cap,), -1, jnp.int32),
+        jnp.full((t_cap,), -1, jnp.int32),
+        jnp.full((t_cap,), BIG, jnp.int32),
+        jnp.int32(0),
+    )
+
+    def step(carry, off):
+        block = jax.lax.dynamic_slice_in_dim(db_oh, off, chunk, axis=0)
+        dist = seq_len - _match_dots(q_oh, block)
+        lidx = off + jnp.arange(chunk, dtype=jnp.int32)
+        return compact_chunk_update(
+            carry, dist, lidx, n_windows, thresh, index_offset, t_cap
+        ), None
+
+    offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (rows, idx, dvals, total), _ = jax.lax.scan(step, init, offsets)
+    return rows, idx, dvals, total
+
+
+HIST_MAX = 1024  # histogram path only for seq_len < HIST_MAX (else binary search)
+
+
+def hist_chunk_update(carry, dist, lidx, n_windows, seq_len):
+    """Fold one distance chunk into the running [B, seq_len+1] histogram."""
+    valid = (lidx < n_windows)[None, :, None]
+    bins = jnp.arange(seq_len + 1, dtype=jnp.int32)[None, None, :]
+    return carry + jnp.sum(
+        (dist[:, :, None] == bins) & valid, axis=1, dtype=jnp.int32
+    )
+
+
+@partial(jax.jit, static_argnames=("seq_len", "chunk"))
+def hist_scan(
+    q_oh: jax.Array, db_oh: jax.Array, n_windows: jax.Array,
+    seq_len: int, chunk: int,
+) -> jax.Array:
+    """[B, seq_len+1] exact distance histogram — the K-mode phase-A program.
+
+    One pass yields everything the reference's cutoff rule needs
+    (lib.rs:253-256): the Kth-smallest distance, the per-row max, and the
+    exact hit count at any cutoff all read off the host-side cumulative
+    sum of a [B, L+1] table, replacing round 1's ~log2(L) binary-search
+    count scans.
+    """
+    b = q_oh.shape[0]
+    n_chunks = db_oh.shape[0] // chunk
+
+    def step(carry, off):
+        block = jax.lax.dynamic_slice_in_dim(db_oh, off, chunk, axis=0)
+        dist = seq_len - _match_dots(q_oh, block)
+        lidx = off + jnp.arange(chunk, dtype=jnp.int32)
+        return hist_chunk_update(carry, dist, lidx, n_windows, seq_len), None
+
+    init = jnp.zeros((b, seq_len + 1), jnp.int32)
+    offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    hist, _ = jax.lax.scan(step, init, offsets)
+    return hist
+
+
+def kmode_cutoffs_from_hist(hist: np.ndarray, k: int,
+                            max_divergence: int | None,
+                            n_windows: int) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side K-mode cutoff rule from the distance histogram.
+
+    Returns (eff [B] effective cutoff, hits [B] exact hit count), with the
+    reference semantics: cutoff = Kth-smallest distance, or the per-row
+    max when K > number of db windows (lib.rs:253-256); eff = min(cutoff,
+    max_divergence); hits = count of windows at <= eff (cutoff ties
+    included, lib.rs:261-265).
+    """
+    seq_len = hist.shape[1] - 1
+    cum = hist.cumsum(axis=1)
+    kth = (cum < k).sum(axis=1)  # first t with cum[t] >= k; L+1 if none
+    nz = hist > 0
+    maxd = seq_len - np.argmax(nz[:, ::-1], axis=1)  # last nonzero bin
+    cutoff = np.where(k > n_windows, maxd, kth).astype(np.int64)
+    if max_divergence is not None:
+        cutoff = np.minimum(cutoff, max_divergence)
+    eff = np.clip(cutoff, 0, seq_len)
+    hits = cum[np.arange(hist.shape[0]), eff]
+    return eff.astype(np.int32), hits.astype(np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -401,69 +543,13 @@ def kmode_phase1(scan_stats, k, maxdiv, n_windows, seq_len):
     return eff, hits
 
 
-def kmode_enumerate(region_scan, b, eff, hits, shift, seq_len, span, cap,
-                    cond_reduce=None):
-    """Dual-ended key-order enumeration into a sorted [b, cap] buffer.
-
-    region_scan(eff, lo_key, hi_key) -> (min key1, min rkey) over windows
-    with dist <= eff[row] and lo_key[row] < key1 < hi_key[row].
-    ``cond_reduce``: see collect_loop — required when region_scan contains
-    collectives spanning devices with different query rows (ring).
-    """
-    big = jnp.int32(2**31 - 1)
-    cols = jnp.arange(cap, dtype=jnp.int32)[None, :]
-
-    def rkey_to_key1(rk):
-        d = seq_len - (rk >> shift)
-        i = span - 1 - (rk & ((1 << shift) - 1))
-        return (d << shift) | i
-
-    state = (
-        jnp.full((b, cap), big, jnp.int32),      # buf
-        jnp.zeros((b,), jnp.int32),               # front cursor
-        jnp.minimum(hits, cap) - 1,               # back cursor
-        jnp.full((b,), -1, jnp.int32),            # cur_lo key (exclusive)
-        jnp.full((b,), big, jnp.int32),           # cur_hi key (exclusive)
-        hits > 0,                                 # active
-    )
-
-    def cond(s):
-        local_any = jnp.any(s[5])
-        return cond_reduce(local_any) if cond_reduce is not None else local_any
-
-    def body(s):
-        buf, front, back, cur_lo, cur_hi, active = s
-        k1, rk = region_scan(
-            jnp.where(active, eff, jnp.int32(-1)),
-            jnp.where(active, cur_lo, big),
-            jnp.where(active, cur_hi, jnp.int32(-1)),
-        )
-        k_top = jnp.where(rk == big, big, rkey_to_key1(rk))
-        found = active & (k1 != big)
-        # write the low end at front, the high end at back (skip the high
-        # write when both cursors point at the same remaining element)
-        buf = jnp.where(
-            (cols == front[:, None]) & found[:, None], k1[:, None], buf
-        )
-        pair = found & (k_top != k1) & (back > front)
-        buf = jnp.where(
-            (cols == back[:, None]) & pair[:, None], k_top[:, None], buf
-        )
-        front2 = front + found.astype(jnp.int32)
-        back2 = back - pair.astype(jnp.int32)
-        active2 = found & (front2 <= back2)
-        return (buf, front2, back2, jnp.where(found, k1, cur_lo),
-                jnp.where(pair, k_top, cur_hi), active2)
-
-    buf, front, back, _, _, _ = jax.lax.while_loop(cond, body, state)
-    return buf
-
-
 @partial(jax.jit, static_argnames=("seq_len", "shift", "chunk", "index_span"))
 def kmode_stats_scan(
     q_oh, db_oh, n_windows, k, maxdiv, seq_len, shift, chunk, index_span
 ):
-    """Phase-1 program (single device): (eff cutoff, exact hit count)."""
+    """Phase-A program for long windows (single device): (eff cutoff,
+    exact hit count) via binary-search count scans. Short windows use
+    ``hist_scan`` instead (one pass)."""
     def scan_stats(t):
         t = jnp.broadcast_to(t, (q_oh.shape[0],))
         return _stats_pass(q_oh, db_oh, n_windows, t, seq_len, chunk)
@@ -485,28 +571,6 @@ def stats_chunk_update(carry, dist, lidx, n_windows, t):
     return cnt, mx
 
 
-def region_chunk_update(carry, dist, lidx, n_windows, eff, lo_key, hi_key,
-                        seq_len, shift, index_span, index_offset=0):
-    """Fold one distance chunk into the running (min key1, min rkey) over
-    the per-row key region (see _region_pass). Shared like
-    stats_chunk_update."""
-    m1, mr = carry
-    big = jnp.int32(2**31 - 1)
-    valid = (lidx < n_windows)[None, :]
-    gidx = index_offset + lidx
-    key1 = (dist << shift) | gidx[None, :]
-    sel = (
-        valid
-        & (dist <= eff[:, None])
-        & (key1 > lo_key[:, None])
-        & (key1 < hi_key[:, None])
-    )
-    rkey = ((seq_len - dist) << shift) | (index_span - 1 - gidx)[None, :]
-    m1 = jnp.minimum(m1, jnp.min(jnp.where(sel, key1, big), axis=1))
-    mr = jnp.minimum(mr, jnp.min(jnp.where(sel, rkey, big), axis=1))
-    return m1, mr
-
-
 def _stats_pass(q_oh, db_oh, n_windows, t, seq_len, chunk):
     """One fused pass: (count of dist <= t[row], max dist) per row."""
     b = q_oh.shape[0]
@@ -522,50 +586,6 @@ def _stats_pass(q_oh, db_oh, n_windows, t, seq_len, chunk):
     offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     (cnt, mx), _ = jax.lax.scan(step, init, offsets)
     return cnt, mx
-
-
-def _region_pass(q_oh, db_oh, n_windows, eff, lo_key, hi_key,
-                 seq_len, shift, chunk, index_span, index_offset=0):
-    """One fused pass: (min key1, min rkey) over the per-row key region.
-
-    ``index_offset`` is the global index of db_oh row 0 (nonzero for db
-    shards), so packed keys compare globally and shard merges are pmin.
-    """
-    b = q_oh.shape[0]
-    n_chunks = db_oh.shape[0] // chunk
-    big = jnp.int32(2**31 - 1)
-
-    def step(carry, off):
-        block = jax.lax.dynamic_slice_in_dim(db_oh, off, chunk, axis=0)
-        dist = seq_len - _match_dots(q_oh, block)
-        lidx = off + jnp.arange(chunk, dtype=jnp.int32)
-        return region_chunk_update(
-            carry, dist, lidx, n_windows, eff, lo_key, hi_key,
-            seq_len, shift, index_span, index_offset,
-        ), None
-
-    init = (jnp.full((b,), big, jnp.int32), jnp.full((b,), big, jnp.int32))
-    offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    (m1, mr), _ = jax.lax.scan(step, init, offsets)
-    return m1, mr
-
-
-@partial(
-    jax.jit, static_argnames=("seq_len", "shift", "chunk", "index_span", "cap")
-)
-def kmode_enum_scan(
-    q_oh, db_oh, n_windows, eff, hits, seq_len, shift, chunk, index_span, cap
-):
-    """Phase-2 program (single device): sorted key buffer [B, cap]."""
-    def region_scan(e, lo_k, hi_k):
-        return _region_pass(
-            q_oh, db_oh, n_windows, e, lo_k, hi_k,
-            seq_len, shift, chunk, index_span,
-        )
-
-    return kmode_enumerate(
-        region_scan, q_oh.shape[0], eff, hits, shift, seq_len, index_span, cap
-    )
 
 
 def unpack_key(key: np.ndarray, shift: int) -> tuple[np.ndarray, np.ndarray]:

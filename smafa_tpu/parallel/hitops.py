@@ -1,0 +1,243 @@
+"""Host-side orchestration of the two-phase hit-selection modes.
+
+Every db layout (row-sharded ``ScanRunner``, ring-scheduled
+``RingScanRunner``, column-sharded ``ColumnShardedScanRunner``) runs the
+same two phases with layout-specific compiled programs:
+
+- best-hit (reference lib.rs:296-313): phase A = fused min + dual tie
+  keys + exact tie count; phase B (only when some row has >= 3 ties) =
+  one compaction pass enumerating every window at the min.
+- K-mode (reference lib.rs:241-295): phase A = one distance-histogram
+  pass (or binary-search count scans for very long windows), from which
+  the host reads the exact cutoff and hit counts; phase B = one
+  compaction pass at the cutoff, lexsorted into (distance, index) order.
+
+This mixin implements the shared host logic against four layout
+primitives a runner provides via ``_build_program(kind, b, ...)``:
+``"mincnt"``, ``"hist"``, ``"kstats"``, ``"compact"`` — plus ``_pad``
+(its batch padding rule) and ``_key_shift``. Each phase costs one pass
+over the db, so a full best-hit batch is <= 2 scan-equivalents and a
+K-mode batch <= 2 (histogram + compaction) regardless of tie counts —
+the round-1 design paid ~ties/2 re-scans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from smafa_tpu.ops import distance as D
+
+# One compaction dispatch never allocates hit buffers beyond this many
+# entries; batches whose exact hit totals exceed it are split into row
+# groups (each group is its own compaction pass over the full db).
+COMPACT_MAX = 1 << 22
+
+
+class HitModesMixin:
+    """Best-hit / K-mode host orchestration over layout primitives."""
+
+    # -- runner-provided primitives ---------------------------------------
+    # _pad(q_codes) -> (q_padded, nq)
+    # _key_shift() -> int | None
+    # _build_program(kind, b, *, shift=None, t_cap=None) -> compiled fn
+    # attrs: seq_len, n_windows, wp, n_windows_dev, db_oh
+
+    def _require_windows(self) -> None:
+        if self.n_windows == 0:
+            raise ValueError("Cannot query an empty database")
+
+    def _program(self, kind: str, b: int, **kw):
+        cache = self.__dict__.setdefault("_prog_cache", {})
+        key = (kind, b, tuple(sorted(kw.items())))
+        fn = cache.get(key)
+        if fn is None:
+            fn = self._build_program(kind, b, **kw)
+            cache[key] = fn
+        return fn
+
+    # -- best-hit ----------------------------------------------------------
+
+    def min_count_async(self, q_codes: np.ndarray):
+        """Dispatch best-hit phase A (fused min + dual tie keys + exact
+        tie count); opaque handle for ``best_hit``, or None when key
+        packing overflows 31 bits (callers fall back to exact top-M)."""
+        self._require_windows()
+        shift = self._key_shift()
+        if shift is None:
+            return None
+        q_padded, nq = self._pad(q_codes)
+        fn = self._program("mincnt", q_padded.shape[0], shift=shift)
+        lo, hi, cnt = fn(q_padded, self.db_oh, self.n_windows_dev)
+        return ("mincnt", lo, hi, cnt, nq, shift, q_padded)
+
+    def best_hit(self, q_codes: np.ndarray, max_divergence: int | None = None,
+                 handle=None):
+        """Exact best-hit result, flat: (min_dist [nq], counts [nq],
+        flat_rows, flat_idx) in (row, subject index) order — the
+        reference emission order (lib.rs:306-313). ``counts`` is 0 for
+        rows filtered by max_divergence. None on packing overflow."""
+        if handle is None or not (isinstance(handle, tuple)
+                                  and handle[0] == "mincnt"):
+            handle = self.min_count_async(q_codes)
+        if handle is None:
+            return None
+        _, lo, hi, cnt, nq, shift, q_padded = handle
+        lo = np.asarray(lo)[:nq]
+        hi = np.asarray(hi)[:nq]
+        cnt = np.asarray(cnt)[:nq]
+        big = np.int32(2**31 - 1)
+        dist, idx_lo = D.unpack_key(lo, shift)
+        _, idx_rev = D.unpack_key(hi, shift)
+        idx_hi = np.where(hi == big, big, self.wp - 1 - idx_rev).astype(np.int32)
+        keep = lo != big
+        if max_divergence is not None:
+            keep &= dist <= max_divergence
+        counts = np.where(keep, cnt, 0).astype(np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            empty = np.empty(0, np.int32)
+            return dist, counts.astype(np.int32), empty, empty
+        if counts.max() <= 2:
+            # Phase A fully resolved the batch: the dual keys carry the
+            # lowest AND highest tied index of every row.
+            flat_rows = np.repeat(np.arange(nq, dtype=np.int32), counts)
+            starts = np.cumsum(counts) - counts
+            flat_idx = np.empty(total, np.int32)
+            one = counts >= 1
+            two = counts >= 2
+            flat_idx[starts[one]] = idx_lo[one]
+            flat_idx[starts[two] + 1] = idx_hi[two]
+            return dist, counts.astype(np.int32), flat_rows, flat_idx
+        thresh = np.full(nq, -1, np.int32)
+        thresh[keep] = dist[keep]
+        rows, idx, _ = self._compact_grouped(q_padded, thresh, counts)
+        order = np.lexsort((idx, rows))
+        return (dist, counts.astype(np.int32),
+                rows[order].astype(np.int32), idx[order].astype(np.int32))
+
+    def collect_ties(self, q_codes: np.ndarray, handle=None):
+        """Per row: (min distance, ALL window indices at the min,
+        ascending) — compatibility list-of-lists view over ``best_hit``."""
+        res = self.best_hit(q_codes, None, handle=handle)
+        if res is None:
+            return None
+        dist, counts, _rows, idx = res
+        bounds = np.cumsum(counts)[:-1]
+        return dist, [seg.tolist() for seg in np.split(idx, bounds)]
+
+    # -- K-mode ------------------------------------------------------------
+
+    def kmode_stats_async(self, q_codes: np.ndarray, k: int,
+                          max_divergence: int | None):
+        """Dispatch K-mode phase A without waiting: the histogram program
+        (short windows) or the fused binary-search cutoff scans (long
+        windows). Opaque handle for ``kmode_flat``."""
+        self._require_windows()
+        shift = self._key_shift()
+        if shift is None:
+            return None
+        q_padded, nq = self._pad(q_codes)
+        if self.seq_len < D.HIST_MAX:
+            fn = self._program("hist", q_padded.shape[0])
+            hist = fn(q_padded, self.db_oh, self.n_windows_dev)
+            return ("hist", hist, nq, shift, q_padded)
+        import jax.numpy as jnp
+
+        maxdiv = self.seq_len + 1 if max_divergence is None else max_divergence
+        fn = self._program("kstats", q_padded.shape[0], shift=shift)
+        eff, hits = fn(
+            q_padded, self.db_oh, self.n_windows_dev,
+            jnp.int32(k), jnp.int32(maxdiv),
+        )
+        return ("kstats", eff, hits, nq, shift, q_padded)
+
+    def kmode_flat(self, q_codes: np.ndarray, k: int,
+                   max_divergence: int | None, stats_handle=None):
+        """Exact K-mode hit lists, flat: (counts [nq], flat_rows, flat_idx,
+        flat_dist) with each row's segment sorted by (distance, subject
+        index) — the reference's print set and order (lib.rs:241-295
+        before limit-per-sequence), cutoff ties included. None on packing
+        overflow (callers fall back to top-M)."""
+        if stats_handle is None or not (
+            isinstance(stats_handle, tuple)
+            and stats_handle[0] in ("hist", "kstats")
+        ):
+            stats_handle = self.kmode_stats_async(q_codes, k, max_divergence)
+        if stats_handle is None:
+            return None
+        if stats_handle[0] == "hist":
+            _, hist, nq, shift, q_padded = stats_handle
+            eff, hits = D.kmode_cutoffs_from_hist(
+                np.asarray(hist)[:nq], k, max_divergence, self.n_windows
+            )
+        else:
+            _, eff_dev, hits_dev, nq, shift, q_padded = stats_handle
+            eff = np.asarray(eff_dev)[:nq]
+            hits = np.asarray(hits_dev)[:nq]
+        counts = hits.astype(np.int64)
+        total = int(counts.sum())
+        empty = np.empty(0, np.int32)
+        if total == 0:
+            return counts.astype(np.int32), empty, empty, empty
+        thresh = np.where(counts > 0, eff, -1).astype(np.int32)
+        rows, idx, dv = self._compact_grouped(q_padded, thresh, counts)
+        order = np.lexsort((idx, dv, rows))
+        return (counts.astype(np.int32), rows[order].astype(np.int32),
+                idx[order].astype(np.int32), dv[order].astype(np.int32))
+
+    def kmode(self, q_codes: np.ndarray, k: int, max_divergence: int | None,
+              stats_handle=None):
+        """Compatibility per-row view over ``kmode_flat``: (dists [B, cap],
+        idxs [B, cap], hits [B]) with cap = max hits per row."""
+        res = self.kmode_flat(q_codes, k, max_divergence, stats_handle)
+        if res is None:
+            return None
+        counts, rows, idx, dv = res
+        nq = counts.shape[0]
+        cap = int(counts.max(initial=0))
+        dists = np.full((nq, cap), 2**30, np.int32)
+        idxs = np.full((nq, cap), np.int32(2**31 - 1), np.int32)
+        starts = np.cumsum(counts.astype(np.int64)) - counts
+        cols = np.arange(rows.shape[0], dtype=np.int64) - starts[rows]
+        dists[rows, cols] = dv
+        idxs[rows, cols] = idx
+        return dists, idxs, counts
+
+    # -- shared compaction plumbing ----------------------------------------
+
+    def _compact_call(self, q_padded: np.ndarray, thresh: np.ndarray,
+                      t_cap: int):
+        fn = self._program("compact", q_padded.shape[0], t_cap=t_cap)
+        rows, idx, dv, tot = fn(
+            q_padded, self.db_oh, self.n_windows_dev, thresh.astype(np.int32)
+        )
+        return (np.asarray(rows), np.asarray(idx), np.asarray(dv),
+                int(np.asarray(tot).sum()))
+
+    def _compact_grouped(self, q_padded, thresh, counts):
+        """Compact with row grouping so no single dispatch needs a buffer
+        beyond COMPACT_MAX: rows are split greedily by their (exact,
+        already-known) hit counts. Returns unsorted flat (rows, idx,
+        dvals)."""
+        nq = counts.shape[0]
+        b = q_padded.shape[0]
+        out_r, out_i, out_d = [], [], []
+        start = 0
+        while start < nq:
+            end = start + 1
+            acc = int(counts[start])
+            while end < nq and acc + int(counts[end]) <= COMPACT_MAX:
+                acc += int(counts[end])
+                end += 1
+            th = np.full(b, -1, np.int32)
+            th[start:end] = thresh[start:end]
+            t_cap = D.bucket(max(acc, 1), minimum=256)
+            rows, idx, dv, total = self._compact_call(q_padded, th, t_cap)
+            assert total == acc, (total, acc)
+            mask = rows >= 0
+            out_r.append(rows[mask])
+            out_i.append(idx[mask])
+            out_d.append(dv[mask])
+            start = end
+        return (np.concatenate(out_r), np.concatenate(out_i),
+                np.concatenate(out_d))

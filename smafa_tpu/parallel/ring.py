@@ -1,26 +1,30 @@
 """Ring-scheduled scan: db shards rotate around the device ring.
 
 The ('q', 'w') ScanRunner (parallel.sharded) keeps queries replicated
-within a q-group and all-gathers candidate lists over 'w'. This module is
+within a q-group and merges per-shard results over 'w'. This module is
 the other canonical TPU topology (SURVEY.md §2.2 "ring/blockwise"):
 BOTH the query batch and the db rows are sharded over one flat 'd' axis,
 and every step each device scans its resident query block against the db
 shard it currently holds, then forwards that shard to its ring neighbor
 with ``lax.ppermute`` (ICI neighbor traffic only — the db is never
 all-gathered and no device ever holds more than 1/n of it). After n steps
-every query block has met every db row. Running packed-key minima are the
-only cross-step state, so the accumulator is O(B/n) per device.
+every query block has met every db row. Running packed-key minima /
+histograms / compaction buffers are the only cross-step state.
 
 This is the layout for dbs at the 10M-row scale (BASELINE.json multi-host
 config) where per-device HBM cannot hold a replicated db and candidate
 all-gathers would ride DCN. It is the Hamming-scan analogue of ring
 attention: rotate the KV (db) blocks, keep running reductions instead of
 softmax accumulators.
+
+Hit-mode orchestration (best-hit min+count then compaction; K-mode
+histogram then compaction) is shared with every other layout via
+parallel.hitops.HitModesMixin; this module only supplies the
+ring-swept compiled programs.
 """
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax
@@ -29,6 +33,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from smafa_tpu.ops import distance as D
+from smafa_tpu.parallel.hitops import HitModesMixin
 
 BIG_KEY = 2**31 - 1
 
@@ -39,8 +44,10 @@ def build_ring_mesh(n: int | None = None) -> Mesh:
     return Mesh(devices[:n], ("d",))
 
 
-class RingScanRunner:
-    """Db resident sharded over a 1-D ring; queries sharded over the same axis."""
+class RingScanRunner(HitModesMixin):
+    """Db resident sharded over a 1-D ring; queries sharded over the same
+    axis. Supports every hit mode of ScanRunner (min2 / best-hit /
+    K-mode) with identical results."""
 
     def __init__(self, codes: np.ndarray, seq_len: int, mesh: Mesh | None = None,
                  chunk: int | None = None):
@@ -75,245 +82,74 @@ class RingScanRunner:
         self.n_windows_dev = jnp.int32(self.n_windows)
         self._cache: dict[int, callable] = {}
 
-    def _build(self, b: int):
+    # -- HitModesMixin primitives ------------------------------------------
+
+    def _pad(self, q_codes: np.ndarray):
+        q_padded, nq, _b = D.pad_batch(q_codes, multiple=self.n_d,
+                                       minimum=self.n_d)
+        return q_padded, nq
+
+    def _key_shift(self):
+        return self.shift
+
+    def _build_program(self, kind: str, b: int, shift: int | None = None,
+                       t_cap: int | None = None):
+        if kind == "min2":
+            return self._build(b)
+        if kind == "mincnt":
+            return self._build_min2count(b)
+        if kind == "hist":
+            return self._build_hist(b)
+        if kind == "kstats":
+            return self._build_kstats(b)
+        if kind == "compact":
+            return self._build_compact(b, t_cap)
+        raise KeyError(kind)
+
+    # -- the ring sweep ----------------------------------------------------
+
+    def _ring_sweep(self, q_oh, db_shard, n_windows, init, fold):
+        """One full rotation of the db around the ring, folding every
+        resident (shard, chunk) distance block into ``fold``'s carry.
+        fold(carry, dist, lidx, n_valid, off) -> carry; ``off`` is the
+        global index of the resident shard's row 0 (owner-dependent)."""
+        n_d, shard_rows, chunk = self.n_d, self.shard_rows, self.chunk
         seq_len = self.seq_len
-        chunk = self.chunk
-        shard_rows = self.shard_rows
-        shift = self.shift
-        span = self.wp
-        n_d = self.n_d
         fwd = [(j, (j + 1) % n_d) for j in range(n_d)]
+        me = jax.lax.axis_index("d").astype(jnp.int32)
+        offsets = jnp.arange(shard_rows // chunk, dtype=jnp.int32) * chunk
 
-        def shard_fn(q_oh, db_shard, n_windows):
-            me = jax.lax.axis_index("d").astype(jnp.int32)
+        def body(i, state):
+            carry, db_cur = state
+            # After i forward rotations, we hold the shard originally
+            # owned by (me - i) mod n.
+            owner = (me - i) % n_d
+            off = owner * shard_rows
+            n_valid = jnp.clip(n_windows - off, 0, shard_rows)
 
-            def body(i, carry):
-                lo, hi, db_cur = carry
-                # After i forward rotations, we hold the shard originally
-                # owned by (me - i) mod n.
-                owner = (me - i) % n_d
-                off = owner * shard_rows
-                n_valid = jnp.clip(n_windows - off, 0, shard_rows)
-                b_loc = q_oh.shape[0]
-                l2, h2 = D.min2_scan(
-                    q_oh, db_cur, n_valid, off,
-                    jnp.full((b_loc,), -1, jnp.int32),
-                    jnp.full((b_loc,), span, jnp.int32),
-                    seq_len, shift, chunk, span,
-                )
-                lo = jnp.minimum(lo, l2)
-                hi = jnp.minimum(hi, h2)
-                db_nxt = jax.lax.cond(
-                    i < n_d - 1,  # final rotation would be wasted ICI traffic
-                    lambda x: jax.lax.ppermute(x, "d", fwd),
-                    lambda x: x,
-                    db_cur,
-                )
-                return lo, hi, db_nxt
+            def step(c, coff):
+                block = jax.lax.dynamic_slice_in_dim(db_cur, coff, chunk, axis=0)
+                dist = seq_len - D._match_dots(q_oh, block)
+                lidx = coff + jnp.arange(chunk, dtype=jnp.int32)
+                return fold(c, dist, lidx, n_valid, off), None
 
-            b_loc = q_oh.shape[0]
-            init = (
-                jnp.full((b_loc,), BIG_KEY, dtype=jnp.int32),
-                jnp.full((b_loc,), BIG_KEY, dtype=jnp.int32),
-                db_shard,
+            carry, _ = jax.lax.scan(step, carry, offsets)
+            db_nxt = jax.lax.cond(
+                i < n_d - 1,  # final rotation would be wasted ICI traffic
+                lambda x: jax.lax.ppermute(x, "d", fwd),
+                lambda x: x, db_cur,
             )
-            lo, hi, _ = jax.lax.fori_loop(0, n_d, body, init)
-            return lo, hi
+            return (carry, db_nxt)
 
-        mapped = jax.shard_map(
-            shard_fn,
-            mesh=self.mesh,
-            in_specs=(P("d", None), P("d", None), P()),
-            out_specs=(P("d"), P("d")),
-            check_vma=False,
-        )
+        state = jax.lax.fori_loop(0, n_d, body, (init, db_shard))
+        return state[0]
 
-        @jax.jit
-        def run(q_codes, db_oh, n_windows):
-            q_oh = D.expand_onehot(q_codes, seq_len)
-            return mapped(q_oh, db_oh, n_windows)
-
-        return run
-
-    def _build_collect(self, b: int):
-        seq_len = self.seq_len
-        chunk = self.chunk
-        shard_rows = self.shard_rows
-        shift = self.shift
-        span = self.wp
-        n_d = self.n_d
-        fwd = [(j, (j + 1) % n_d) for j in range(n_d)]
-
-        def shard_fn(q_oh, db_shard, n_windows):
-            me = jax.lax.axis_index("d").astype(jnp.int32)
-            b_loc = q_oh.shape[0]
-
-            def scan_bounds(lo_b, hi_b):
-                # One FULL ring sweep (db returns to its home shard after
-                # n_d rotations), merging bounded dual keys along the way.
-                def body(i, carry):
-                    lo, hi, db_cur = carry
-                    owner = (me - i) % n_d
-                    off = owner * shard_rows
-                    n_valid = jnp.clip(n_windows - off, 0, shard_rows)
-                    l2, h2 = D.min2_scan(
-                        q_oh, db_cur, n_valid, off, lo_b, hi_b,
-                        seq_len, shift, chunk, span,
-                    )
-                    db_nxt = jax.lax.cond(
-                        i < n_d - 1,  # final rotation's result is discarded
-                        lambda x: jax.lax.ppermute(x, "d", fwd),
-                        lambda x: x, db_cur,
-                    )
-                    return jnp.minimum(lo, l2), jnp.minimum(hi, h2), db_nxt
-
-                init = (
-                    jnp.full((b_loc,), BIG_KEY, jnp.int32),
-                    jnp.full((b_loc,), BIG_KEY, jnp.int32),
-                    db_shard,
-                )
-                lo, hi, _ = jax.lax.fori_loop(0, n_d, body, init)
-                return lo, hi
-
-            def cond_reduce(local_any):
-                # The sweep's ppermute spans every ring device, so all of
-                # them must agree on the trip count.
-                return jax.lax.pmax(local_any.astype(jnp.int32), "d") > 0
-
-            return D.collect_loop(
-                scan_bounds, b_loc, span, shift, D.TIE_CAP,
-                cond_reduce=cond_reduce,
-            )
-
-        mapped = jax.shard_map(
-            shard_fn,
-            mesh=self.mesh,
-            in_specs=(P("d", None), P("d", None), P()),
-            out_specs=(P("d"), P("d", None), P("d"), P("d")),
-            check_vma=False,
-        )
-
-        @jax.jit
-        def run(q_codes, db_oh, n_windows):
-            q_oh = D.expand_onehot(q_codes, seq_len)
-            return mapped(q_oh, db_oh, n_windows)
-
-        return run
-
-    def collect_ties(self, q_codes: np.ndarray, handle=None):
-        """(min distance, ALL minimum-distance indices ascending) per row —
-        the ScanRunner.collect_ties contract on the ring layout (``handle``
-        accepted for parity, ignored). Each enumeration pass is a full
-        ring sweep (db shards rotate once around); rows overflowing
-        TIE_CAP return None (callers fall back to top-M)."""
-        q_codes, nq, b = D.pad_batch(q_codes, multiple=self.n_d,
-                                     minimum=self.n_d)
-        key = ("collect", b)
-        fn = self._cache.get(key)
-        if fn is None:
-            fn = self._build_collect(b)
-            self._cache[key] = fn
-        dist, tbuf, count, overflow = fn(q_codes, self.db_oh, self.n_windows_dev)
-        dist = np.asarray(dist)[:nq]
-        tbuf = np.asarray(tbuf)[:nq]
-        count = np.asarray(count)[:nq]
-        if bool(np.asarray(overflow)[:nq].any()):
-            return None  # caller falls back to the exact top-M path
-        srt = np.sort(np.where(tbuf >= 0, tbuf, np.int32(2**31 - 1)), axis=1)
-        ties = [srt[r, : count[r]].tolist() for r in range(nq)]
-        return dist, ties
-
-    def _build_kmode(self, b: int, cap: int | None):
-        """cap None -> phase-1 (cutoff stats) program; else phase-2."""
-        seq_len = self.seq_len
-        chunk = self.chunk
-        shard_rows = self.shard_rows
-        shift = self.shift
-        span = self.wp
-        n_d = self.n_d
-        fwd = [(j, (j + 1) % n_d) for j in range(n_d)]
-
-        def shard_fn(q_oh, db_shard, n_windows, *extra):
-            me = jax.lax.axis_index("d").astype(jnp.int32)
-            b_loc = q_oh.shape[0]
-
-            if cap is None:
-                k, maxdiv = extra
-
-                def scan_stats(t):
-                    t = jnp.broadcast_to(t, (b_loc,))
-
-                    def body(i, carry):
-                        cnt, mx, db_cur = carry
-                        owner = (me - i) % n_d
-                        off = owner * shard_rows
-                        n_valid = jnp.clip(n_windows - off, 0, shard_rows)
-                        c2, m2 = D._stats_pass(
-                            q_oh, db_cur, n_valid, t, seq_len, chunk
-                        )
-                        db_nxt = jax.lax.cond(
-                            i < n_d - 1,
-                            lambda x: jax.lax.ppermute(x, "d", fwd),
-                            lambda x: x, db_cur,
-                        )
-                        return cnt + c2, jnp.maximum(mx, m2), db_nxt
-
-                    init = (
-                        jnp.zeros((b_loc,), jnp.int32),
-                        jnp.full((b_loc,), -1, jnp.int32),
-                        db_shard,
-                    )
-                    cnt, mx, _ = jax.lax.fori_loop(0, n_d, body, init)
-                    return cnt, mx
-
-                return D.kmode_phase1(scan_stats, k, maxdiv, n_windows, seq_len)
-
-            eff, hits = extra
-
-            def region_scan(e, lo_k, hi_k):
-                def body(i, carry):
-                    m1, mr, db_cur = carry
-                    owner = (me - i) % n_d
-                    off = owner * shard_rows
-                    n_valid = jnp.clip(n_windows - off, 0, shard_rows)
-                    a, r = D._region_pass(
-                        q_oh, db_cur, n_valid, e, lo_k, hi_k,
-                        seq_len, shift, chunk, span, index_offset=off,
-                    )
-                    db_nxt = jax.lax.cond(
-                        i < n_d - 1,
-                        lambda x: jax.lax.ppermute(x, "d", fwd),
-                        lambda x: x, db_cur,
-                    )
-                    return jnp.minimum(m1, a), jnp.minimum(mr, r), db_nxt
-
-                big = jnp.int32(2**31 - 1)
-                init = (
-                    jnp.full((b_loc,), big, jnp.int32),
-                    jnp.full((b_loc,), big, jnp.int32),
-                    db_shard,
-                )
-                m1, mr, _ = jax.lax.fori_loop(0, n_d, body, init)
-                return m1, mr
-
-            def cond_reduce(local_any):
-                return jax.lax.pmax(local_any.astype(jnp.int32), "d") > 0
-
-            return D.kmode_enumerate(
-                region_scan, b_loc, eff, hits, shift, seq_len, span, cap,
-                cond_reduce=cond_reduce,
-            )
-
-        if cap is None:
-            in_specs = (P("d", None), P("d", None), P(), P(), P())
-            out_specs = (P("d"), P("d"))
-        else:
-            in_specs = (P("d", None), P("d", None), P(), P("d"), P("d"))
-            out_specs = P("d", None)
+    def _jit_mapped(self, shard_fn, in_specs, out_specs):
         mapped = jax.shard_map(
             shard_fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
             check_vma=False,
         )
+        seq_len = self.seq_len
 
         @jax.jit
         def run(q_codes, db_oh, n_windows, *extra):
@@ -322,55 +158,143 @@ class RingScanRunner:
 
         return run
 
-    def kmode(self, q_codes: np.ndarray, k: int, max_divergence: int | None,
-              stats_handle=None):
-        """Exact K-mode hit lists on the ring layout — ScanRunner.kmode
-        contract: (dists [B, cap], idxs [B, cap], hits [B]); None for
-        degenerate hit sets (callers fall back to the top-M path).
-        ``stats_handle`` is accepted for interface parity and ignored
-        (ring phase 1 is cheap relative to its sweeps)."""
-        q_codes, nq, b = D.pad_batch(q_codes, multiple=self.n_d,
-                                     minimum=self.n_d)
-        maxdiv = self.seq_len + 1 if max_divergence is None else max_divergence
+    # -- compiled programs ---------------------------------------------------
 
-        skey = ("kstats", b)
-        sfn = self._cache.get(skey)
-        if sfn is None:
-            sfn = self._build_kmode(b, None)
-            self._cache[skey] = sfn
-        eff, hits = sfn(
-            q_codes, self.db_oh, self.n_windows_dev,
-            jnp.int32(k), jnp.int32(maxdiv),
+    def _build(self, b: int):
+        shift, span = self.shift, self.wp
+
+        def shard_fn(q_oh, db_shard, n_windows):
+            b_loc = q_oh.shape[0]
+            init = (
+                jnp.full((b_loc,), BIG_KEY, jnp.int32),
+                jnp.full((b_loc,), BIG_KEY, jnp.int32),
+            )
+
+            def fold(carry, dist, lidx, n_valid, off):
+                lo_c, hi_c = carry
+                gidx = off + lidx
+                valid = (lidx < n_valid)[None, :]
+                shifted = dist << shift
+                key_lo = jnp.where(valid, shifted | gidx[None, :], BIG_KEY)
+                key_hi = jnp.where(
+                    valid, shifted | (span - 1 - gidx)[None, :], BIG_KEY
+                )
+                return (
+                    jnp.minimum(lo_c, jnp.min(key_lo, axis=1)),
+                    jnp.minimum(hi_c, jnp.min(key_hi, axis=1)),
+                )
+
+            return self._ring_sweep(q_oh, db_shard, n_windows, init, fold)
+
+        return self._jit_mapped(
+            shard_fn, (P("d", None), P("d", None), P()), (P("d"), P("d"))
         )
-        hits_all = np.array(hits)  # writable copy
-        hits_all[nq:] = 0  # padded rows must not drive enumeration sweeps
-        hits = jnp.asarray(hits_all)
-        hits_h = hits_all[:nq]
-        max_hits = int(hits_h.max(initial=0))
-        if max_hits == 0:
-            return np.empty((nq, 0), np.int32), np.empty((nq, 0), np.int32), hits_h
-        if max_hits > 4096:
-            # Enumeration would need ~hits/2 full ring sweeps; signal the
-            # caller to use its exact top-M fallback (ScanRunner contract).
-            return None
-        cap = D.bucket(max_hits)
-        ekey = ("kenum", b, cap)
-        efn = self._cache.get(ekey)
-        if efn is None:
-            efn = self._build_kmode(b, cap)
-            self._cache[ekey] = efn
-        buf = np.asarray(efn(q_codes, self.db_oh, self.n_windows_dev, eff, hits))
-        dists, idxs = D.unpack_key(buf[:nq], self.shift)
-        return dists, idxs, hits_h
+
+    def _build_min2count(self, b: int):
+        shift, span = self.shift, self.wp
+
+        def shard_fn(q_oh, db_shard, n_windows):
+            b_loc = q_oh.shape[0]
+            init = (
+                jnp.full((b_loc,), BIG_KEY, jnp.int32),
+                jnp.full((b_loc,), BIG_KEY, jnp.int32),
+                jnp.zeros((b_loc,), jnp.int32),
+                jnp.full((b_loc,), D.BIG, jnp.int32),
+            )
+
+            def fold(carry, dist, lidx, n_valid, off):
+                gidx = off + lidx
+                return D.min_count_chunk_update(
+                    carry, dist, lidx, n_valid, gidx, shift, span
+                )
+
+            lo, hi, cnt, _ = self._ring_sweep(
+                q_oh, db_shard, n_windows, init, fold
+            )
+            return lo, hi, cnt
+
+        return self._jit_mapped(
+            shard_fn, (P("d", None), P("d", None), P()),
+            (P("d"), P("d"), P("d")),
+        )
+
+    def _build_hist(self, b: int):
+        seq_len = self.seq_len
+
+        def shard_fn(q_oh, db_shard, n_windows):
+            init = jnp.zeros((q_oh.shape[0], seq_len + 1), jnp.int32)
+
+            def fold(carry, dist, lidx, n_valid, off):
+                return D.hist_chunk_update(carry, dist, lidx, n_valid, seq_len)
+
+            return self._ring_sweep(q_oh, db_shard, n_windows, init, fold)
+
+        return self._jit_mapped(
+            shard_fn, (P("d", None), P("d", None), P()), P("d", None)
+        )
+
+    def _build_kstats(self, b: int):
+        """Binary-search cutoff stats for very long windows (the histogram
+        path covers seq_len < D.HIST_MAX)."""
+        seq_len = self.seq_len
+
+        def shard_fn(q_oh, db_shard, n_windows, k, maxdiv):
+            b_loc = q_oh.shape[0]
+
+            def scan_stats(t):
+                t = jnp.broadcast_to(t, (b_loc,))
+                init = (
+                    jnp.zeros((b_loc,), jnp.int32),
+                    jnp.full((b_loc,), -1, jnp.int32),
+                )
+
+                def fold(carry, dist, lidx, n_valid, off):
+                    return D.stats_chunk_update(carry, dist, lidx, n_valid, t)
+
+                return self._ring_sweep(q_oh, db_shard, n_windows, init, fold)
+
+            return D.kmode_phase1(scan_stats, k, maxdiv, n_windows, seq_len)
+
+        return self._jit_mapped(
+            shard_fn, (P("d", None), P("d", None), P(), P(), P()),
+            (P("d"), P("d")),
+        )
+
+    def _build_compact(self, b: int, t_cap: int):
+        def shard_fn(q_oh, db_shard, n_windows, thresh):
+            b_loc = q_oh.shape[0]
+            init = (
+                jnp.full((t_cap,), -1, jnp.int32),
+                jnp.full((t_cap,), -1, jnp.int32),
+                jnp.full((t_cap,), D.BIG, jnp.int32),
+                jnp.int32(0),
+            )
+
+            def fold(carry, dist, lidx, n_valid, off):
+                return D.compact_chunk_update(
+                    carry, dist, lidx, n_valid, thresh, off, t_cap
+                )
+
+            rows, idx, dv, total = self._ring_sweep(
+                q_oh, db_shard, n_windows, init, fold
+            )
+            # Global batch-row ids so the host merge is one lexsort
+            # (shard sweeps visit db shards in rotated order, so entries
+            # are not globally index-sorted — the host sort handles it).
+            d_off = jax.lax.axis_index("d").astype(jnp.int32) * b_loc
+            rows = jnp.where(rows >= 0, rows + d_off, -1)
+            return rows, idx, dv, total[None]
+
+        return self._jit_mapped(
+            shard_fn, (P("d", None), P("d", None), P(), P("d")),
+            (P("d"), P("d"), P("d"), P("d")),
+        )
 
     def min2(self, q_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Per row: (min distance, first argmin, unique-min flag) — exact,
         identical contract to ScanRunner.min2."""
-        q_codes, nq, b = D.pad_batch(q_codes, multiple=self.n_d,
-                                     minimum=self.n_d)
-        fn = self._cache.get(b)
-        if fn is None:
-            fn = self._build(b)
-            self._cache[b] = fn
-        lo, hi = fn(q_codes, self.db_oh, self.n_windows_dev)
-        return D.unpack_min2(np.asarray(lo)[:nq], np.asarray(hi)[:nq], self.shift, self.wp)
+        q_padded, nq = self._pad(q_codes)
+        fn = self._program("min2", q_padded.shape[0])
+        lo, hi = fn(q_padded, self.db_oh, self.n_windows_dev)
+        return D.unpack_min2(np.asarray(lo)[:nq], np.asarray(hi)[:nq],
+                             self.shift, self.wp)

@@ -1,0 +1,81 @@
+"""Db layout selection: which sharded runner the engine instantiates.
+
+Three layouts implement the same exact hit-mode contract
+(parallel.hitops.HitModesMixin):
+
+- ``sharded`` — ScanRunner, ('q', 'w') mesh: db rows sharded over 'w',
+  queries replicated per q-group; shard merges are elementwise pmin/psum
+  over O(B) packed keys. Merge traffic is tiny and every device reads its
+  db shard from local HBM, so this is the default at every row count —
+  including the 10M-row scale (per-device HBM holds rows/n_devices).
+- ``ring`` — RingScanRunner, 1-D 'd' ring: queries AND rows sharded over
+  the same axis; db shards rotate via ppermute. Rotation streams the
+  whole db through ICI once per batch, so it only wins when the query
+  side is too large to replicate (huge resident batches) or when
+  all-to-device merge traffic must stay neighbor-local; it is selected
+  via SMAFA_TPU_LAYOUT=ring, not auto.
+- ``col`` — ColumnShardedScanRunner, 1-D 'c' axis: the one-hot FEATURE
+  axis is sharded and distances are psum-reassembled — the sequence-
+  parallel layout for very long windows, auto-selected when the window
+  is so long that a single device's MXU tile is contraction-bound
+  (seq_len >= SMAFA_TPU_COL_SEQ_THRESHOLD, default 8192).
+
+``SMAFA_TPU_LAYOUT`` ∈ {auto, sharded, ring, col} overrides the choice
+(the forced values are exercised by the golden/fuzz suites). Multi-host
+runs always use ``sharded``: its process path assembles per-device db
+shards from a memmap so no host reads rows it does not own.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+
+from smafa_tpu.ops import distance as D
+
+logger = logging.getLogger("smafa")
+
+COL_SEQ_THRESHOLD = 8192
+
+
+def choose_layout(n_windows: int, seq_len: int) -> str:
+    import jax
+
+    env = os.environ.get("SMAFA_TPU_LAYOUT", "auto").lower()
+    if env in ("sharded", "ring", "col"):
+        return env
+    if env not in ("", "auto"):
+        raise ValueError(
+            f"SMAFA_TPU_LAYOUT={env!r}: expected auto, sharded, ring, or col"
+        )
+    if jax.process_count() > 1 or len(jax.devices()) <= 1:
+        return "sharded"
+    if D.packing_shift(seq_len, max(2, 2 * n_windows)) is None:
+        # ring/col require packed 31-bit keys; ScanRunner has the exact
+        # top-M fallback for this (pathological) regime.
+        return "sharded"
+    threshold = int(os.environ.get("SMAFA_TPU_COL_SEQ_THRESHOLD",
+                                   COL_SEQ_THRESHOLD))
+    if seq_len >= threshold:
+        return "col"
+    return "sharded"
+
+
+def make_runner(codes: np.ndarray, seq_len: int):
+    """Instantiate the selected layout's runner over the visible devices."""
+    layout = choose_layout(int(codes.shape[0]), seq_len)
+    logger.debug("db layout: %s (%d windows, length %d)",
+                 layout, codes.shape[0], seq_len)
+    if layout == "ring":
+        from smafa_tpu.parallel import ring
+
+        return ring.RingScanRunner(codes, seq_len)
+    if layout == "col":
+        from smafa_tpu.parallel import seqpar
+
+        return seqpar.ColumnShardedScanRunner(codes, seq_len)
+    from smafa_tpu.parallel import sharded
+
+    return sharded.ScanRunner(codes, seq_len)

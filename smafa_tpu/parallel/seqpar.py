@@ -5,19 +5,20 @@ uniform lengths; for very long windows a single device may not hold the
 one-hot db (or the MXU tile becomes contraction-bound). This runner
 shards the feature axis (L*5 one-hot columns) over a 'c' mesh axis: each
 device computes a partial match count over its column slice, a ``psum``
-over 'c' reassembles exact distances, and the packed-key min reduction
-runs replicated — the Hamming-distance analogue of sequence parallelism
-(SURVEY.md §2.2 SP row; partial sums combine exactly because the dot
-product is linear over column blocks).
+over 'c' reassembles exact distances, and all selection state (packed-key
+minima, histograms, compaction buffers) runs replicated — the
+Hamming-distance analogue of sequence parallelism (SURVEY.md §2.2 SP row;
+partial sums combine exactly because the dot product is linear over
+column blocks).
 
-Composable with row sharding in principle (a ('w','c') mesh); kept as a
-dedicated runner because the two axes optimize different regimes (many
-windows vs long windows).
+Hit-mode orchestration is shared with the other layouts via
+parallel.hitops.HitModesMixin; every device holds all query rows and
+sees identical psum-merged distances, so outputs are replicated and no
+cross-device merge is needed beyond the psum itself.
 """
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax
@@ -26,6 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from smafa_tpu.ops import distance as D
+from smafa_tpu.parallel.hitops import HitModesMixin
 
 BIG_KEY = 2**31 - 1
 
@@ -36,7 +38,7 @@ def build_col_mesh(n: int | None = None) -> Mesh:
     return Mesh(devices[:n], ("c",))
 
 
-class ColumnShardedScanRunner:
+class ColumnShardedScanRunner(HitModesMixin):
     """Db resident with its one-hot feature axis sharded over 'c'."""
 
     def __init__(self, codes: np.ndarray, seq_len: int, mesh: Mesh | None = None,
@@ -74,19 +76,40 @@ class ColumnShardedScanRunner:
         self.db_oh = expand(jax.device_put(codes_p))
         self._expand_q = expand
         self.n_windows_dev = jnp.int32(self.n_windows)
-        self._cache: dict[int, callable] = {}
 
-    def _bounded_min2(self, q_oh, db_sh, n_windows, lo_b=None, hi_b=None):
-        """Dual packed-key minima over the per-row open index interval,
-        with distances psum-reassembled from column-slice partial matches.
-        The single scan body behind min2 (_build, bounds None -> no mask
-        cost) and tie collection (_build_collect, narrowing bounds)."""
-        seq_len, chunk, shift, span = self.seq_len, self.chunk, self.shift, self.wp
-        n_chunks = span // chunk
-        b_loc = q_oh.shape[0]
+    # -- HitModesMixin primitives ------------------------------------------
+
+    def _pad(self, q_codes: np.ndarray):
+        q_padded, nq, _b = D.pad_batch(q_codes, minimum=8)
+        return q_padded, nq
+
+    def _key_shift(self):
+        return self.shift
+
+    def _build_program(self, kind: str, b: int, shift: int | None = None,
+                       t_cap: int | None = None):
+        if kind == "min2":
+            return self._build_min2(b)
+        if kind == "mincnt":
+            return self._build_min2count(b)
+        if kind == "hist":
+            return self._build_hist(b)
+        if kind == "kstats":
+            return self._build_kstats(b)
+        if kind == "compact":
+            return self._build_compact(b, t_cap)
+        raise KeyError(kind)
+
+    # -- the column-sharded sweep ------------------------------------------
+
+    def _col_sweep(self, q_oh, db_sh, n_windows, init, fold):
+        """Chunked scan over db rows; distances are psum-reassembled from
+        the per-device column-slice partial matches before folding.
+        fold(carry, dist, lidx, n_valid, off=0) -> carry."""
+        chunk, seq_len = self.chunk, self.seq_len
+        n_chunks = self.wp // chunk
 
         def step(carry, off):
-            lo_c, hi_c = carry
             block = jax.lax.dynamic_slice_in_dim(db_sh, off, chunk, axis=0)
             part = jax.lax.dot_general(
                 q_oh, block,
@@ -95,216 +118,140 @@ class ColumnShardedScanRunner:
             )
             dist = seq_len - jax.lax.psum(part, "c")
             lidx = off + jnp.arange(chunk, dtype=jnp.int32)
-            valid = (lidx < n_windows)[None, :]
-            if lo_b is not None:
-                valid = valid & (lidx[None, :] > lo_b[:, None])
-            if hi_b is not None:
-                valid = valid & (lidx[None, :] < hi_b[:, None])
-            shifted = dist << shift
-            key_lo = jnp.where(valid, shifted | lidx[None, :], BIG_KEY)
-            key_hi = jnp.where(valid, shifted | (span - 1 - lidx)[None, :], BIG_KEY)
-            return (
-                jnp.minimum(lo_c, jnp.min(key_lo, axis=1)),
-                jnp.minimum(hi_c, jnp.min(key_hi, axis=1)),
-            ), None
+            return fold(carry, dist, lidx, n_windows, 0), None
 
-        init = (
-            jnp.full((b_loc,), BIG_KEY, jnp.int32),
-            jnp.full((b_loc,), BIG_KEY, jnp.int32),
-        )
         offs = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-        (lo, hi), _ = jax.lax.scan(step, init, offs)
-        return lo, hi
+        carry, _ = jax.lax.scan(step, init, offs)
+        return carry
 
-    def _build(self, b: int):
-        span = self.wp
-
-        def shard_fn(q_oh, db_sh, n_windows):
-            return self._bounded_min2(q_oh, db_sh, n_windows)
-
-        mapped = jax.shard_map(
-            shard_fn,
-            mesh=self.mesh,
-            in_specs=(P(None, "c"), P(None, "c"), P()),
-            out_specs=(P(), P()),
-            check_vma=False,
-        )
-
-        @jax.jit
-        def run(q_codes, db_oh, n_windows):
-            q_oh = self._expand_q(q_codes)
-            return mapped(q_oh, db_oh, n_windows)
-
-        return run
-
-    def _build_collect(self, b: int):
-        shift, span = self.shift, self.wp
-
-        def shard_fn(q_oh, db_sh, n_windows):
-            b_loc = q_oh.shape[0]
-
-            def scan_bounds(lo_b, hi_b):
-                return self._bounded_min2(q_oh, db_sh, n_windows, lo_b, hi_b)
-
-            # All 'c' devices hold every query row and see identical
-            # psum-merged values, so the loop condition is naturally
-            # agreed — no cond_reduce needed.
-            return D.collect_loop(scan_bounds, b_loc, span, shift, D.TIE_CAP)
-
-        mapped = jax.shard_map(
-            shard_fn,
-            mesh=self.mesh,
-            in_specs=(P(None, "c"), P(None, "c"), P()),
-            out_specs=(P(), P(), P(), P()),
-            check_vma=False,
-        )
-
-        @jax.jit
-        def run(q_codes, db_oh, n_windows):
-            q_oh = self._expand_q(q_codes)
-            return mapped(q_oh, db_oh, n_windows)
-
-        return run
-
-    def collect_ties(self, q_codes: np.ndarray):
-        """(min distance, ALL minimum-distance indices ascending) per row —
-        ScanRunner.collect_ties contract on the column-sharded layout.
-        Rows overflowing TIE_CAP raise (use ScanRunner)."""
-        q_codes, nq, b = D.pad_batch(q_codes, minimum=8)
-        key = ("collect", b)
-        fn = self._cache.get(key)
-        if fn is None:
-            fn = self._build_collect(b)
-            self._cache[key] = fn
-        dist, tbuf, count, overflow = fn(q_codes, self.db_oh, self.n_windows_dev)
-        dist = np.asarray(dist)[:nq]
-        tbuf = np.asarray(tbuf)[:nq]
-        count = np.asarray(count)[:nq]
-        if bool(np.asarray(overflow)[:nq].any()):
-            raise ValueError(f"row exceeds {D.TIE_CAP} ties; use ScanRunner")
-        srt = np.sort(np.where(tbuf >= 0, tbuf, np.int32(2**31 - 1)), axis=1)
-        return dist, [srt[r, : count[r]].tolist() for r in range(nq)]
-
-    def _build_kmode(self, b: int, cap: int | None):
-        """cap None -> phase-1 (cutoff stats); else phase-2 enumeration.
-        Distances come from psum-merged partial matches; since every 'c'
-        device holds all rows and identical merged values, the enumeration
-        while_loop condition is naturally agreed."""
-        seq_len, chunk, shift, span = self.seq_len, self.chunk, self.shift, self.wp
-        n_chunks = span // chunk
-
-        def shard_fn(q_oh, db_sh, n_windows, *extra):
-            b_loc = q_oh.shape[0]
-
-            def dist_chunk(off):
-                block = jax.lax.dynamic_slice_in_dim(db_sh, off, chunk, axis=0)
-                part = jax.lax.dot_general(
-                    q_oh, block,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                return seq_len - jax.lax.psum(part, "c")
-
-            offs = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-
-            if cap is None:
-                k, maxdiv = extra
-
-                def scan_stats(t):
-                    t = jnp.broadcast_to(t, (b_loc,))
-
-                    def step(carry, off):
-                        dist = dist_chunk(off)
-                        lidx = off + jnp.arange(chunk, dtype=jnp.int32)
-                        return D.stats_chunk_update(
-                            carry, dist, lidx, n_windows, t
-                        ), None
-
-                    init = (
-                        jnp.zeros((b_loc,), jnp.int32),
-                        jnp.full((b_loc,), -1, jnp.int32),
-                    )
-                    (cnt, mx), _ = jax.lax.scan(step, init, offs)
-                    return cnt, mx
-
-                return D.kmode_phase1(scan_stats, k, maxdiv, n_windows, seq_len)
-
-            eff, hits = extra
-
-            def region_scan(e, lo_k, hi_k):
-                big = jnp.int32(2**31 - 1)
-
-                def step(carry, off):
-                    dist = dist_chunk(off)
-                    lidx = off + jnp.arange(chunk, dtype=jnp.int32)
-                    return D.region_chunk_update(
-                        carry, dist, lidx, n_windows, e, lo_k, hi_k,
-                        seq_len, shift, span,
-                    ), None
-
-                init = (
-                    jnp.full((b_loc,), big, jnp.int32),
-                    jnp.full((b_loc,), big, jnp.int32),
-                )
-                (m1, mr), _ = jax.lax.scan(step, init, offs)
-                return m1, mr
-
-            return D.kmode_enumerate(
-                region_scan, b_loc, eff, hits, shift, seq_len, span, cap
-            )
-
-        in_specs = (P(None, "c"), P(None, "c"), P(), P(), P())
-        out_specs = (P(), P()) if cap is None else P()
+    def _jit_mapped(self, shard_fn, n_extra: int, out_specs):
+        in_specs = (P(None, "c"), P(None, "c"), P()) + (P(),) * n_extra
         mapped = jax.shard_map(
             shard_fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
             check_vma=False,
         )
+        expand_q = self._expand_q
 
         @jax.jit
         def run(q_codes, db_oh, n_windows, *extra):
-            q_oh = self._expand_q(q_codes)
+            q_oh = expand_q(q_codes)
             return mapped(q_oh, db_oh, n_windows, *extra)
 
         return run
 
-    def kmode(self, q_codes: np.ndarray, k: int, max_divergence: int | None):
-        """Exact K-mode hit lists on the column-sharded layout —
-        ScanRunner.kmode result contract; None for degenerate hit sets."""
-        q_codes, nq, b = D.pad_batch(q_codes, minimum=8)
-        maxdiv = self.seq_len + 1 if max_divergence is None else max_divergence
-        skey = ("kstats", b)
-        sfn = self._cache.get(skey)
-        if sfn is None:
-            sfn = self._build_kmode(b, None)
-            self._cache[skey] = sfn
-        eff, hits = sfn(
-            q_codes, self.db_oh, self.n_windows_dev,
-            jnp.int32(k), jnp.int32(maxdiv),
-        )
-        hits_all = np.array(hits)  # writable copy
-        hits_all[nq:] = 0  # padded rows must not drive enumeration passes
-        hits_h = hits_all[:nq]
-        max_hits = int(hits_h.max(initial=0))
-        if max_hits == 0:
-            return np.empty((nq, 0), np.int32), np.empty((nq, 0), np.int32), hits_h
-        if max_hits > 4096:
-            return None
-        cap = D.bucket(max_hits)
-        ekey = ("kenum", b, cap)
-        efn = self._cache.get(ekey)
-        if efn is None:
-            efn = self._build_kmode(b, cap)
-            self._cache[ekey] = efn
-        buf = np.asarray(efn(q_codes, self.db_oh, self.n_windows_dev, eff,
-                             jnp.asarray(hits_all)))
-        dists, idxs = D.unpack_key(buf[:nq], self.shift)
-        return dists, idxs, hits_h
+    # -- compiled programs ---------------------------------------------------
+
+    def _build_min2(self, b: int):
+        shift, span = self.shift, self.wp
+
+        def shard_fn(q_oh, db_sh, n_windows):
+            b_loc = q_oh.shape[0]
+            init = (
+                jnp.full((b_loc,), BIG_KEY, jnp.int32),
+                jnp.full((b_loc,), BIG_KEY, jnp.int32),
+            )
+
+            def fold(carry, dist, lidx, n_valid, off):
+                lo_c, hi_c = carry
+                valid = (lidx < n_valid)[None, :]
+                shifted = dist << shift
+                key_lo = jnp.where(valid, shifted | lidx[None, :], BIG_KEY)
+                key_hi = jnp.where(
+                    valid, shifted | (span - 1 - lidx)[None, :], BIG_KEY
+                )
+                return (
+                    jnp.minimum(lo_c, jnp.min(key_lo, axis=1)),
+                    jnp.minimum(hi_c, jnp.min(key_hi, axis=1)),
+                )
+
+            return self._col_sweep(q_oh, db_sh, n_windows, init, fold)
+
+        return self._jit_mapped(shard_fn, 0, (P(), P()))
+
+    def _build_min2count(self, b: int):
+        shift, span = self.shift, self.wp
+
+        def shard_fn(q_oh, db_sh, n_windows):
+            b_loc = q_oh.shape[0]
+            init = (
+                jnp.full((b_loc,), BIG_KEY, jnp.int32),
+                jnp.full((b_loc,), BIG_KEY, jnp.int32),
+                jnp.zeros((b_loc,), jnp.int32),
+                jnp.full((b_loc,), D.BIG, jnp.int32),
+            )
+
+            def fold(carry, dist, lidx, n_valid, off):
+                return D.min_count_chunk_update(
+                    carry, dist, lidx, n_valid, lidx, shift, span
+                )
+
+            lo, hi, cnt, _ = self._col_sweep(q_oh, db_sh, n_windows, init, fold)
+            return lo, hi, cnt
+
+        return self._jit_mapped(shard_fn, 0, (P(), P(), P()))
+
+    def _build_hist(self, b: int):
+        seq_len = self.seq_len
+
+        def shard_fn(q_oh, db_sh, n_windows):
+            init = jnp.zeros((q_oh.shape[0], seq_len + 1), jnp.int32)
+
+            def fold(carry, dist, lidx, n_valid, off):
+                return D.hist_chunk_update(carry, dist, lidx, n_valid, seq_len)
+
+            return self._col_sweep(q_oh, db_sh, n_windows, init, fold)
+
+        return self._jit_mapped(shard_fn, 0, P(None, None))
+
+    def _build_kstats(self, b: int):
+        """Binary-search cutoff stats — the phase-A path for very long
+        windows, which is exactly this layout's regime (seq_len >=
+        D.HIST_MAX makes the histogram wider than it is worth)."""
+        seq_len = self.seq_len
+
+        def shard_fn(q_oh, db_sh, n_windows, k, maxdiv):
+            b_loc = q_oh.shape[0]
+
+            def scan_stats(t):
+                t = jnp.broadcast_to(t, (b_loc,))
+                init = (
+                    jnp.zeros((b_loc,), jnp.int32),
+                    jnp.full((b_loc,), -1, jnp.int32),
+                )
+
+                def fold(carry, dist, lidx, n_valid, off):
+                    return D.stats_chunk_update(carry, dist, lidx, n_valid, t)
+
+                return self._col_sweep(q_oh, db_sh, n_windows, init, fold)
+
+            return D.kmode_phase1(scan_stats, k, maxdiv, n_windows, seq_len)
+
+        return self._jit_mapped(shard_fn, 2, (P(), P()))
+
+    def _build_compact(self, b: int, t_cap: int):
+        def shard_fn(q_oh, db_sh, n_windows, thresh):
+            init = (
+                jnp.full((t_cap,), -1, jnp.int32),
+                jnp.full((t_cap,), -1, jnp.int32),
+                jnp.full((t_cap,), D.BIG, jnp.int32),
+                jnp.int32(0),
+            )
+
+            def fold(carry, dist, lidx, n_valid, off):
+                return D.compact_chunk_update(
+                    carry, dist, lidx, n_valid, thresh, 0, t_cap
+                )
+
+            rows, idx, dv, total = self._col_sweep(
+                q_oh, db_sh, n_windows, init, fold
+            )
+            return rows, idx, dv, total[None]
+
+        return self._jit_mapped(shard_fn, 1, (P(), P(), P(), P()))
 
     def min2(self, q_codes: np.ndarray):
-        q_codes, nq, b = D.pad_batch(q_codes, minimum=8)
-        fn = self._cache.get(b)
-        if fn is None:
-            fn = self._build(b)
-            self._cache[b] = fn
-        lo, hi = fn(q_codes, self.db_oh, self.n_windows_dev)
-        return D.unpack_min2(np.asarray(lo)[:nq], np.asarray(hi)[:nq], self.shift, self.wp)
+        q_padded, nq = self._pad(q_codes)
+        fn = self._program("min2", q_padded.shape[0])
+        lo, hi = fn(q_padded, self.db_oh, self.n_windows_dev)
+        return D.unpack_min2(np.asarray(lo)[:nq], np.asarray(hi)[:nq],
+                             self.shift, self.wp)

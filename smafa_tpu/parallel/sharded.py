@@ -29,6 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from smafa_tpu.ops import distance as D
+from smafa_tpu.parallel.hitops import HitModesMixin
 
 BIG_DIST = 2**30
 
@@ -67,12 +68,35 @@ def build_mesh(n_q: int | None = None, n_w: int | None = None) -> Mesh:
 _bucket = D.bucket  # single bucketing policy (ops.distance)
 
 
-class ScanRunner:
-    """Holds a db resident on the mesh and runs exact top-M scans.
+class ScanRunner(HitModesMixin):
+    """Holds a db resident on the mesh and runs exact scans in every hit
+    mode (best-hit, K-mode, top-M, min2).
 
     Single-device and multi-device paths share the same code: a 1x1 mesh is
-    just the degenerate case.
+    just the degenerate case. Best-hit and K-mode host orchestration lives
+    in HitModesMixin; this class supplies the mesh-specific compiled
+    programs.
     """
+
+    def _pad(self, q_codes: np.ndarray):
+        q_padded, nq, _b = D.pad_batch(q_codes, multiple=self.n_q,
+                                       minimum=max(16, self.n_q))
+        return q_padded, nq
+
+    def _key_shift(self):
+        return D.packing_shift(self.seq_len, max(self.wp, 2))
+
+    def _build_program(self, kind: str, b: int, shift: int | None = None,
+                       t_cap: int | None = None):
+        if kind == "mincnt":
+            return self._build_min2count(b, shift)
+        if kind == "hist":
+            return self._build_hist(b)
+        if kind == "kstats":
+            return self._build_kstats(b, shift)
+        if kind == "compact":
+            return self._build_compact(b, t_cap)
+        raise KeyError(kind)
 
     def __init__(self, codes: np.ndarray, seq_len: int, mesh: Mesh | None = None,
                  chunk: int | None = None):
@@ -205,10 +229,6 @@ class ScanRunner:
 
         return run
 
-    def _require_windows(self) -> None:
-        if self.n_windows == 0:
-            raise ValueError("Cannot query an empty database")
-
     def topm(self, q_codes: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Exact smallest-m (distance, index) per query row, plus per-row max.
 
@@ -338,9 +358,9 @@ class ScanRunner:
         d, i, _ = self.min2(q_codes)
         return d, i
 
-    # -- device-resident tie collection (best-hit resolution) --------------
+    # -- two-phase best-hit: fused min+count scan, then one compaction pass
 
-    def _build_collect(self, b: int, shift: int):
+    def _build_min2count(self, b: int, shift: int):
         seq_len = self.seq_len
         chunk = self.chunk
         shard_rows = self.shard_rows
@@ -350,8 +370,9 @@ class ScanRunner:
             @jax.jit
             def run_single(q_codes, db_oh, n_windows):
                 q_oh = D.expand_onehot(q_codes, seq_len)
-                return D.collect_scan(
-                    q_oh, db_oh, n_windows, seq_len, shift, chunk, span
+                return D.min2_count_scan(
+                    q_oh, db_oh, n_windows, jnp.int32(0),
+                    seq_len, shift, chunk, span,
                 )
 
             return run_single
@@ -359,21 +380,24 @@ class ScanRunner:
         def shard_fn(q_oh, db_shard, n_windows):
             off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
             n_valid = jnp.clip(n_windows - off, 0, shard_rows)
-
-            def scan_bounds(lo_b, hi_b):
-                lo, hi = D.min2_scan(
-                    q_oh, db_shard, n_valid, off, lo_b, hi_b,
-                    seq_len, shift, chunk, span,
-                )
-                return jax.lax.pmin(lo, "w"), jax.lax.pmin(hi, "w")
-
-            return D.collect_loop(scan_bounds, q_oh.shape[0], span, shift, D.TIE_CAP)
+            lo, hi, cnt = D.min2_count_scan(
+                q_oh, db_shard, n_valid, off, seq_len, shift, chunk, span
+            )
+            big = jnp.int32(2**31 - 1)
+            glo = jax.lax.pmin(lo, "w")
+            ghi = jax.lax.pmin(hi, "w")
+            # Counts only contribute from shards whose local min equals
+            # the global min (other shards counted a worse distance).
+            ld = jnp.where(lo == big, D.BIG, lo >> shift)
+            gd = jnp.where(glo == big, D.BIG, glo >> shift)
+            gcnt = jax.lax.psum(jnp.where(ld == gd, cnt, 0), "w")
+            return glo, ghi, gcnt
 
         mapped = jax.shard_map(
             shard_fn,
             mesh=self.mesh,
             in_specs=(P("q", None), P("w", None), P()),
-            out_specs=(P("q"), P("q", None), P("q"), P("q")),
+            out_specs=(P("q"), P("q"), P("q")),
             check_vma=False,
         )
 
@@ -384,54 +408,102 @@ class ScanRunner:
 
         return run
 
-    def collect_ties_async(self, q_codes: np.ndarray):
-        """Dispatch the on-device tie enumeration; handle for collect_ties."""
-        self._require_windows()
-        shift = D.packing_shift(self.seq_len, max(self.wp, 2))
-        if shift is None:
-            return None
-        q_codes, nq, b = D.pad_batch(q_codes, multiple=self.n_q,
-                                     minimum=max(16, self.n_q))
-        key = ("collect", b, shift)
-        fn = self._topm_cache.get(key)
-        if fn is None:
-            fn = self._build_collect(b, shift)
-            self._topm_cache[key] = fn
-        dist, ties, count, overflow = fn(q_codes, self.db_oh, self.n_windows_dev)
-        return (dist, ties, count, overflow, nq)
+    def _build_compact(self, b: int, t_cap: int):
+        seq_len = self.seq_len
+        chunk = self.chunk
+        shard_rows = self.shard_rows
 
-    def collect_ties(self, q_codes: np.ndarray, handle=None):
-        """Per row: (min distance, ALL window indices at the min, ascending).
+        if self.n_q == 1 and self.n_w == 1:
+            @jax.jit
+            def run_single(q_codes, db_oh, n_windows, thresh):
+                q_oh = D.expand_onehot(q_codes, seq_len)
+                rows, idx, dv, total = D.compact_scan(
+                    q_oh, db_oh, n_windows, thresh, jnp.int32(0),
+                    seq_len, chunk, t_cap,
+                )
+                return rows, idx, dv, total[None]
 
-        Exact enumeration of the reference best-hit output set
-        (lib.rs:306-313) without any sort: one device program runs a
-        while_loop of range-masked dual-key scans, two new ties per
-        iteration for still-active rows. Host work is a single fetch plus
-        a per-row sort of the few collected ties. Rows overflowing the
-        device buffer (> TIE_CAP ties at the min) finish with host-driven
-        subset passes.
-        """
-        if handle is None or not isinstance(handle, tuple) or len(handle) != 5:
-            handle = self.collect_ties_async(q_codes)
-        if handle is None:  # packing overflow: exact top-M fallback
-            return None
-        dist, tbuf, count, overflow, nq = handle
-        dist = np.asarray(dist)[:nq]
-        tbuf = np.asarray(tbuf)[:nq]
-        count = np.asarray(count)[:nq]
-        overflow = np.asarray(overflow)[:nq]
-        tbuf_sorted = np.sort(
-            np.where(tbuf >= 0, tbuf, np.int32(2**31 - 1)), axis=1
+            return run_single
+
+        n_w = self.n_w
+
+        def shard_fn(q_oh, db_shard, n_windows, thresh):
+            off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
+            n_valid = jnp.clip(n_windows - off, 0, shard_rows)
+            rows, idx, dv, total = D.compact_scan(
+                q_oh, db_shard, n_valid, thresh, off, seq_len, chunk, t_cap
+            )
+            # Global batch-row ids so the host merge is one lexsort.
+            q_off = jax.lax.axis_index("q").astype(jnp.int32) * q_oh.shape[0]
+            rows = jnp.where(rows >= 0, rows + q_off, -1)
+            total = total[None]
+            if n_w > 1:
+                # Replicate within the q-group so every process holds the
+                # full result (multi-host fetches must be addressable).
+                rows = jax.lax.all_gather(rows, "w", axis=0, tiled=True)
+                idx = jax.lax.all_gather(idx, "w", axis=0, tiled=True)
+                dv = jax.lax.all_gather(dv, "w", axis=0, tiled=True)
+                total = jax.lax.all_gather(total, "w", axis=0, tiled=True)
+            return rows, idx, dv, total
+
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(P("q", None), P("w", None), P(), P("q")),
+            out_specs=(P("q"), P("q"), P("q"), P("q")),
+            check_vma=False,
         )
-        ties = [
-            tbuf_sorted[r, : count[r]].tolist() if not overflow[r] else None
-            for r in range(nq)
-        ]
-        for r in np.nonzero(overflow)[0]:
-            ties[r] = self._collect_row_host(q_codes[r], dist[r])
-        return dist, ties
+
+        @jax.jit
+        def run(q_codes, db_oh, n_windows, thresh):
+            q_oh = D.expand_onehot(q_codes, seq_len)
+            return mapped(q_oh, db_oh, n_windows, thresh)
+
+        return run
 
     # -- sort-free K-mode (exact top-K with cutoff ties) -------------------
+    #
+    # Phase A: one histogram pass ([B, L+1] exact distance counts) — the
+    # host reads the Kth-smallest distance, the per-row max, and the exact
+    # hit count straight off its cumulative sum (reference cutoff rule,
+    # lib.rs:253-265). For very long windows (seq_len >= D.HIST_MAX) the
+    # histogram would be wider than it is worth and phase A falls back to
+    # the fused binary-search count scans. Phase B: the same compaction
+    # pass as best-hit, then a host lexsort into (distance, index) order.
+
+    def _build_hist(self, b: int):
+        seq_len = self.seq_len
+        chunk = self.chunk
+        shard_rows = self.shard_rows
+
+        if self.n_q == 1 and self.n_w == 1:
+            @jax.jit
+            def run_single(q_codes, db_oh, n_windows):
+                q_oh = D.expand_onehot(q_codes, seq_len)
+                return D.hist_scan(q_oh, db_oh, n_windows, seq_len, chunk)
+
+            return run_single
+
+        def shard_fn(q_oh, db_shard, n_windows):
+            off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
+            n_valid = jnp.clip(n_windows - off, 0, shard_rows)
+            h = D.hist_scan(q_oh, db_shard, n_valid, seq_len, chunk)
+            return jax.lax.psum(h, "w")
+
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(P("q", None), P("w", None), P()),
+            out_specs=P("q", None),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run(q_codes, db_oh, n_windows):
+            q_oh = D.expand_onehot(q_codes, seq_len)
+            return mapped(q_oh, db_oh, n_windows)
+
+        return run
 
     def _build_kstats(self, b: int, shift: int):
         seq_len, chunk, shard_rows, span = (
@@ -474,150 +546,3 @@ class ScanRunner:
 
         return run
 
-    def _build_kenum(self, b: int, shift: int, cap: int):
-        seq_len, chunk, shard_rows, span = (
-            self.seq_len, self.chunk, self.shard_rows, self.wp
-        )
-
-        if self.n_q == 1 and self.n_w == 1:
-            @jax.jit
-            def run_single(q_codes, db_oh, n_windows, eff, hits):
-                q_oh = D.expand_onehot(q_codes, seq_len)
-                return D.kmode_enum_scan(
-                    q_oh, db_oh, n_windows, eff, hits,
-                    seq_len, shift, chunk, span, cap,
-                )
-
-            return run_single
-
-        def shard_fn(q_oh, db_shard, n_windows, eff, hits):
-            off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
-            n_valid = jnp.clip(n_windows - off, 0, shard_rows)
-
-            def region_scan(e, lo_k, hi_k):
-                m1, mr = D._region_pass(
-                    q_oh, db_shard, n_valid, e, lo_k, hi_k,
-                    seq_len, shift, chunk, span, index_offset=off,
-                )
-                # Local keys/rkeys carry global indices (off folded into
-                # gidx below), so elementwise pmin is the global merge.
-                return jax.lax.pmin(m1, "w"), jax.lax.pmin(mr, "w")
-
-            return D.kmode_enumerate(
-                region_scan, q_oh.shape[0], eff, hits, shift, seq_len, span, cap
-            )
-
-        mapped = jax.shard_map(
-            shard_fn,
-            mesh=self.mesh,
-            in_specs=(P("q", None), P("w", None), P(), P("q"), P("q")),
-            out_specs=P("q", None),
-            check_vma=False,
-        )
-
-        @jax.jit
-        def run(q_codes, db_oh, n_windows, eff, hits):
-            q_oh = D.expand_onehot(q_codes, seq_len)
-            return mapped(q_oh, db_oh, n_windows, eff, hits)
-
-        return run
-
-    def kmode_stats_async(self, q_codes: np.ndarray, k: int,
-                          max_divergence: int | None):
-        """Dispatch K-mode phase 1 (cutoff search) without waiting."""
-        self._require_windows()
-        shift = D.packing_shift(self.seq_len, max(self.wp, 2))
-        if shift is None:
-            return None
-        q_codes, nq, b = D.pad_batch(q_codes, multiple=self.n_q,
-                                     minimum=max(16, self.n_q))
-        maxdiv = self.seq_len + 1 if max_divergence is None else max_divergence
-        skey = ("kstats", b, shift)
-        sfn = self._topm_cache.get(skey)
-        if sfn is None:
-            sfn = self._build_kstats(b, shift)
-            self._topm_cache[skey] = sfn
-        eff, hits = sfn(
-            q_codes, self.db_oh, self.n_windows_dev,
-            jnp.int32(k), jnp.int32(maxdiv),
-        )
-        return ("kstats", eff, hits, nq, shift, b)
-
-    def kmode(self, q_codes: np.ndarray, k: int, max_divergence: int | None,
-              stats_handle=None):
-        """Exact K-mode hit lists, sorted by (distance, subject index).
-
-        Returns (dists [B, cap], idxs [B, cap], hits [B]) — per row the
-        first hits[r] columns are exactly the reference's print set
-        (lib.rs:241-295 semantics before limit-per-sequence): every window
-        with distance <= min(Kth-smallest distance, max_divergence), ties
-        at the cutoff included. None when key packing overflows or the
-        hit set is degenerate (callers fall back to the top-M sort path).
-        ``stats_handle``: a pre-dispatched kmode_stats_async result.
-        """
-        if stats_handle is None or not (
-            isinstance(stats_handle, tuple) and stats_handle[0] == "kstats"
-        ):
-            stats_handle = self.kmode_stats_async(q_codes, k, max_divergence)
-        if stats_handle is None:
-            return None
-        _, eff, hits, nq, shift, b = stats_handle
-        if q_codes.shape[0] < b:
-            q_codes = np.pad(q_codes, [(0, b - q_codes.shape[0]), (0, 0)])
-        hits_all = np.array(hits)  # writable copy
-        hits_all[nq:] = 0  # padded rows must not drive enumeration passes
-        hits = jnp.asarray(hits_all)
-        hits_h = hits_all[:nq]
-        max_hits = int(hits_h.max(initial=0))
-        if max_hits == 0:
-            return (
-                np.empty((nq, 0), np.int32), np.empty((nq, 0), np.int32), hits_h
-            )
-        if max_hits > 4096:
-            # Enumeration costs ~max_hits/2 scan passes; for huge output
-            # sets (K near W with loose divergence) the one-shot top-M
-            # sort-merge wins. Exactness is preserved by the caller's
-            # widening fallback.
-            return None
-        cap = _bucket(min(max_hits, self.wp))
-
-        ekey = ("kenum", b, shift, cap)
-        efn = self._topm_cache.get(ekey)
-        if efn is None:
-            efn = self._build_kenum(b, shift, cap)
-            self._topm_cache[ekey] = efn
-        buf = np.asarray(efn(q_codes, self.db_oh, self.n_windows_dev, eff, hits))
-        dists, idxs = D.unpack_key(buf[:nq], shift)
-        return dists, idxs, hits_h
-
-    def _collect_row_host(self, q_row: np.ndarray, dstar: int) -> list[int]:
-        """Exhaustively enumerate one overflowing row's ties host-side."""
-        found: list[int] = []
-        lo, hi = -1, self.wp
-        while True:
-            h = self.min2_async(
-                q_row[None, :], lo_bound=np.array([lo], np.int32),
-                hi_bound=np.array([hi], np.int32),
-            )
-            d2, i_lo, i_hi = self._min2_pair(h)
-            if d2[0] != dstar:
-                break
-            found.append(int(i_lo[0]))
-            if i_hi[0] != i_lo[0]:
-                found.append(int(i_hi[0]))
-            if i_hi[0] <= i_lo[0] + 1:
-                break
-            lo, hi = int(i_lo[0]), int(i_hi[0])
-        found.sort()
-        return found
-
-    def _min2_pair(self, handle):
-        """Handle -> (dist, idx_lo, idx_hi) with BIG markers for empty."""
-        lo, hi, nq, shift = handle
-        lo, hi = np.asarray(lo)[:nq], np.asarray(hi)[:nq]
-        dist, idx_lo = D.unpack_key(lo, shift)
-        _, idx_rev = D.unpack_key(hi, shift)
-        idx_hi = np.where(
-            hi == np.int32(2**31 - 1), np.int32(2**31 - 1), self.wp - 1 - idx_rev
-        ).astype(np.int32)
-        return dist, idx_lo, idx_hi

@@ -1,0 +1,98 @@
+"""End-to-end engine parity under forced db layouts.
+
+SMAFA_TPU_LAYOUT ∈ {sharded, ring, col} must produce byte-identical query
+output on the 8-virtual-device CPU mesh — the determinism-across-layouts
+gate (SURVEY.md §5 race-detection analogue), now covering the production
+entry point rather than the runner layer only.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from smafa_tpu.engine.makedb import makedb
+from smafa_tpu.engine.query import query
+
+BASES = np.array(list("ACGTN-RYU"))
+
+
+def _write_fasta(path, seqs):
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">s{i}\n{s}\n")
+
+
+def _random_seqs(rng, n, L, pool=None, dup=1):
+    if pool is None:
+        arr = BASES[rng.integers(0, len(BASES), size=(n, L))]
+        return ["".join(row) for row in arr]
+    picks = rng.integers(0, len(pool), size=n * dup)
+    return [pool[p] for p in picks]
+
+
+def _run_query(db, q, layout, monkeypatch, **kw):
+    monkeypatch.setenv("SMAFA_TPU_LAYOUT", layout)
+    out = io.StringIO()
+    query(db, q, out=out, **kw)
+    return out.getvalue()
+
+
+@pytest.mark.parametrize("mode", [
+    {},                                        # best-hit
+    {"max_divergence": 6},                     # best-hit + filter
+    {"max_num_hits": 7},                       # K-mode
+    {"max_num_hits": 50, "max_divergence": 10},
+    {"max_num_hits": 5, "limit_per_sequence": 2},
+])
+def test_layouts_byte_identical(tmp_path, monkeypatch, mode):
+    rng = np.random.default_rng(sum(map(hash, mode.items())) % 2**31)
+    L = 24
+    # duplicate-heavy db so best-hit rows carry many ties (> the 2-tie
+    # phase-A fast path) and K-mode cutoffs tie across duplicates
+    pool = _random_seqs(rng, 40, L)
+    db_seqs = _random_seqs(rng, 160, L, pool=pool)
+    q_seqs = _random_seqs(rng, 33, L, pool=pool) + _random_seqs(rng, 10, L)
+    subj, qf = tmp_path / "s.fa", tmp_path / "q.fa"
+    dbf = tmp_path / "d.smafadb"
+    _write_fasta(subj, db_seqs)
+    _write_fasta(qf, q_seqs)
+    makedb(subj, dbf)
+
+    ref = _run_query(dbf, qf, "sharded", monkeypatch, **mode)
+    assert ref.count("\n") > 0
+    for layout in ("ring", "col"):
+        got = _run_query(dbf, qf, layout, monkeypatch, **mode)
+        assert got == ref, f"layout {layout} diverged"
+
+
+def test_tie_heavy_best_hit(tmp_path, monkeypatch):
+    # Every db row is one of 3 sequences -> ~W/3 ties at the min per
+    # query; exercises the compaction pass (phase B) on every layout.
+    rng = np.random.default_rng(7)
+    L = 12
+    pool = _random_seqs(rng, 3, L)
+    db_seqs = _random_seqs(rng, 300, L, pool=pool)
+    q_seqs = pool + _random_seqs(rng, 5, L)
+    subj, qf = tmp_path / "s.fa", tmp_path / "q.fa"
+    dbf = tmp_path / "d.smafadb"
+    _write_fasta(subj, db_seqs)
+    _write_fasta(qf, q_seqs)
+    makedb(subj, dbf)
+
+    outs = {
+        layout: _run_query(dbf, qf, layout, monkeypatch)
+        for layout in ("sharded", "ring", "col")
+    }
+    ref = outs["sharded"]
+    # ~100 ties per pool query -> thousands of lines
+    assert ref.count("\n") >= 3 * 90
+    assert outs["ring"] == ref
+    assert outs["col"] == ref
+
+    # literal oracle on one query: every line's subject decodes at min dist
+    first_q_lines = [l for l in ref.splitlines() if l.startswith("0\t")]
+    dists = {int(l.split("\t")[2]) for l in first_q_lines}
+    assert len(dists) == 1
+    subjects = [int(l.split("\t")[1]) for l in first_q_lines]
+    assert subjects == sorted(subjects)
