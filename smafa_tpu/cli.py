@@ -105,7 +105,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--input", required=True, help="FASTA file to cluster [required]")
     p.add_argument("-d", "--max-divergence", type=int, required=True,
                    help="Maximum divergence to report hits for, for each sequence")
-    p.add_argument("--batch-size", type=int, default=512, help=argparse.SUPPRESS)
+    p.add_argument("--batch-size", type=int, default=None, help=argparse.SUPPRESS)
     p.add_argument("--coordinator", default=None,
                    help="Multi-host: coordinator address host:port")
     p.add_argument("--num-processes", type=int, default=None,

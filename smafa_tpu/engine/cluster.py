@@ -9,25 +9,31 @@ else promote the record to a new centroid; print
 
 The algorithm is order-sequential — each record's assignment depends on
 centroids created by earlier records — so a TPU can't just vmap it.
-The TPU formulation here batches the stream:
+The TPU formulation batches the stream and PIPELINES the device scan:
 
-1. device: one int8 MXU matmul scans the whole batch against all existing
-   centroids at once -> per-row (min distance, first argmin),
-2. device: one [B, B] self-distance matmul for the batch,
-3. host: a tiny O(B * promotions) sequential pass resolves intra-batch
-   order dependencies exactly — a row promoted earlier in the batch can
-   capture later rows via the self-distance matrix. New centroids always
-   have higher indices than old ones, so a strict ``<`` comparison
-   reproduces the reference's lowest-index tie rule (cluster.rs:62-68).
+1. batch t's centroid scan (one packed-key min over the device-resident
+   centroid tensor) is dispatched against the centroid snapshot taken
+   BEFORE batch t-1 resolves, so the device scans while the host
+   resolves/emits the previous batch;
+2. at resolve time the few centroids promoted since that snapshot (batch
+   t-1's promotions) are accounted exactly with a host-side BLAS Hamming
+   block (one small [B, P] distance matrix — new centroids always have
+   higher indices, so a strict ``<`` merge preserves the reference's
+   lowest-index tie rule, cluster.rs:62-68);
+3. intra-batch order dependencies resolve the same way: only rows that
+   FAIL against all existing centroids can promote, so one host Hamming
+   block against those columns plus a vectorized per-promotion sweep
+   reproduces the serial semantics exactly (a promotion can capture any
+   later row of the batch).
 
-Centroids live on device in an amortized-doubling one-hot buffer; the
-batch's promotions are appended with one dynamic_update_slice per batch.
+Exact-duplicate skip runs in one native C++ call per batch
+(native/fastx.cpp dedup_filter; reference cluster.rs:46-48 semantics),
+with a Python set fallback.
 """
 
 from __future__ import annotations
 
 import logging
-import math
 import sys
 import time
 from functools import partial
@@ -40,35 +46,30 @@ import numpy as np
 
 from smafa_tpu.core import alphabet
 from smafa_tpu.core.windowset import WindowSet
-from smafa_tpu.core.encoding import dedup_key
 from smafa_tpu.io.fastx import read_encoded_batches
 from smafa_tpu.ops import distance as D
 from smafa_tpu.utils.profiling import StageTimers
 
 logger = logging.getLogger("smafa")
 
-DEFAULT_BATCH = 512
+DEFAULT_BATCH = 2048
 
 
 _bucket = D.bucket  # single bucketing policy (ops.distance)
 
 
 @partial(jax.jit, static_argnames=("seq_len", "chunk"))
-def _scan_batch_fused(q_codes, cent_oh, n_centroids, seq_len, chunk):
-    """One program per batch: (min dist, argmin) vs centroids AND the
-    batch's self-distance matrix (for intra-batch promotion capture)."""
+def _scan_min(q_codes, cent_oh, n_centroids, seq_len, chunk):
+    """One program per batch: (min dist, first argmin) vs centroids."""
     q_oh = D.expand_onehot(q_codes, seq_len)
-    d, i = D.min_scan(q_oh, cent_oh, n_centroids, seq_len, chunk)
-    self_d = D.pairwise_distances(q_oh, q_oh, seq_len)
-    return d, i, self_d
+    return D.min_scan(q_oh, cent_oh, n_centroids, seq_len, chunk)
 
 
 def _build_sharded_scan(mesh, seq_len: int, chunk: int, shard_rows: int, span: int):
     """Centroid scan over a ('q','w') mesh: centroid rows sharded over 'w',
     packed keys pmin-merged — the cluster op's tensor-parallel axis
     (centroid tensor distances merged via collectives). Queries stay
-    replicated; the batch self-distance matmul is computed redundantly on
-    each device (it is tiny relative to the centroid scan)."""
+    replicated."""
     from jax.sharding import PartitionSpec as P
 
     shift = D.packing_shift(seq_len, span)
@@ -100,23 +101,26 @@ def _build_sharded_scan(mesh, seq_len: int, chunk: int, shard_rows: int, span: i
     @jax.jit
     def run(q_codes, cent_oh, n_centroids):
         q_oh = D.expand_onehot(q_codes, seq_len)
-        d, i = mapped(q_oh, cent_oh, n_centroids)
-        self_d = D.pairwise_distances(q_oh, q_oh, seq_len)
-        return d, i, self_d
+        return mapped(q_oh, cent_oh, n_centroids)
 
     return run
 
 
-@partial(jax.jit, static_argnames=("seq_len",))
-def _self_distances(q_codes, seq_len):
-    q_oh = D.expand_onehot(q_codes, seq_len)
-    return D.pairwise_distances(q_oh, q_oh, seq_len)
+def _host_hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact Hamming distances between channel-code rows, on host BLAS.
 
-
-@partial(jax.jit, static_argnames=("seq_len",))
-def _append_rows(cent_oh, new_codes, at, seq_len):
-    new_oh = D.expand_onehot(new_codes, seq_len)
-    return jax.lax.dynamic_update_slice_in_dim(cent_oh, new_oh, at, axis=0)
+    Matches the device semantics exactly (a column matches iff the
+    channel indices are equal — N-vs-N matches, N-vs-base does not).
+    Used for the small promotion-column blocks ([batch, promotions]);
+    float32 accumulation is exact for any realistic window length.
+    """
+    if b.shape[0] == 0:
+        return np.zeros((a.shape[0], 0), np.int32)
+    L = a.shape[1]
+    matches = np.zeros((a.shape[0], b.shape[0]), np.float32)
+    for c in range(alphabet.N_CHANNELS):
+        matches += (a == c).astype(np.float32) @ (b == c).astype(np.float32).T
+    return (L - matches).astype(np.int32)
 
 
 class _CentroidStore:
@@ -137,10 +141,8 @@ class _CentroidStore:
         self.chunk = 1024
         # Shard the centroid tensor over the 'w' mesh axis in multi-host
         # runs, or when tests force sharding; single-process runs keep
-        # the simpler single-device program (centroid scans are small —
-        # the host-side sequential assignment pass dominates — so the
-        # collective path is for multi-host and validation). The packed-
-        # key scan merges with a pmin collective, like the query db scan.
+        # the simpler single-device program. The packed-key scan merges
+        # with a pmin collective, like the query db scan.
         self.mesh = None
         if sharded._force_shard() or jax.process_count() > 1:
             self.mesh = sharded.build_mesh()
@@ -202,8 +204,10 @@ class _CentroidStore:
         L = self.seq_len
         self.decoded.extend(flat[i * L : (i + 1) * L] for i in range(k))
 
-    def scan_batch(self, q_codes: np.ndarray):
-        """(min dist, argmin vs centroids, self-distance matrix) per batch."""
+    def scan_async(self, q_codes: np.ndarray):
+        """Dispatch the centroid min scan; returns a handle whose arrays
+        resolve asynchronously (fetch with ``scan_fetch``). The snapshot
+        semantics are the dispatch-time buffer + count."""
         nq = q_codes.shape[0]
         b = _bucket(nq)
         if nq < b:
@@ -218,28 +222,79 @@ class _CentroidStore:
                     self.cap // n_w, self.cap,
                 )
                 self._scan_cache[key] = fn
-            d, i, self_d = fn(q_codes, self.buf, jnp.int32(len(self.ws)))
+            d, i = fn(q_codes, self.buf, jnp.int32(len(self.ws)))
         else:
-            d, i, self_d = _scan_batch_fused(
+            d, i = _scan_min(
                 q_codes, self.buf, jnp.int32(len(self.ws)), self.seq_len,
                 min(self.chunk, self.cap),
             )
-        return (
-            np.asarray(d)[:nq], np.asarray(i)[:nq],
-            np.asarray(self_d)[:nq, :nq],
-        )
+        return (d, i, nq)
+
+    def scan_fetch(self, handle):
+        d, i, nq = handle
+        return np.asarray(d)[:nq], np.asarray(i)[:nq]
+
+
+@partial(jax.jit, static_argnames=("seq_len",))
+def _append_rows(cent_oh, new_codes, at, seq_len):
+    new_oh = D.expand_onehot(new_codes, seq_len)
+    return jax.lax.dynamic_update_slice_in_dim(cent_oh, new_oh, at, axis=0)
+
+
+class _Dedup:
+    """Exact-duplicate filter (reference cluster.rs:46-48): native
+    unordered_set over channel-code rows, one call per batch; Python
+    set-of-bytes fallback."""
+
+    def __init__(self):
+        from smafa_tpu.native import load
+
+        self._lib = load()
+        self._h = self._lib.dedup_new() if self._lib is not None else None
+        self._seen: set[bytes] = set()
+
+    def filter(self, codes: np.ndarray) -> np.ndarray:
+        """Boolean keep mask: True for first-ever occurrences (inserted)."""
+        n = codes.shape[0]
+        if self._h is not None:
+            import ctypes
+
+            codes = np.ascontiguousarray(codes, dtype=np.uint8)
+            keep = np.empty(n, np.uint8)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            self._lib.dedup_filter(
+                self._h, codes.ctypes.data_as(u8p), n, codes.shape[1],
+                keep.ctypes.data_as(u8p),
+            )
+            return keep.astype(bool)
+        keep = np.empty(n, bool)
+        seen = self._seen
+        for j in range(n):
+            key = codes[j].tobytes()
+            if key in seen:
+                keep[j] = False
+            else:
+                seen.add(key)
+                keep[j] = True
+        return keep
+
+    def __del__(self):
+        if getattr(self, "_h", None) is not None and self._lib is not None:
+            self._lib.dedup_free(self._h)
+            self._h = None
 
 
 def cluster(
     input_fasta: str | Path,
     max_divergence: int,
     out: TextIO | None = None,
-    batch_size: int = DEFAULT_BATCH,
+    batch_size: int | None = None,
 ) -> None:
     out = out if out is not None else sys.stdout
+    batch_size = batch_size or DEFAULT_BATCH
     t0 = time.time()
     max_div = int(max_divergence)
-    seen: set[bytes] = set()
+    dedup = _Dedup()
     store: _CentroidStore | None = None
 
     if not Path(input_fasta).exists():
@@ -248,30 +303,44 @@ def cluster(
     logger.info("Clustering ..")
     timers = StageTimers()
     query_number = 0
-    for ids, raws, codes in read_encoded_batches(input_fasta, batch_size=batch_size):
-        query_number += len(ids)
-        # exact-duplicate skip, in input order (reference cluster.rs:46-48)
-        with timers.stage("dedup"):
-            keep: list[int] = []
-            for j in range(len(ids)):
-                key = dedup_key(codes[j])
-                if key not in seen:
-                    seen.add(key)
-                    keep.append(j)
-        if not keep:
-            continue
-        codes_u = codes[keep]
-        raws_u = [raws[j] for j in keep]
-        seq_len = codes_u.shape[1]
-
-        if store is None:
-            store = _CentroidStore(seq_len)
-        else:
-            store.ws.check_query_length(seq_len)
-
-        timers.count("comparisons", len(keep) * len(store))
-        with timers.stage("scan+assign"):
-            _process_batch(store, codes_u, raws_u, max_div, out)
+    pending: tuple | None = None  # (raws_u, codes_u, handle, snap_n)
+    batches = read_encoded_batches(input_fasta, batch_size=batch_size)
+    while True:
+        # The already-dispatched pending batch must be resolved/emitted
+        # before any parse/encode error propagates (reference streaming
+        # behavior: every record before the offending one prints).
+        try:
+            item = next(batches, None)
+            if item is not None:
+                ids, raws, codes = item
+                query_number += len(ids)
+                with timers.stage("dedup"):
+                    keep = dedup.filter(codes)
+                if keep.any():
+                    codes_u = codes[keep]
+                    raws_u = [raws[j] for j in np.nonzero(keep)[0]]
+                    seq_len = codes_u.shape[1]
+                    if store is None:
+                        store = _CentroidStore(seq_len)
+                    else:
+                        store.ws.check_query_length(seq_len)
+                    timers.count("comparisons", codes_u.shape[0] * len(store))
+                    with timers.stage("dispatch"):
+                        handle = store.scan_async(codes_u) if len(store) else None
+                    current = (raws_u, codes_u, handle, len(store))
+                else:
+                    current = None  # whole batch was duplicates
+            else:
+                current = None
+        except Exception:
+            if pending is not None:
+                _resolve_emit(store, pending, max_div, out, timers)
+            raise
+        if pending is not None:
+            _resolve_emit(store, pending, max_div, out, timers)
+        pending = current
+        if item is None:
+            break
     timers.log_report(logging.DEBUG)
 
     n_centroids = len(store) if store is not None else 0
@@ -281,38 +350,65 @@ def cluster(
     )
 
 
-def _process_batch(store, codes_u, raws_u, max_div, out):
+def _resolve_emit(store, pending, max_div, out, timers):
+    """Resolve one dispatched batch exactly and emit its lines.
+
+    The device scan saw the centroid snapshot at dispatch time; centroids
+    promoted since (by the previous batch's resolution) and intra-batch
+    promotions are merged host-side from small exact Hamming blocks.
+    """
+    raws_u, codes_u, handle, snap_n = pending
     nb = codes_u.shape[0]
-    n_old = len(store)
-    if n_old:
-        old_d, old_i, self_d = store.scan_batch(codes_u)
-    else:
-        old_d = old_i = None
-        self_d = np.asarray(_self_distances(codes_u, store.seq_len)) if nb > 1 else None
-
     sentinel = max_div * 2 + 2  # reference cluster.rs:54-58
-    promoted: list[tuple[int, int]] = []  # (batch_row, centroid_idx)
-    assigned: list[int] = []
-    for j in range(nb):
-        if old_d is not None:
-            best_d, best_i = int(old_d[j]), int(old_i[j])
+    with timers.stage("fetch"):
+        if handle is not None:
+            d, i = store.scan_fetch(handle)
+            d = d.astype(np.int64)
+            i = i.astype(np.int64)
         else:
-            best_d, best_i = sentinel, 0
-        for j2, cidx in promoted:
-            d = int(self_d[j, j2])
-            if d < best_d:  # strict: older (lower-index) centroids win ties
-                best_d, best_i = d, cidx
-        if best_d <= max_div:
-            assigned.append(best_i)
-        else:
-            cidx = n_old + len(promoted)
-            promoted.append((j, cidx))
-            assigned.append(cidx)
+            d = np.full(nb, sentinel, np.int64)
+            i = np.zeros(nb, np.int64)
+    with timers.stage("resolve"):
+        n_now = len(store)
+        if n_now > snap_n:
+            # Promotions since the snapshot: all have indices >= snap_n
+            # (> any index in the scan result), so strict < preserves the
+            # lowest-index tie rule; argmin takes the first (lowest) of
+            # the delta block.
+            delta = store.ws.codes[snap_n:n_now]
+            cross = _host_hamming(codes_u, delta).astype(np.int64)
+            pmin = cross.min(axis=1)
+            parg = cross.argmin(axis=1)
+            better = pmin < d
+            d = np.where(better, pmin, d)
+            i = np.where(better, snap_n + parg, i)
 
-    if promoted:
-        store.append(codes_u[[j for j, _ in promoted]])
-    lines = []
-    for j in range(nb):
-        raw = raws_u[j].decode("utf-8")
-        lines.append(f"{raw}\t{store.decoded[assigned[j]]}\n")
-    out.write("".join(lines))
+        assigned = i
+        bestd = d
+        fail = np.nonzero(bestd > max_div)[0]
+        promoted_rows: list[int] = []
+        if fail.size:
+            # Only failing rows can promote; one Hamming block against
+            # exactly those columns feeds the sequential capture sweep.
+            self_cols = _host_hamming(codes_u, codes_u[fail]).astype(np.int64)
+            row_idx = np.arange(nb)
+            for fpos, j in enumerate(fail.tolist()):
+                if bestd[j] <= max_div:
+                    continue  # captured by an earlier intra-batch promotion
+                c = n_now + len(promoted_rows)
+                promoted_rows.append(j)
+                assigned[j] = c
+                col = self_cols[:, fpos]
+                upd = (row_idx > j) & (col < bestd)
+                bestd[upd] = col[upd]
+                assigned[upd] = c
+        if promoted_rows:
+            store.append(codes_u[promoted_rows])
+    with timers.stage("emit"):
+        decoded = store.decoded
+        out.write(
+            "".join(
+                f"{raws_u[j].decode('utf-8')}\t{decoded[assigned[j]]}\n"
+                for j in range(nb)
+            )
+        )

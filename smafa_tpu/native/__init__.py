@@ -101,5 +101,11 @@ def load() -> ctypes.CDLL | None:
         lib.tsv_format.argtypes = [
             i64p, i32p, i32p, u8p, i64p, c.c_int64, c.c_int64, c.c_char_p,
         ]
+        lib.dedup_new.restype = c.c_void_p
+        lib.dedup_new.argtypes = []
+        lib.dedup_free.restype = None
+        lib.dedup_free.argtypes = [c.c_void_p]
+        lib.dedup_filter.restype = c.c_int64
+        lib.dedup_filter.argtypes = [c.c_void_p, u8p, c.c_int64, c.c_int64, u8p]
         _LIB = lib
         return _LIB

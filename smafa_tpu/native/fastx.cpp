@@ -381,3 +381,45 @@ int64_t tsv_format(const int64_t* qnum, const int32_t* subj,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Exact-duplicate set for the cluster op (reference cluster.rs:46-48 dedups
+// on the packed encoding with a HashSet<Vec<u64>>; channel-index rows are a
+// bijection of that for valid sequences). One call filters a whole batch:
+// no per-record Python.
+
+#include <string>
+#include <unordered_set>
+
+namespace {
+
+struct DedupSet {
+  std::unordered_set<std::string> seen;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* dedup_new() { return new DedupSet(); }
+
+void dedup_free(void* h) { delete static_cast<DedupSet*>(h); }
+
+// codes: n rows of len channel bytes. keep[i] = 1 iff row i is the first
+// occurrence EVER seen by this set (inserted as a side effect, so the
+// in-batch order matches the reference's streaming semantics). Returns the
+// number kept.
+int64_t dedup_filter(void* h, const uint8_t* codes, int64_t n, int64_t len,
+                     uint8_t* keep) {
+  auto& seen = static_cast<DedupSet*>(h)->seen;
+  int64_t kept = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    auto res = seen.emplace(reinterpret_cast<const char*>(codes + i * len),
+                            (size_t)len);
+    keep[i] = res.second ? 1 : 0;
+    kept += res.second;
+  }
+  return kept;
+}
+
+}  // extern "C"
