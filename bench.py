@@ -1,20 +1,28 @@
 """Throughput benchmark: query x db sequence comparisons/sec on one chip.
 
-Measures the hot kernel — the fused packed-key Hamming scan (min distance +
-lowest-index argmin + unique-min detection per query row), the TPU replacement for
-the reference's serial popcount loop (reference lib.rs:80-88, 232-238) —
-on the BASELINE.json single-chip config shape: 60 bp windows, 1M-row db,
-streamed query batches.
+Measures the SHIPPED best-hit phase-A program — the fused packed-key
+Hamming scan with dual tie keys AND exact tie count
+(ops.distance.min2_count_scan), i.e. exactly what `smafa_tpu query`
+dispatches per batch in its default mode — the TPU replacement for the
+reference's serial popcount loop (reference lib.rs:80-88, 232-238), on
+the BASELINE.json single-chip config shape: 60 bp windows, 1M-row db,
+streamed query batches. (Round 1 benched the count-less min2 kernel;
+round 2 made the production path a single phase-A pass for tie-free
+batches, so the headline now IS the shipped path.)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is value / 1e9 (the north-star >= 1e9 comparisons/sec/chip).
 
 Timing fetches a result to host each iteration: on the axon-tunneled TPU
 platform, block_until_ready alone does not reliably synchronize.
+
+``--kernel {mincnt,min2,compact,hist}`` benches a specific pass (used by
+tools/perf_suite.py to fill docs/PERFORMANCE.md).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -28,8 +36,53 @@ from smafa_tpu.ops import distance as D
 NORTH_STAR = 1.0e9  # comparisons/sec/chip (BASELINE.json north_star)
 
 
+def build_kernel(name: str, seq_len: int, n_windows: int, chunk: int):
+    shift = D.packing_shift(seq_len, n_windows)
+    nw = jnp.int32(n_windows)
+    zero = jnp.int32(0)
+
+    if name == "mincnt":
+        @jax.jit
+        def scan(q, db):
+            return D.min2_count_scan(
+                D.expand_onehot(q, seq_len), db, nw, zero,
+                seq_len, shift, chunk, n_windows,
+            )
+    elif name == "min2":
+        @jax.jit
+        def scan(q, db):
+            lo_b = jnp.full((q.shape[0],), -1, jnp.int32)
+            hi_b = jnp.full((q.shape[0],), n_windows, jnp.int32)
+            return D.min2_scan(
+                D.expand_onehot(q, seq_len), db, nw, zero, lo_b, hi_b,
+                seq_len, shift, chunk, n_windows,
+            )
+    elif name == "compact":
+        @jax.jit
+        def scan(q, db):
+            thresh = jnp.full((q.shape[0],), seq_len // 8, jnp.int32)
+            return D.compact_scan(
+                D.expand_onehot(q, seq_len), db, nw, thresh, zero,
+                seq_len, chunk, 4096,
+            )
+    elif name == "hist":
+        @jax.jit
+        def scan(q, db):
+            return D.hist_scan(
+                D.expand_onehot(q, seq_len), db, nw, seq_len, chunk
+            )
+    else:
+        raise SystemExit(f"unknown kernel {name}")
+    return scan
+
+
 def main() -> None:
     from smafa_tpu.utils.platform import apply_platform_env, enable_compilation_cache
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kernel", default="mincnt",
+                    choices=["mincnt", "min2", "compact", "hist"])
+    args = ap.parse_args()
 
     apply_platform_env()  # honor an explicit JAX_PLATFORMS=cpu (CI smoke)
     enable_compilation_cache()
@@ -48,32 +101,20 @@ def main() -> None:
     db_codes = rng.integers(0, N_CHANNELS, size=(n_windows, seq_len), dtype=np.uint8)
     q_codes = rng.integers(0, N_CHANNELS, size=(batch, seq_len), dtype=np.uint8)
 
-    shift = D.packing_shift(seq_len, n_windows)
-    nw = jnp.int32(n_windows)
-    zero = jnp.int32(0)
-
     db_oh = jax.jit(lambda c: D.expand_onehot(c, seq_len))(db_codes)
     db_oh.block_until_ready()
-
-    @jax.jit
-    def scan(q, db):
-        lo_b = jnp.full((q.shape[0],), -1, jnp.int32)
-        hi_b = jnp.full((q.shape[0],), n_windows, jnp.int32)
-        return D.min2_scan(
-            D.expand_onehot(q, seq_len), db, nw, zero, lo_b, hi_b,
-            seq_len, shift, chunk, n_windows,
-        )
+    scan = build_kernel(args.kernel, seq_len, n_windows, chunk)
 
     q_dev = jax.device_put(q_codes)
     for _ in range(warmup):
-        lo, hi = scan(q_dev, db_oh)
-        np.asarray(lo)
+        out = scan(q_dev, db_oh)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
 
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        lo, hi = scan(q_dev, db_oh)
-        np.asarray(lo)  # host fetch = real synchronization barrier
+        out = scan(q_dev, db_oh)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])  # host fetch = real barrier
         best = min(best, time.perf_counter() - t0)
 
     comparisons = batch * n_windows

@@ -38,10 +38,19 @@ def _add_verbosity(p: argparse.ArgumentParser, short_q: bool = True) -> None:
                    help="Unless there is an error, do not print logging information")
 
 
+# Reference lib.rs:15-16 AUTHOR_AND_EMAIL, shown by --help (main.rs:66).
+AUTHOR_AND_EMAIL = (
+    "Ben J. Woodcroft, Centre for Microbiome Research, School of Biomedical "
+    "Sciences, Faculty of Health, Queensland University of Technology "
+    "<benjwoodcroft near gmail.com>"
+)
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="smafa",
         description="Read aligner for small pre-aligned sequences (TPU-native engine)",
+        epilog=AUTHOR_AND_EMAIL,
     )
     from smafa_tpu import __version__
 
@@ -60,17 +69,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "or TPU-native sharded 'native'")
     _add_verbosity(p)
 
+    # long_about text and numbered-list formatting per reference
+    # main.rs:78-83.
     p = sub.add_parser(
         "query",
         help="Search a database. See query --help for more information about output format.",
+        formatter_class=argparse.RawDescriptionHelpFormatter,
         description=(
-            "This command searches a database for query sequences. The database must "
-            "be generated with the `makedb` command. The query sequences can be in "
-            "FASTA or FASTQ format. The output is a tab-separated file with columns: "
-            "1. Query sequence number (0-indexed); 2. Subject sequence number "
-            "(0-indexed); 3. Divergence (number of nucleotides different between the "
-            "two sequences); 4. Subject sequence (with dashes and degenerate base "
-            "symbols shown as Ns)"
+            "This command searches a database for query sequences. The database "
+            "must be generated with the `makedb` command. The query sequences can "
+            "be in FASTA or FASTQ format. The output is a tab-separated file with "
+            "the following columns:\n"
+            "\n"
+            "1. Query sequence number (0-indexed)\n"
+            "2. Subject sequence number (0-indexed)\n"
+            "3. Divergence (number of nucleotides different between the two sequences\n"
+            "4. Subject sequence (with dashes and degenerate base symbols shown as Ns)"
         ),
     )
     p.add_argument("-d", "--database", required=True, help="Output from makedb [required]")
@@ -103,8 +117,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("cluster", help="Cluster sequences by similarity")
     p.add_argument("-i", "--input", required=True, help="FASTA file to cluster [required]")
-    p.add_argument("-d", "--max-divergence", type=int, required=True,
-                   help="Maximum divergence to report hits for, for each sequence")
+    # Not argparse-required: the reference's clap accepts a missing -d and
+    # dies on .unwrap() with exit 101 (main.rs:43,104); we reproduce that
+    # exit code (and panic text) in main() rather than argparse's exit 2.
+    p.add_argument("-d", "--max-divergence", type=int, default=None,
+                   help="Maximum divergence to report hits for, for each sequence "
+                        "[default: not used]")
     p.add_argument("--batch-size", type=int, default=None, help=argparse.SUPPRESS)
     p.add_argument("--coordinator", default=None,
                    help="Multi-host: coordinator address host:port")
@@ -150,24 +168,22 @@ def main(argv: list[str] | None = None) -> int:
     from smafa_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
-    out_stream = None
-    if getattr(args, "output", None):
-        # a+ keeps existing bytes (resume truncates any torn tail itself)
-        # and permits the seek/truncate that exactly-once resume needs.
-        mode = "a+" if getattr(args, "resume_state", None) else "w"
-        out_stream = open(args.output, mode)
+    emitter = True
     if getattr(args, "coordinator", None) or getattr(args, "num_processes", None):
         from smafa_tpu.parallel import multihost
 
         multihost.initialize(args.coordinator, args.num_processes, args.process_id)
-        if not multihost.is_emitter():
-            if out_stream is not None:
-                out_stream.close()
-            out_stream = open(os.devnull, "w")
-        if getattr(args, "resume_state", None):
-            print("--resume-state is not supported with multi-host runs",
-                  file=sys.stderr)
-            return 101
+        emitter = multihost.is_emitter()
+    out_stream = None
+    if not emitter:
+        # Non-emitting processes never touch the real output file (a late
+        # starter must not truncate the emitter's file on a shared fs).
+        out_stream = open(os.devnull, "w")
+    elif getattr(args, "output", None):
+        # a+ keeps existing bytes (resume truncates any torn tail itself)
+        # and permits the seek/truncate that exactly-once resume needs.
+        mode = "a+" if getattr(args, "resume_state", None) else "w"
+        out_stream = open(args.output, mode)
 
     try:
         if args.subcommand == "makedb":
@@ -187,6 +203,11 @@ def main(argv: list[str] | None = None) -> int:
                 out=out_stream,
             )
         elif args.subcommand == "cluster":
+            if args.max_divergence is None:
+                # Reference: .unwrap() on the absent flag (main.rs:43).
+                print("called `Option::unwrap()` on a `None` value",
+                      file=sys.stderr)
+                return 101
             from smafa_tpu.engine.cluster import cluster
 
             cluster(args.input, args.max_divergence, out=out_stream,

@@ -144,6 +144,7 @@ def query(
         # Reference panic text on open failure (lib.rs:221).
         raise QueryError(f"valid path/file of query fasta: {query_fasta}")
     state = _ResumeState(resume_state, query_fasta)
+    state.sync_processes()
     state.restore_output(out)
     query_number = state.done
     if state.done:
@@ -265,7 +266,9 @@ class _ResumeState:
         self.path = Path(path) if path else None
         self.done = 0
         self.out_pos: int | None = None
-        if self.path is not None and self.path.exists():
+        self.write_enabled = True  # multi-host: only process 0 persists
+        self._had_checkpoint = self.path is not None and self.path.exists()
+        if self._had_checkpoint:
             data = json.loads(self.path.read_text())
             if data.get("query_fasta") != str(query_fasta):
                 raise QueryError(
@@ -276,8 +279,34 @@ class _ResumeState:
             self.out_pos = data.get("out_pos")
         self._query_fasta = str(query_fasta)
 
-    def restore_output(self, out) -> None:
+    def sync_processes(self) -> None:
+        """Multi-host: every process must skip the same prefix (the scan
+        programs are SPMD), so process 0's checkpoint is authoritative —
+        its ``done`` is broadcast (the state file need not exist on other
+        hosts' filesystems) and only process 0 persists/truncates."""
         if self.path is None:
+            return
+        import jax
+
+        if jax.process_count() <= 1:
+            return
+        from jax.experimental import multihost_utils
+
+        self.done = int(multihost_utils.broadcast_one_to_all(
+            np.int64(self.done)
+        ))
+        if jax.process_index() != 0:
+            self.write_enabled = False
+            self.out_pos = None
+
+    def restore_output(self, out) -> None:
+        if self.path is None or not self.write_enabled:
+            return
+        if not self._had_checkpoint:
+            # Fresh run: nothing recorded yet. Leave the stream alone —
+            # a user may be appending to a file holding earlier results
+            # (truncating here would destroy them). The rare crash before
+            # the first checkpoint therefore resumes at-least-once.
             return
         if self.done > 0 and self.out_pos is None:
             # A checkpoint exists but the original run's output was
@@ -286,9 +315,6 @@ class _ResumeState:
             # would destroy queries 0..done-1. At-least-once semantics:
             # leave the file alone.
             return
-        # Otherwise: resume to the recorded offset, or — with no
-        # checkpoint yet (fresh run) — to 0, so a torn batch-0 prefix
-        # from a pre-checkpoint crash cannot duplicate.
         target = self.out_pos if self.out_pos is not None else 0
         try:
             end = out.seek(0, 2)
@@ -302,7 +328,7 @@ class _ResumeState:
 
     def mark_done(self, done: int, out) -> None:
         self.done = done
-        if self.path is None:
+        if self.path is None or not self.write_enabled:
             return
         out.flush()  # must succeed before the batch is recorded as done
         pos = None

@@ -69,7 +69,10 @@ def read_varint(buf: bytes | np.ndarray, pos: int) -> tuple[int, int]:
         if byte < 0x80:
             return value, pos
         shift += 7
-        if shift > 70:
+        if shift >= 70:
+            # Same 10-byte limit as the vectorized decoder (lengths > 10)
+            # and the native codec: a u64 varint is at most 10 bytes, so a
+            # continuation bit on the 10th byte is overlong.
             raise PostcardError("Found a varint that didn't terminate")
 
 
@@ -147,6 +150,12 @@ def _decode_varints(data: np.ndarray, count: int, pos: int) -> tuple[np.ndarray,
     # positions (within tail) of the final byte of each varint
     ends = np.nonzero(is_last)[0]
     if ends.size < count:
+        # An unterminated tail of >= 10 continuation bytes can never
+        # terminate validly — classify it as overlong, exactly like the
+        # scalar and native decoders (10-byte u64 varint limit).
+        last_end = int(ends[-1]) if ends.size else -1
+        if tail.shape[0] - (last_end + 1) >= 10:
+            raise PostcardError("Found a varint that didn't terminate")
         raise PostcardError("Hit the end of buffer, expected more data")
     ends = ends[:count]
     starts = np.empty(count, dtype=np.int64)

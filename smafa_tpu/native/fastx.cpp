@@ -311,8 +311,10 @@ int64_t postcard_decode_windows(const uint8_t* buf, int64_t len, int64_t n,
   };
   // Distinguish truncation (-3) from an overlong varint (-4) so Python
   // raises the same error text as the numpy fallback for each case.
+  // get_varint stops after consuming exactly 10 bytes (shift > 63), so
+  // overlong means >= 10 consumed, never > 10.
   auto classify = [&](const uint8_t* start) -> int64_t {
-    return (p - start) > 10 ? -4 : -3;
+    return (p - start) >= 10 ? -4 : -3;
   };
   for (int64_t i = 0; i < n; ++i) {
     uint64_t w;

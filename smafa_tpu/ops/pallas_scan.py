@@ -23,6 +23,17 @@ to the XLA path beyond that (10M x 60 bp is 24 + 6 bits — comfortably in).
 
 Grid: (B/TB, W/TW), db-chunk axis innermost so the per-row carry lives in
 VMEM scratch across chunks; outputs are written at the last chunk step.
+
+STATUS — measured, not shipped (SURVEY.md §7 step 3 closed as retired):
+on the v5e chip this kernel reaches 88-143e9 comparisons/s at production
+shapes while XLA's fused emitters for ops.distance.min2_count_scan reach
+~210e9 == the chip's measured 163-TOPS int8 matmul ceiling
+(docs/PERFORMANCE.md "Pallas decision"). XLA already fuses the
+matmul+mask+min pipeline here, so Mosaic has no fusion left to win; the
+kernel is kept (and parity-tested, tests/test_pallas_scan.py) as the
+Mosaic reference implementation should a future chip/toolchain change
+the balance. The sibling dual-key variant (pallas_min2) was deleted as
+the dead twin.
 """
 
 from __future__ import annotations

@@ -175,3 +175,17 @@ def test_native_db_roundtrip(capsys, tmp_path):
     assert code == 0
     assert out.startswith("0\t0\t0\tCTTNGG\n")
     assert out.count("\n") == 9
+
+
+def test_cluster_missing_max_divergence_exits_101(capsys, data_dir):
+    # Reference clap accepts a missing -d then dies on .unwrap() with the
+    # Rust panic exit code (main.rs:43,104) — not an argparse usage error.
+    rc = main(["cluster", "-i", str(data_dir / "cluster_bug1.fna")])
+    assert rc == 101
+    assert "unwrap()" in capsys.readouterr().err
+
+
+def test_help_shows_author(capsys):
+    with pytest.raises(SystemExit):
+        main(["--help"])
+    assert "Ben J. Woodcroft" in capsys.readouterr().out

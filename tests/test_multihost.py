@@ -32,7 +32,7 @@ WORKER = textwrap.dedent(
     coord, pid, db_path, q_path, out_path = sys.argv[1:6]
     multihost.initialize(coord, 2, int(pid))
     assert jax.device_count() == 8, jax.device_count()
-    runner = multihost.MultiHostScanRunner(db_path, chunk=128)
+    runner = multihost.load_runner(db_path, chunk=128)
     q = np.load(q_path)
     d, i, u = runner.min2(q)
     if multihost.is_emitter():
@@ -172,6 +172,100 @@ def test_two_process_cli_cluster_golden(tmp_path):
 
     assert _strip_gloo(outs[0][0]) == single.stdout
     assert _strip_gloo(outs[1][0]) == ""
+
+
+@pytest.mark.slow
+@_retry_flaky
+def test_two_process_resume_mid_stream(tmp_path):
+    """Multi-host --resume-state: a run over a prefix of the stream, then a
+    restart with the full stream, must produce byte-identical output to a
+    straight single run (process 0's checkpoint is authoritative; its
+    ``done`` broadcasts so every process skips the same prefix)."""
+    rng = np.random.default_rng(23)
+    W, B, L = 300, 19, 40
+    db = rng.integers(0, 5, size=(W, L)).astype(np.uint8)
+    q = rng.integers(0, 5, size=(B, L)).astype(np.uint8)
+    q[:3] = db[7:10]
+    db_path = tmp_path / "db.smafatpu"
+    native_format.save(WindowSet.from_matrix(db, 2), db_path)
+
+    def fasta(rows):
+        return "".join(
+            ">r%d\n%s\n" % (i, "".join("ACGTN"[c] for c in row))
+            for i, row in enumerate(rows)
+        )
+
+    q_path = tmp_path / "q.fna"
+    env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = os.getcwd()
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    q_path.write_text(fasta(q))
+    single = subprocess.run(
+        [sys.executable, "-m", "smafa_tpu", "query", "-d", str(db_path),
+         "-q", str(q_path), "--batch-size", "8"],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert single.returncode == 0, single.stderr[-2000:]
+
+    out_file = tmp_path / "out.tsv"
+    state = tmp_path / "state.json"
+
+    def run_pair(n_records):
+        q_path.write_text(fasta(q[:n_records]))
+        coord = f"localhost:{_free_port()}"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-m", "smafa_tpu", "query", "-d", str(db_path),
+                 "-q", str(q_path), "--batch-size", "8",
+                 "-o", str(out_file), "--resume-state", str(state),
+                 "--coordinator", coord, "--num-processes", "2",
+                 "--process-id", str(pid)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+            for pid in (0, 1)
+        ]
+        outs = [p.communicate(timeout=300) for p in procs]
+        for p, (_so, se) in zip(procs, outs):
+            assert p.returncode == 0, se[-2000:]
+
+    run_pair(11)   # first run covers a prefix, checkpoints done=11
+    assert state.exists()
+    run_pair(B)    # restart with the full stream resumes after the prefix
+    assert out_file.read_text() == single.stdout
+
+
+@pytest.mark.slow
+@_retry_flaky
+def test_multihost_bench_smoke(tmp_path):
+    """tools/multihost_bench.py's code path on a tiny 2-process CPU run:
+    it must complete and process 0 must emit its one JSON line."""
+    import json
+
+    env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = os.getcwd()
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    coord = f"localhost:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "tools/multihost_bench.py", "--coordinator", coord,
+             "--num-processes", "2", "--process-id", str(pid),
+             "--rows", "512", "--batch", "16", "--iters", "1"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (_so, se) in zip(procs, outs):
+        assert p.returncode == 0, se[-2000:]
+    lines = [l for l in _strip_gloo(outs[0][0]).splitlines() if l.startswith("{")]
+    assert len(lines) == 1, outs[0][0]
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "multihost_comparisons_per_sec"
+    assert rec["num_processes"] == 2 and rec["value"] > 0
+    assert _strip_gloo(outs[1][0]).strip() in ("", )
 
 
 @pytest.mark.slow

@@ -57,42 +57,6 @@ def test_min_count_parity(seq_len, W, B, seed):
     assert np.array_equal(c, oc)
 
 
-@pytest.mark.parametrize("seq_len,W,B,seed", [(60, 1000, 70, 0), (13, 97, 33, 1)])
-def test_min2_pallas_parity(seq_len, W, B, seed):
-    from smafa_tpu.ops.pallas_min2 import min2_pallas
-
-    rng = np.random.default_rng(seed)
-    db = rng.integers(0, 5, size=(W, seq_len)).astype(np.uint8)
-    q = rng.integers(0, 5, size=(B, seq_len)).astype(np.uint8)
-    q[:5] = db[:5]
-    db[W - 1] = db[min(20, W - 1)]
-    db[W - 2] = db[min(20, W - 1)]
-
-    tb, tw = 8, 256
-    db_oh = np.asarray(D.expand_onehot(db, seq_len))
-    q_oh = np.asarray(D.expand_onehot(q, seq_len))
-    bp = ((B + tb - 1) // tb) * tb
-    wp = ((W + tw - 1) // tw) * tw
-    q_p = np.pad(q_oh, [(0, bp - B), (0, 0)])
-    db_p = np.pad(db_oh, [(0, wp - W), (0, 0)])
-    shift = D.packing_shift(seq_len, wp)
-    lo, hi = min2_pallas(
-        jnp.asarray(q_p), jnp.asarray(db_p), jnp.asarray([W], jnp.int32),
-        seq_len, shift, wp, tb, tw, interpret=INTERPRET,
-    )
-    lo, hi = np.asarray(lo)[:B], np.asarray(hi)[:B]
-    full = np.asarray(
-        D.pairwise_distances(D.expand_onehot(q, seq_len), D.expand_onehot(db, seq_len), seq_len)
-    )
-    od, oi = full.min(1), full.argmin(1)
-    d, i = D.unpack_key(lo, shift)
-    assert np.array_equal(d, od)
-    assert np.array_equal(i, oi)
-    _, ir = D.unpack_key(hi, shift)
-    ties = (full == od[:, None]).sum(1)
-    assert np.array_equal((wp - 1 - ir) == i, ties == 1)
-
-
 def test_packing_shift_limits():
     assert P.packing_shift(60, 1 << 20) is not None
     assert P.packing_shift(60, 16 << 20) is not None  # 10M+ windows

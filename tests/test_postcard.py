@@ -76,3 +76,26 @@ def test_varint_vectorized_agrees_with_scalar():
     dec, end = postcard._decode_varints(enc, len(vals), 0)
     assert end == len(enc)
     np.testing.assert_array_equal(dec, vals)
+
+
+@pytest.mark.parametrize("tail,expect", [
+    (b"\x80" * 10 + b"\x01", "Found a varint that didn't terminate"),
+    (b"\x80" * 11, "Found a varint that didn't terminate"),
+    (b"\x80" * 3, "Hit the end of buffer, expected more data"),
+])
+def test_corrupt_varint_errors_agree_across_decoders(tail, expect, monkeypatch):
+    """The scalar, vectorized-numpy, and native C++ varint decoders must
+    classify the same corrupt stream identically (overlong vs truncated)."""
+    bad = bytes([2, 1, 1]) + tail  # version 2, 1 window, word-count 1, then junk
+    for disable in ("0", "1"):
+        monkeypatch.setenv("SMAFA_TPU_NO_NATIVE", disable)
+        import smafa_tpu.native as N
+
+        monkeypatch.setattr(N, "_TRIED", False)
+        monkeypatch.setattr(N, "_LIB", None)
+        with pytest.raises(postcard.PostcardError, match=expect):
+            postcard.loads(bad)
+    with pytest.raises(postcard.PostcardError, match=expect):
+        pos = 2  # skip version + windows-count varints
+        while True:
+            _, pos = postcard.read_varint(bad, pos)
