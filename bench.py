@@ -1,14 +1,14 @@
 """Throughput benchmark: query x db sequence comparisons/sec on one chip.
 
-Measures the SHIPPED best-hit phase-A program — the fused packed-key
-Hamming scan with dual tie keys AND exact tie count
-(ops.distance.min2_count_scan), i.e. exactly what `smafa_tpu query`
-dispatches per batch in its default mode — the TPU replacement for the
-reference's serial popcount loop (reference lib.rs:80-88, 232-238), on
-the BASELINE.json single-chip config shape: 60 bp windows, 1M-row db,
-streamed query batches. (Round 1 benched the count-less min2 kernel;
-round 2 made the production path a single phase-A pass for tie-free
-batches, so the headline now IS the shipped path.)
+Measures the SHIPPED best-hit phase-A program — the dual packed-key
+Hamming min scan (ops.distance.min2_scan), i.e. exactly what
+`smafa_tpu query` dispatches per batch in its default mode — the TPU
+replacement for the reference's serial popcount loop (reference
+lib.rs:80-88, 232-238), on the BASELINE.json single-chip config shape:
+60 bp windows, 1M-row db, streamed query batches. (Round 2 made phase A
+the pure min2 pass — uniqueness of the minimum rides along in the dual
+keys, and tie enumeration moved to the one-pass bitmask compaction — so
+the headline IS the shipped path.)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is value / 1e9 (the north-star >= 1e9 comparisons/sec/chip).
@@ -16,7 +16,7 @@ vs_baseline is value / 1e9 (the north-star >= 1e9 comparisons/sec/chip).
 Timing fetches a result to host each iteration: on the axon-tunneled TPU
 platform, block_until_ready alone does not reliably synchronize.
 
-``--kernel {mincnt,min2,compact,hist}`` benches a specific pass (used by
+``--kernel {min2,compact,hist}`` benches a specific pass (used by
 tools/perf_suite.py to fill docs/PERFORMANCE.md).
 """
 
@@ -41,20 +41,11 @@ def build_kernel(name: str, seq_len: int, n_windows: int, chunk: int):
     nw = jnp.int32(n_windows)
     zero = jnp.int32(0)
 
-    if name == "mincnt":
+    if name == "min2":
         @jax.jit
         def scan(q, db):
-            return D.min2_count_scan(
-                D.expand_onehot(q, seq_len), db, nw, zero,
-                seq_len, shift, chunk, n_windows,
-            )
-    elif name == "min2":
-        @jax.jit
-        def scan(q, db):
-            lo_b = jnp.full((q.shape[0],), -1, jnp.int32)
-            hi_b = jnp.full((q.shape[0],), n_windows, jnp.int32)
             return D.min2_scan(
-                D.expand_onehot(q, seq_len), db, nw, zero, lo_b, hi_b,
+                D.expand_onehot(q, seq_len), db, nw, zero,
                 seq_len, shift, chunk, n_windows,
             )
     elif name == "compact":
@@ -80,8 +71,8 @@ def main() -> None:
     from smafa_tpu.utils.platform import apply_platform_env, enable_compilation_cache
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--kernel", default="mincnt",
-                    choices=["mincnt", "min2", "compact", "hist"])
+    ap.add_argument("--kernel", default="min2",
+                    choices=["min2", "compact", "hist"])
     args = ap.parse_args()
 
     apply_platform_env()  # honor an explicit JAX_PLATFORMS=cpu (CI smoke)

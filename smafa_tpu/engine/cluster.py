@@ -77,11 +77,8 @@ def _build_sharded_scan(mesh, seq_len: int, chunk: int, shard_rows: int, span: i
     def shard_fn(q_oh, cent_shard, n_centroids):
         off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
         n_valid = jnp.clip(n_centroids - off, 0, shard_rows)
-        b_loc = q_oh.shape[0]
         lo, _ = D.min2_scan(
             q_oh, cent_shard, n_valid, off,
-            jnp.full((b_loc,), -1, jnp.int32),
-            jnp.full((b_loc,), span, jnp.int32),
             seq_len, shift, chunk, span,
         )
         lo = jax.lax.pmin(lo, "w")

@@ -18,17 +18,20 @@ the reference's ``(distance, subject_index)`` ascending sort
 (lib.rs:243-250), and every selection mode reduces to fused integer-min
 scans over those keys:
 
-- ``min2_scan``: dual keys (index ascending + descending) over a per-row
-  open index interval — one pass gives the best hit (lowest-index tie,
-  lib.rs:306-313) and the highest tied index.
-- ``min2_count_scan``: the dual-key pass fused with an exact count of
-  windows at the min — best-hit phase A. Rows with <= 2 ties are fully
-  resolved; the rest are enumerated by ONE ``compact_scan`` pass.
-- ``compact_scan``: one pass emitting EVERY (row, window) pair with
-  dist <= thresh[row] into a flat buffer in (row, index) order, via a
-  cumulative-rank + searchsorted gather (no sort, no scatter). Serves
+- ``min2_scan``: dual keys (index ascending + descending) — one pass
+  gives the best hit (lowest-index tie, lib.rs:306-313) and the highest
+  tied index, so uniqueness of the minimum is known for free. This is
+  best-hit phase A: the fastest possible pass (pure matmul + two
+  elementwise mins).
+- ``compact_scan``: the enumeration pass — every (row, window) pair with
+  dist <= thresh[row], in (row, index) order. The scan packs per-chunk
+  hit BITS into a [B, W/32] mask (an elementwise epilogue on the matmul,
+  so the pass runs at scan speed); one extraction step then ranks the
+  set bits with a popcount cumsum + searchsorted over words. Serves
   best-hit tie enumeration (thresh = row min, lib.rs:306-313) and the
-  K-mode print set (thresh = effective cutoff, lib.rs:261-265).
+  K-mode print set (thresh = effective cutoff, lib.rs:261-265). Exact
+  per-row hit counts come back with every call, so an undersized buffer
+  is detected and retried with exact sizing (no rescan loop).
 - ``hist_scan`` / ``kmode_cutoffs_from_hist``: one pass computing the
   exact [B, L+1] distance histogram; the host reads the Kth-smallest
   distance, row max, and hit counts off its cumulative sum — the K-mode
@@ -185,35 +188,46 @@ def packing_shift(seq_len: int, wp: int) -> int | None:
     return bits_idx
 
 
+def min2_chunk_update(carry, dist, lidx, n_windows, gidx, shift, index_span):
+    """Fold one distance chunk into the running dual packed-key minima.
+    Shared by the single-device/row-sharded scans and the ring/column-
+    sharded sweeps."""
+    lo_carry, hi_carry = carry
+    big_key = jnp.int32(2**31 - 1)
+    valid = (lidx < n_windows)[None, :]
+    shifted = dist << shift
+    key_lo = jnp.where(valid, shifted | gidx[None, :], big_key)
+    key_hi = jnp.where(valid, shifted | (index_span - 1 - gidx)[None, :], big_key)
+    return (
+        jnp.minimum(lo_carry, jnp.min(key_lo, axis=1)),
+        jnp.minimum(hi_carry, jnp.min(key_hi, axis=1)),
+    )
+
+
 @partial(jax.jit, static_argnames=("seq_len", "chunk", "shift", "index_span"))
 def min2_scan(
     q_oh: jax.Array,       # int8 [B, LP]
     db_oh: jax.Array,      # int8 [Wp, LP]
     n_windows: jax.Array,  # int32 scalar: valid rows of this db block
     index_offset: jax.Array,  # int32 scalar: global index of db row 0
-    lo_bound: jax.Array,   # int32 [B]: only windows with index > lo_bound count
-    hi_bound: jax.Array,   # int32 [B]: only windows with index < hi_bound count
     seq_len: int,
     shift: int,
     chunk: int,
     index_span: int,       # static: global index domain size (for reversal)
 ) -> tuple[jax.Array, jax.Array]:
-    """Per query row: packed min keys with index ascending AND descending,
-    over the per-row open index interval (lo_bound, hi_bound).
+    """Per query row: packed min keys with index ascending AND descending.
 
     key_lo = min over windows of (dist << shift) | global_index
     key_hi = min over windows of (dist << shift) | (span-1 - global_index)
 
     Both reduce in the same fused pass over the distance block (no
-    sequential dependency, so XLA keeps the block in registers — unlike a
-    tie-count, which needs the min first). key_lo yields the reference's
-    lowest-index best hit (lib.rs:306-313 tie rule); key_hi the highest.
-    With full bounds (-1, span) this is the plain scan; narrowing the
-    bounds to the innermost indices found so far turns repeated calls of
-    the SAME compiled program into an exact enumerator of every
-    minimum-distance window, two ties per pass, without any sort (the
-    best-hit tie rule at matmul speed). BIG_KEY marks rows with no valid
-    window in range.
+    sequential dependency, so XLA keeps the block in registers). key_lo
+    yields the reference's lowest-index best hit (lib.rs:306-313 tie
+    rule); key_hi the highest — equal indices mean the minimum is unique
+    and best-hit mode needs no enumeration pass. BIG_KEY marks rows with
+    no valid window. This is the fastest pass over the db (matmul + two
+    elementwise mins — measured at the MXU ceiling) and therefore the
+    best-hit phase-A program.
     """
     n_chunks = db_oh.shape[0] // chunk
     b = q_oh.shape[0]
@@ -225,22 +239,12 @@ def min2_scan(
     )
 
     def step(carry, off):
-        lo_carry, hi_carry = carry
         block = jax.lax.dynamic_slice_in_dim(db_oh, off, chunk, axis=0)
         dist = seq_len - _match_dots(q_oh, block)
         lidx = off + jnp.arange(chunk, dtype=jnp.int32)
         gidx = index_offset + lidx
-        valid = (
-            (lidx < n_windows)[None, :]
-            & (gidx[None, :] > lo_bound[:, None])
-            & (gidx[None, :] < hi_bound[:, None])
-        )
-        shifted = dist << shift
-        key_lo = jnp.where(valid, shifted | gidx[None, :], big_key)
-        key_hi = jnp.where(valid, shifted | (index_span - 1 - gidx)[None, :], big_key)
-        return (
-            jnp.minimum(lo_carry, jnp.min(key_lo, axis=1)),
-            jnp.minimum(hi_carry, jnp.min(key_hi, axis=1)),
+        return min2_chunk_update(
+            carry, dist, lidx, n_windows, gidx, shift, index_span
         ), None
 
     offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
@@ -249,143 +253,102 @@ def min2_scan(
 
 
 # ---------------------------------------------------------------------------
-# Fused min + tie count, and one-pass hit-set compaction.
+# One-pass hit-set compaction (the enumeration phase).
 #
 # Best-hit mode must print EVERY window at the minimum distance in index
 # order (reference lib.rs:306-313); K-mode must print every window at
 # <= min(Kth-smallest, max_divergence) in (distance, index) order
 # (lib.rs:241-295). Both output sets are enumerated by ONE extra pass over
-# the db — ``compact_scan`` — instead of the round-1 while_loop of
-# range-masked rescans (two ties per full rescan):
+# the db — ``compact_scan``:
 #
-#   phase A (dispatch): ``min2_count_scan`` — the dual packed-key min scan
-#            fused with an exact count of windows at the min. Rows with
-#            count <= 2 are fully resolved by phase A alone (the dual keys
-#            carry the lowest AND highest tied index).
-#   phase B (only when some row has >= 3 ties, or in K-mode): one
-#            compaction pass. Per chunk, the hits (dist <= thresh[row])
-#            are ranked by a row-major cumulative sum and gathered into a
-#            flat [t_cap] buffer via ``searchsorted`` on the cumulative
-#            ranks — an all-gather formulation (no scatter, which XLA
-#            serializes on TPU; no sort). The buffer comes back in
-#            (row, index) order; hosts lexsort the few thousand entries
-#            when a merge across shards or a (distance, index) K-mode
-#            order is needed.
+#   phase A (dispatch): ``min2_scan`` — the dual packed-key min pass.
+#            Rows whose minimum is unique (lowest == highest tied index)
+#            are fully resolved by phase A alone; K-mode's phase A is the
+#            histogram / binary-search cutoff pass instead.
+#   phase B (only when some row's min is tied, or in K-mode): one
+#            compaction pass. The scan packs each chunk's hit bits
+#            (dist <= thresh[row]) into a carried [B, W/32] uint32 mask —
+#            a pure elementwise epilogue on the matmul, so this pass runs
+#            at scan speed regardless of how many windows hit. A single
+#            extraction step then locates the t-th set bit for every
+#            output slot via a popcount cumsum + one searchsorted over
+#            words (no sort, no scatter — XLA serializes scatters on
+#            TPU). The buffer comes back in (row, index) order; hosts
+#            lexsort the few thousand entries when a cross-shard merge or
+#            a (distance, index) K-mode order is needed.
 #
-# t_cap is chosen by the host from phase A's exact counts (or the
-# histogram), so phase B never overflows.
+# Exact per-row hit counts ride along with every call (a popcount row
+# sum over the mask), so a caller that guessed t_cap too small retries
+# once with exact sizing; callers with histogram counts never overflow.
 
 
-def min_count_chunk_update(carry, dist, lidx, n_windows, gidx, shift,
-                           index_span):
-    """Fold one distance chunk into the running (lo key, hi key, count at
-    min, min dist) state. Shared by the single-device/row-sharded scans
-    and the ring/column-sharded loops."""
-    lo_c, hi_c, cnt_c, d_c = carry
-    big_key = jnp.int32(2**31 - 1)
-    valid = (lidx < n_windows)[None, :]
-    dist_m = jnp.where(valid, dist, BIG)
-    blk_d = jnp.min(dist_m, axis=1)
-    blk_cnt = jnp.sum(valid & (dist == blk_d[:, None]), axis=1,
-                      dtype=jnp.int32)
-    shifted = dist << shift
-    key_lo = jnp.where(valid, shifted | gidx[None, :], big_key)
-    key_hi = jnp.where(valid, shifted | (index_span - 1 - gidx)[None, :],
-                       big_key)
-    cnt_n = jnp.where(
-        blk_d < d_c, blk_cnt,
-        jnp.where(blk_d == d_c, cnt_c + blk_cnt, cnt_c),
-    )
-    return (
-        jnp.minimum(lo_c, jnp.min(key_lo, axis=1)),
-        jnp.minimum(hi_c, jnp.min(key_hi, axis=1)),
-        cnt_n,
-        jnp.minimum(d_c, blk_d),
-    )
+def mask_words_per_chunk(chunk: int) -> int:
+    return (chunk + 31) // 32
 
 
-@partial(jax.jit, static_argnames=("seq_len", "shift", "chunk", "index_span"))
-def min2_count_scan(
-    q_oh: jax.Array,       # int8 [B, LP]
-    db_oh: jax.Array,      # int8 [Wp, LP]
-    n_windows: jax.Array,  # int32 scalar: valid rows of this db block
-    index_offset: jax.Array,  # int32 scalar: global index of db row 0
-    seq_len: int,
-    shift: int,
-    chunk: int,
-    index_span: int,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Per row: (lo key, hi key, exact count of windows at the min dist).
-
-    One fused pass: the best-hit phase-A program. lo/hi are the dual
-    packed keys of min2_scan (lowest- and highest-index window at the
-    min); count is exact, so the caller knows up front whether phase B
-    (compaction) is needed and how big its buffer must be. Empty rows
-    (n_windows == 0) return BIG keys and count 0.
-    """
-    n_chunks = db_oh.shape[0] // chunk
-    b = q_oh.shape[0]
-    big_key = jnp.int32(2**31 - 1)
-    init = (
-        jnp.full((b,), big_key, jnp.int32),
-        jnp.full((b,), big_key, jnp.int32),
-        jnp.zeros((b,), jnp.int32),
-        jnp.full((b,), BIG, jnp.int32),
-    )
-
-    def step(carry, off):
-        block = jax.lax.dynamic_slice_in_dim(db_oh, off, chunk, axis=0)
-        dist = seq_len - _match_dots(q_oh, block)
-        lidx = off + jnp.arange(chunk, dtype=jnp.int32)
-        gidx = index_offset + lidx
-        return min_count_chunk_update(
-            carry, dist, lidx, n_windows, gidx, shift, index_span
-        ), None
-
-    offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    (lo, hi, cnt, _), _ = jax.lax.scan(step, init, offsets)
-    return lo, hi, cnt
-
-
-def compact_chunk_update(carry, dist, lidx, n_windows, thresh, index_offset,
-                         t_cap):
-    """Fold one distance chunk into the flat compaction buffer.
-
-    carry = (rows [t_cap], idx [t_cap], dvals [t_cap], total scalar).
-    Hits are entries with dist <= thresh[row] (thresh = -1 disables a
-    row); they are appended to the buffer in (row, window index) order.
-    The append is gather-based: a row-major cumulative count ranks every
-    hit, and ``searchsorted`` over the (sorted) flat ranks finds, for each
-    destination slot, the source element — no scatter, no sort.
-    Entries past t_cap are dropped but still counted, so the caller can
-    detect (and with exact phase-A/histogram counts, prevent) overflow.
-    """
-    rows_b, idx_b, dist_b, total = carry
+def mask_fold_chunk(mask, dist, lidx, n_windows, thresh, chunk_index):
+    """Pack one chunk's hit bits (dist <= thresh[row]; thresh -1 disables
+    a row) into the carried [B, n_chunks*wpc] uint32 mask at word column
+    ``chunk_index * wpc``. Bit j of word (c*wpc + w) of row r encodes
+    window c*chunk + w*32 + j (local to the scanned span). Shared by the
+    single-device/row-sharded scan, the ring sweep, and the
+    column-sharded sweep."""
     b, chunk = dist.shape
+    wpc = mask_words_per_chunk(chunk)
     valid = (lidx < n_windows)[None, :]
-    mask = valid & (dist <= thresh[:, None])
-    inc = mask.astype(jnp.int32)
-    within = jnp.cumsum(inc, axis=1)              # 1-based rank within row
-    row_counts = within[:, -1]
-    row_start = jnp.cumsum(row_counts) - row_counts
-    flat_cum = (row_start[:, None] + within).reshape(-1)  # nondecreasing
-    chunk_total = row_start[-1] + row_counts[-1]
+    hit = valid & (dist <= thresh[:, None])
+    if wpc * 32 != chunk:
+        hit = jnp.pad(hit, [(0, 0), (0, wpc * 32 - chunk)])
+    bits = hit.reshape(b, wpc, 32).astype(jnp.uint32)
+    words = jnp.sum(
+        bits << jnp.arange(32, dtype=jnp.uint32)[None, None, :],
+        axis=2, dtype=jnp.uint32,
+    )
+    return jax.lax.dynamic_update_slice(
+        mask, words, (jnp.int32(0), chunk_index * wpc)
+    )
+
+
+def extract_mask_hits(mask, index_offset, chunk, t_cap):
+    """[B, n_chunks*wpc] uint32 hit mask -> (rows [t_cap], gidx [t_cap],
+    row_counts [B], total), hits in (row, window index) ascending order
+    with unused slots at rows == -1.
+
+    Rank-r slots are located by one binary search over the word-level
+    popcount cumsum, then the r-th set bit inside the word by a 32-wide
+    prefix count — all gathers and elementwise ops; cost is O(B*W/32)
+    for the cumsum plus O(t_cap * 32) for the slots, independent of the
+    number of db chunks (the round-1 formulation paid a t_cap-wide
+    searchsorted PER CHUNK and measured ~12 scan-equivalents).
+    row_counts/total are exact even when hits exceed t_cap.
+    """
+    b, w32 = mask.shape
+    wpc = mask_words_per_chunk(chunk)
+    flat = mask.reshape(-1)
+    pc = jax.lax.population_count(flat).astype(jnp.int32)
+    row_counts = jnp.sum(pc.reshape(b, w32), axis=1)
+    cum = jnp.cumsum(pc)
+    total = cum[-1]
     slots = jnp.arange(t_cap, dtype=jnp.int32)
-    s_rel = slots - total
-    take = (s_rel >= 0) & (s_rel < chunk_total)
-    # First flat element whose cumulative rank reaches s_rel+1 IS the
-    # (s_rel+1)-th hit of this chunk (ranks only increment at hits).
-    src = jnp.searchsorted(flat_cum, s_rel + 1, side="left")
-    src = jnp.clip(src, 0, b * chunk - 1).astype(jnp.int32)
-    b_src = src // chunk
-    w_src = src % chunk
-    g = (index_offset + lidx[w_src]).astype(jnp.int32)
-    dval = jnp.take(dist.reshape(-1), src)
+    r = slots + 1
+    wsel = jnp.searchsorted(cum, r, side="left").astype(jnp.int32)
+    wsel = jnp.minimum(wsel, b * w32 - 1)
+    prior = jnp.where(wsel > 0, cum[jnp.maximum(wsel - 1, 0)], 0)
+    r_word = r - prior  # 1-based rank of the wanted bit within its word
+    word = flat[wsel]
+    wbits = ((word[:, None] >> jnp.arange(32, dtype=jnp.uint32)[None, :]) & 1
+             ).astype(jnp.int32)
+    bcum = jnp.cumsum(wbits, axis=1)
+    bit = jnp.sum(bcum < r_word[:, None], axis=1).astype(jnp.int32)
+    row = wsel // w32
+    wr = wsel % w32
+    lidx = (wr // wpc) * chunk + (wr % wpc) * 32 + jnp.minimum(bit, 31)
+    take = slots < total
     return (
-        jnp.where(take, b_src, rows_b),
-        jnp.where(take, g, idx_b),
-        jnp.where(take, dval, dist_b),
-        total + chunk_total,
+        jnp.where(take, row, -1),
+        jnp.where(take, index_offset + lidx, -1),
+        row_counts,
+        total,
     )
 
 
@@ -402,30 +365,29 @@ def compact_scan(
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One pass: every (row, window) with dist <= thresh[row], flattened.
 
-    Returns (rows [t_cap], idx [t_cap], dvals [t_cap], total) with unused
-    slots at rows == -1. Output is ordered by (row, window index) — the
-    best-hit emission order; K-mode re-orders per row by (dist, index) on
-    the host.
+    Returns (rows [t_cap], idx [t_cap], row_counts [B], total) with
+    unused slots at rows == -1. Output is ordered by (row, window index)
+    — the best-hit emission order; K-mode re-orders per row by
+    (dist, index) on the host (per-hit distances are recomputed there
+    from the channel codes — see hitops._host_distances). Hits beyond
+    t_cap are dropped from the buffer but still counted exactly in
+    row_counts/total, so the caller can retry with exact sizing.
     """
     n_chunks = db_oh.shape[0] // chunk
-    init = (
-        jnp.full((t_cap,), -1, jnp.int32),
-        jnp.full((t_cap,), -1, jnp.int32),
-        jnp.full((t_cap,), BIG, jnp.int32),
-        jnp.int32(0),
-    )
+    b = q_oh.shape[0]
+    wpc = mask_words_per_chunk(chunk)
+    init = jnp.zeros((b, n_chunks * wpc), jnp.uint32)
 
-    def step(carry, off):
+    def step(mask, ci):
+        off = ci * chunk
         block = jax.lax.dynamic_slice_in_dim(db_oh, off, chunk, axis=0)
         dist = seq_len - _match_dots(q_oh, block)
         lidx = off + jnp.arange(chunk, dtype=jnp.int32)
-        return compact_chunk_update(
-            carry, dist, lidx, n_windows, thresh, index_offset, t_cap
-        ), None
+        return mask_fold_chunk(mask, dist, lidx, n_windows, thresh, ci), None
 
-    offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    (rows, idx, dvals, total), _ = jax.lax.scan(step, init, offsets)
-    return rows, idx, dvals, total
+    cis = jnp.arange(n_chunks, dtype=jnp.int32)
+    mask, _ = jax.lax.scan(step, init, cis)
+    return extract_mask_hits(mask, index_offset, chunk, t_cap)
 
 
 HIST_MAX = 1024  # histogram path only for seq_len < HIST_MAX (else binary search)
@@ -630,7 +592,6 @@ def min_scan(
     if shift is not None:
         key, _ = min2_scan(
             q_oh, db_oh, n_windows, jnp.int32(0),
-            jnp.full((b,), -1, jnp.int32), jnp.full((b,), wp, jnp.int32),
             seq_len, shift, chunk, wp,
         )
         big = key == jnp.int32(2**31 - 1)

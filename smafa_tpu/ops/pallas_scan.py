@@ -26,7 +26,7 @@ VMEM scratch across chunks; outputs are written at the last chunk step.
 
 STATUS — measured, not shipped (SURVEY.md §7 step 3 closed as retired):
 on the v5e chip this kernel reaches 88-143e9 comparisons/s at production
-shapes while XLA's fused emitters for ops.distance.min2_count_scan reach
+shapes while XLA's fused emitters for ops.distance.min2_scan reach
 ~210e9 == the chip's measured 163-TOPS int8 matmul ceiling
 (docs/PERFORMANCE.md "Pallas decision"). XLA already fuses the
 matmul+mask+min pipeline here, so Mosaic has no fusion left to win; the

@@ -4,9 +4,11 @@ Every db layout (row-sharded ``ScanRunner``, ring-scheduled
 ``RingScanRunner``, column-sharded ``ColumnShardedScanRunner``) runs the
 same two phases with layout-specific compiled programs:
 
-- best-hit (reference lib.rs:296-313): phase A = fused min + dual tie
-  keys + exact tie count; phase B (only when some row has >= 3 ties) =
-  one compaction pass enumerating every window at the min.
+- best-hit (reference lib.rs:296-313): phase A = the dual packed-key
+  ``min2`` pass (the fastest possible program: matmul + two elementwise
+  mins). Rows whose minimum is unique — lowest tied index == highest
+  tied index — are fully resolved by phase A alone; the rest take ONE
+  ``compact`` pass enumerating every window at the min.
 - K-mode (reference lib.rs:241-295): phase A = one distance-histogram
   pass (or binary-search count scans for very long windows), from which
   the host reads the exact cutoff and hit counts; phase B = one
@@ -14,11 +16,16 @@ same two phases with layout-specific compiled programs:
 
 This mixin implements the shared host logic against four layout
 primitives a runner provides via ``_build_program(kind, b, ...)``:
-``"mincnt"``, ``"hist"``, ``"kstats"``, ``"compact"`` — plus ``_pad``
+``"min2"``, ``"hist"``, ``"kstats"``, ``"compact"`` — plus ``_pad``
 (its batch padding rule) and ``_key_shift``. Each phase costs one pass
 over the db, so a full best-hit batch is <= 2 scan-equivalents and a
 K-mode batch <= 2 (histogram + compaction) regardless of tie counts —
 the round-1 design paid ~ties/2 re-scans.
+
+The compaction device buffers carry only (row, subject index) bit
+positions; per-hit distances are implied (best-hit: the row min; K-mode:
+recomputed on host from the channel codes for the few thousand emitted
+hits) — see ``_host_distances``.
 """
 
 from __future__ import annotations
@@ -40,7 +47,7 @@ class HitModesMixin:
     # _pad(q_codes) -> (q_padded, nq)
     # _key_shift() -> int | None
     # _build_program(kind, b, *, shift=None, t_cap=None) -> compiled fn
-    # attrs: seq_len, n_windows, wp, n_windows_dev, db_oh
+    # attrs: seq_len, n_windows, wp, n_windows_dev, db_oh, _codes_host
 
     def _require_windows(self) -> None:
         if self.n_windows == 0:
@@ -58,17 +65,17 @@ class HitModesMixin:
     # -- best-hit ----------------------------------------------------------
 
     def min_count_async(self, q_codes: np.ndarray):
-        """Dispatch best-hit phase A (fused min + dual tie keys + exact
-        tie count); opaque handle for ``best_hit``, or None when key
-        packing overflows 31 bits (callers fall back to exact top-M)."""
+        """Dispatch best-hit phase A (the dual packed-key min2 pass);
+        opaque handle for ``best_hit``, or None when key packing
+        overflows 31 bits (callers fall back to exact top-M)."""
         self._require_windows()
         shift = self._key_shift()
         if shift is None:
             return None
         q_padded, nq = self._pad(q_codes)
-        fn = self._program("mincnt", q_padded.shape[0], shift=shift)
-        lo, hi, cnt = fn(q_padded, self.db_oh, self.n_windows_dev)
-        return ("mincnt", lo, hi, cnt, nq, shift, q_padded)
+        fn = self._program("min2", q_padded.shape[0], shift=shift)
+        lo, hi = fn(q_padded, self.db_oh, self.n_windows_dev)
+        return ("min2", lo, hi, nq, shift, q_padded)
 
     def best_hit(self, q_codes: np.ndarray, max_divergence: int | None = None,
                  handle=None):
@@ -77,14 +84,13 @@ class HitModesMixin:
         reference emission order (lib.rs:306-313). ``counts`` is 0 for
         rows filtered by max_divergence. None on packing overflow."""
         if handle is None or not (isinstance(handle, tuple)
-                                  and handle[0] == "mincnt"):
+                                  and handle[0] == "min2"):
             handle = self.min_count_async(q_codes)
         if handle is None:
             return None
-        _, lo, hi, cnt, nq, shift, q_padded = handle
+        _, lo, hi, nq, shift, q_padded = handle
         lo = np.asarray(lo)[:nq]
         hi = np.asarray(hi)[:nq]
-        cnt = np.asarray(cnt)[:nq]
         big = np.int32(2**31 - 1)
         dist, idx_lo = D.unpack_key(lo, shift)
         _, idx_rev = D.unpack_key(hi, shift)
@@ -92,28 +98,26 @@ class HitModesMixin:
         keep = lo != big
         if max_divergence is not None:
             keep &= dist <= max_divergence
-        counts = np.where(keep, cnt, 0).astype(np.int64)
-        total = int(counts.sum())
-        if total == 0:
-            empty = np.empty(0, np.int32)
-            return dist, counts.astype(np.int32), empty, empty
-        if counts.max() <= 2:
-            # Phase A fully resolved the batch: the dual keys carry the
-            # lowest AND highest tied index of every row.
-            flat_rows = np.repeat(np.arange(nq, dtype=np.int32), counts)
-            starts = np.cumsum(counts) - counts
-            flat_idx = np.empty(total, np.int32)
-            one = counts >= 1
-            two = counts >= 2
-            flat_idx[starts[one]] = idx_lo[one]
-            flat_idx[starts[two] + 1] = idx_hi[two]
-            return dist, counts.astype(np.int32), flat_rows, flat_idx
-        thresh = np.full(nq, -1, np.int32)
-        thresh[keep] = dist[keep]
-        rows, idx, _ = self._compact_grouped(q_padded, thresh, counts)
-        order = np.lexsort((idx, rows))
+        tied = keep & (idx_lo != idx_hi)
+        if not tied.any():
+            # Phase A fully resolved the batch: every kept row's minimum
+            # is unique and the lo key carries its index.
+            counts = keep.astype(np.int32)
+            return (dist, counts, np.nonzero(keep)[0].astype(np.int32),
+                    idx_lo[keep].astype(np.int32))
+        thresh = np.full(q_padded.shape[0], -1, np.int32)
+        thresh[:nq][tied] = dist[tied]
+        t_rows, t_idx, row_counts = self._compact_adaptive(
+            q_padded, thresh, int(tied.sum())
+        )
+        counts = keep.astype(np.int64)
+        counts[tied] = row_counts[: nq][tied]
+        u_rows = np.nonzero(keep & ~tied)[0].astype(np.int32)
+        all_rows = np.concatenate([u_rows, t_rows]).astype(np.int32)
+        all_idx = np.concatenate([idx_lo[u_rows], t_idx]).astype(np.int32)
+        order = np.lexsort((all_idx, all_rows))
         return (dist, counts.astype(np.int32),
-                rows[order].astype(np.int32), idx[order].astype(np.int32))
+                all_rows[order], all_idx[order])
 
     def collect_ties(self, q_codes: np.ndarray, handle=None):
         """Per row: (min distance, ALL window indices at the min,
@@ -124,6 +128,37 @@ class HitModesMixin:
         dist, counts, _rows, idx = res
         bounds = np.cumsum(counts)[:-1]
         return dist, [seg.tolist() for seg in np.split(idx, bounds)]
+
+    # -- min2 (cluster hot path + uniqueness probe) ------------------------
+
+    def min2_async(self, q_codes: np.ndarray):
+        """Dispatch the min2 pass; handle for ``min2_result``. Same
+        program as best-hit phase A (``min_count_async``) — the async
+        split lets callers overlap host work with the device scan
+        (SURVEY.md §2.2 PP row)."""
+        return self.min_count_async(q_codes)
+
+    def min2_result(self, handle):
+        """Fetch + unpack a min2_async handle -> (min dist, first argmin,
+        unique-min flag) per row."""
+        _, lo, hi, nq, shift, _ = handle
+        return D.unpack_min2(
+            np.asarray(lo)[:nq], np.asarray(hi)[:nq], shift, self.wp
+        )
+
+    def min2(self, q_codes: np.ndarray):
+        """Per row: (min distance, first argmin, unique-min flag) — one
+        fused packed-key pass, no top-k sort (reference tie rule,
+        lib.rs:306-313 / cluster.rs:62-68)."""
+        handle = self.min2_async(q_codes)
+        if handle is None:
+            return None
+        return self.min2_result(handle)
+
+    def min_scan(self, q_codes: np.ndarray):
+        """(min distance, first argmin) per row — cluster's inner scan."""
+        d, i, _ = self.min2(q_codes)
+        return d, i
 
     # -- K-mode ------------------------------------------------------------
 
@@ -180,7 +215,8 @@ class HitModesMixin:
         if total == 0:
             return counts.astype(np.int32), empty, empty, empty
         thresh = np.where(counts > 0, eff, -1).astype(np.int32)
-        rows, idx, dv = self._compact_grouped(q_padded, thresh, counts)
+        rows, idx = self._compact_grouped(q_padded, thresh, counts)
+        dv = self._host_distances(q_padded, rows, idx)
         order = np.lexsort((idx, dv, rows))
         return (counts.astype(np.int32), rows[order].astype(np.int32),
                 idx[order].astype(np.int32), dv[order].astype(np.int32))
@@ -205,23 +241,65 @@ class HitModesMixin:
 
     # -- shared compaction plumbing ----------------------------------------
 
+    def _host_distances(self, q_padded: np.ndarray, rows: np.ndarray,
+                        idx: np.ndarray) -> np.ndarray:
+        """Exact per-hit distances recomputed on host from channel codes.
+
+        Matches the device one-hot dot semantics exactly: a column
+        matches iff the channel indices are equal (codes are always
+        0..4, see core.alphabet.encode_bytes). The db view is often a
+        memmap; only the hit rows are paged in."""
+        if rows.shape[0] == 0:
+            return np.empty(0, np.int32)
+        L = self.seq_len
+        q = q_padded[rows, :L]
+        d = np.asarray(self._codes_host[idx])[:, :L]
+        return (L - (q == d).sum(axis=1)).astype(np.int32)
+
     def _compact_call(self, q_padded: np.ndarray, thresh: np.ndarray,
                       t_cap: int):
+        """One compaction dispatch. Returns (rows, idx, row_counts,
+        valid): rows/idx are the (unfiltered, -1-padded) device buffers,
+        row_counts the exact per-row hit counts, and ``valid`` whether
+        every per-shard buffer held all of its hits (when False the
+        buffers are incomplete and the caller must re-dispatch with
+        exact sizing — the counts are always exact)."""
         fn = self._program("compact", q_padded.shape[0], t_cap=t_cap)
-        rows, idx, dv, tot = fn(
+        rows, idx, row_counts, shard_totals = fn(
             q_padded, self.db_oh, self.n_windows_dev, thresh.astype(np.int32)
         )
-        return (np.asarray(rows), np.asarray(idx), np.asarray(dv),
-                int(np.asarray(tot).sum()))
+        shard_totals = np.asarray(shard_totals)
+        return (np.asarray(rows), np.asarray(idx),
+                np.asarray(row_counts).astype(np.int64),
+                bool((shard_totals <= t_cap).all()))
+
+    def _compact_adaptive(self, q_padded, thresh, n_tied: int):
+        """Best-hit phase B without prior counts: one pass with a guessed
+        buffer (ties are nearly always few); the exact row_counts that
+        ride along detect an undersized buffer, in which case the rows
+        are re-compacted in exactly-sized groups. Returns flat
+        (rows, idx) sorted by (row, index) over tied rows only, plus the
+        exact per-padded-row counts."""
+        t_cap = min(D.bucket(max(256, 8 * n_tied)), COMPACT_MAX)
+        rows, idx, row_counts, valid = self._compact_call(
+            q_padded, thresh, t_cap
+        )
+        if valid:
+            mask = rows >= 0
+            rows, idx = rows[mask], idx[mask]
+            order = np.lexsort((idx, rows))
+            return rows[order], idx[order], row_counts
+        g_rows, g_idx = self._compact_grouped(q_padded, thresh, row_counts)
+        return g_rows, g_idx, row_counts
 
     def _compact_grouped(self, q_padded, thresh, counts):
         """Compact with row grouping so no single dispatch needs a buffer
         beyond COMPACT_MAX: rows are split greedily by their (exact,
-        already-known) hit counts. Returns unsorted flat (rows, idx,
-        dvals)."""
+        already-known) hit counts. Returns flat (rows, idx) sorted by
+        (row, index)."""
         nq = counts.shape[0]
         b = q_padded.shape[0]
-        out_r, out_i, out_d = [], [], []
+        out_r, out_i = [], []
         start = 0
         while start < nq:
             end = start + 1
@@ -232,12 +310,13 @@ class HitModesMixin:
             th = np.full(b, -1, np.int32)
             th[start:end] = thresh[start:end]
             t_cap = D.bucket(max(acc, 1), minimum=256)
-            rows, idx, dv, total = self._compact_call(q_padded, th, t_cap)
-            assert total == acc, (total, acc)
+            rows, idx, _rc, valid = self._compact_call(q_padded, th, t_cap)
+            assert valid, (acc, t_cap)
             mask = rows >= 0
             out_r.append(rows[mask])
             out_i.append(idx[mask])
-            out_d.append(dv[mask])
             start = end
-        return (np.concatenate(out_r), np.concatenate(out_i),
-                np.concatenate(out_d))
+        rows = np.concatenate(out_r)
+        idx = np.concatenate(out_i)
+        order = np.lexsort((idx, rows))
+        return rows[order], idx[order]

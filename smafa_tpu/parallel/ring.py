@@ -56,6 +56,7 @@ class RingScanRunner(HitModesMixin):
         enable_compilation_cache()
         self.seq_len = max(1, seq_len)
         self.n_windows = int(codes.shape[0])
+        self._codes_host = codes  # K-mode host distance recompute
         self.mesh = mesh if mesh is not None else build_ring_mesh()
         self.n_d = self.mesh.devices.shape[0]
         self.chunk = chunk or 1024
@@ -96,8 +97,6 @@ class RingScanRunner(HitModesMixin):
                        t_cap: int | None = None):
         if kind == "min2":
             return self._build(b)
-        if kind == "mincnt":
-            return self._build_min2count(b)
         if kind == "hist":
             return self._build_hist(b)
         if kind == "kstats":
@@ -171,51 +170,14 @@ class RingScanRunner(HitModesMixin):
             )
 
             def fold(carry, dist, lidx, n_valid, off):
-                lo_c, hi_c = carry
-                gidx = off + lidx
-                valid = (lidx < n_valid)[None, :]
-                shifted = dist << shift
-                key_lo = jnp.where(valid, shifted | gidx[None, :], BIG_KEY)
-                key_hi = jnp.where(
-                    valid, shifted | (span - 1 - gidx)[None, :], BIG_KEY
-                )
-                return (
-                    jnp.minimum(lo_c, jnp.min(key_lo, axis=1)),
-                    jnp.minimum(hi_c, jnp.min(key_hi, axis=1)),
+                return D.min2_chunk_update(
+                    carry, dist, lidx, n_valid, off + lidx, shift, span
                 )
 
             return self._ring_sweep(q_oh, db_shard, n_windows, init, fold)
 
         return self._jit_mapped(
             shard_fn, (P("d", None), P("d", None), P()), (P("d"), P("d"))
-        )
-
-    def _build_min2count(self, b: int):
-        shift, span = self.shift, self.wp
-
-        def shard_fn(q_oh, db_shard, n_windows):
-            b_loc = q_oh.shape[0]
-            init = (
-                jnp.full((b_loc,), BIG_KEY, jnp.int32),
-                jnp.full((b_loc,), BIG_KEY, jnp.int32),
-                jnp.zeros((b_loc,), jnp.int32),
-                jnp.full((b_loc,), D.BIG, jnp.int32),
-            )
-
-            def fold(carry, dist, lidx, n_valid, off):
-                gidx = off + lidx
-                return D.min_count_chunk_update(
-                    carry, dist, lidx, n_valid, gidx, shift, span
-                )
-
-            lo, hi, cnt, _ = self._ring_sweep(
-                q_oh, db_shard, n_windows, init, fold
-            )
-            return lo, hi, cnt
-
-        return self._jit_mapped(
-            shard_fn, (P("d", None), P("d", None), P()),
-            (P("d"), P("d"), P("d")),
         )
 
     def _build_hist(self, b: int):
@@ -261,40 +223,32 @@ class RingScanRunner(HitModesMixin):
         )
 
     def _build_compact(self, b: int, t_cap: int):
+        chunk, wp = self.chunk, self.wp
+
         def shard_fn(q_oh, db_shard, n_windows, thresh):
             b_loc = q_oh.shape[0]
-            init = (
-                jnp.full((t_cap,), -1, jnp.int32),
-                jnp.full((t_cap,), -1, jnp.int32),
-                jnp.full((t_cap,), D.BIG, jnp.int32),
-                jnp.int32(0),
-            )
+            wpc = D.mask_words_per_chunk(chunk)
+            init = jnp.zeros((b_loc, (wp // chunk) * wpc), jnp.uint32)
 
-            def fold(carry, dist, lidx, n_valid, off):
-                return D.compact_chunk_update(
-                    carry, dist, lidx, n_valid, thresh, off, t_cap
-                )
+            def fold(mask, dist, lidx, n_valid, off):
+                # The sweep visits db shards in rotated (owner) order,
+                # but the mask is laid out by GLOBAL chunk index, so the
+                # extracted hits come out in (row, global index) order
+                # regardless of rotation phase.
+                gci = (off + lidx[0]) // chunk
+                return D.mask_fold_chunk(mask, dist, lidx, n_valid, thresh, gci)
 
-            rows, idx, dv, total = self._ring_sweep(
-                q_oh, db_shard, n_windows, init, fold
+            mask = self._ring_sweep(q_oh, db_shard, n_windows, init, fold)
+            rows, idx, rc, total = D.extract_mask_hits(
+                mask, jnp.int32(0), chunk, t_cap
             )
-            # Global batch-row ids so the host merge is one lexsort
-            # (shard sweeps visit db shards in rotated order, so entries
-            # are not globally index-sorted — the host sort handles it).
+            # Global batch-row ids so the host merge is one lexsort.
             d_off = jax.lax.axis_index("d").astype(jnp.int32) * b_loc
             rows = jnp.where(rows >= 0, rows + d_off, -1)
-            return rows, idx, dv, total[None]
+            return rows, idx, rc, total[None]
 
         return self._jit_mapped(
             shard_fn, (P("d", None), P("d", None), P(), P("d")),
             (P("d"), P("d"), P("d"), P("d")),
         )
 
-    def min2(self, q_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Per row: (min distance, first argmin, unique-min flag) — exact,
-        identical contract to ScanRunner.min2."""
-        q_padded, nq = self._pad(q_codes)
-        fn = self._program("min2", q_padded.shape[0])
-        lo, hi = fn(q_padded, self.db_oh, self.n_windows_dev)
-        return D.unpack_min2(np.asarray(lo)[:nq], np.asarray(hi)[:nq],
-                             self.shift, self.wp)

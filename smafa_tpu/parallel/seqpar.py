@@ -45,6 +45,7 @@ class ColumnShardedScanRunner(HitModesMixin):
                  chunk: int | None = None):
         self.seq_len = max(1, seq_len)
         self.n_windows = int(codes.shape[0])
+        self._codes_host = codes  # K-mode host distance recompute
         self.mesh = mesh if mesh is not None else build_col_mesh()
         self.n_c = self.mesh.devices.shape[0]
         self.chunk = chunk or 1024
@@ -90,8 +91,6 @@ class ColumnShardedScanRunner(HitModesMixin):
                        t_cap: int | None = None):
         if kind == "min2":
             return self._build_min2(b)
-        if kind == "mincnt":
-            return self._build_min2count(b)
         if kind == "hist":
             return self._build_hist(b)
         if kind == "kstats":
@@ -152,43 +151,13 @@ class ColumnShardedScanRunner(HitModesMixin):
             )
 
             def fold(carry, dist, lidx, n_valid, off):
-                lo_c, hi_c = carry
-                valid = (lidx < n_valid)[None, :]
-                shifted = dist << shift
-                key_lo = jnp.where(valid, shifted | lidx[None, :], BIG_KEY)
-                key_hi = jnp.where(
-                    valid, shifted | (span - 1 - lidx)[None, :], BIG_KEY
-                )
-                return (
-                    jnp.minimum(lo_c, jnp.min(key_lo, axis=1)),
-                    jnp.minimum(hi_c, jnp.min(key_hi, axis=1)),
+                return D.min2_chunk_update(
+                    carry, dist, lidx, n_valid, lidx, shift, span
                 )
 
             return self._col_sweep(q_oh, db_sh, n_windows, init, fold)
 
         return self._jit_mapped(shard_fn, 0, (P(), P()))
-
-    def _build_min2count(self, b: int):
-        shift, span = self.shift, self.wp
-
-        def shard_fn(q_oh, db_sh, n_windows):
-            b_loc = q_oh.shape[0]
-            init = (
-                jnp.full((b_loc,), BIG_KEY, jnp.int32),
-                jnp.full((b_loc,), BIG_KEY, jnp.int32),
-                jnp.zeros((b_loc,), jnp.int32),
-                jnp.full((b_loc,), D.BIG, jnp.int32),
-            )
-
-            def fold(carry, dist, lidx, n_valid, off):
-                return D.min_count_chunk_update(
-                    carry, dist, lidx, n_valid, lidx, shift, span
-                )
-
-            lo, hi, cnt, _ = self._col_sweep(q_oh, db_sh, n_windows, init, fold)
-            return lo, hi, cnt
-
-        return self._jit_mapped(shard_fn, 0, (P(), P(), P()))
 
     def _build_hist(self, b: int):
         seq_len = self.seq_len
@@ -229,29 +198,21 @@ class ColumnShardedScanRunner(HitModesMixin):
         return self._jit_mapped(shard_fn, 2, (P(), P()))
 
     def _build_compact(self, b: int, t_cap: int):
+        chunk, wp = self.chunk, self.wp
+
         def shard_fn(q_oh, db_sh, n_windows, thresh):
-            init = (
-                jnp.full((t_cap,), -1, jnp.int32),
-                jnp.full((t_cap,), -1, jnp.int32),
-                jnp.full((t_cap,), D.BIG, jnp.int32),
-                jnp.int32(0),
-            )
+            b_loc = q_oh.shape[0]
+            wpc = D.mask_words_per_chunk(chunk)
+            init = jnp.zeros((b_loc, (wp // chunk) * wpc), jnp.uint32)
 
-            def fold(carry, dist, lidx, n_valid, off):
-                return D.compact_chunk_update(
-                    carry, dist, lidx, n_valid, thresh, 0, t_cap
-                )
+            def fold(mask, dist, lidx, n_valid, off):
+                gci = lidx[0] // chunk
+                return D.mask_fold_chunk(mask, dist, lidx, n_valid, thresh, gci)
 
-            rows, idx, dv, total = self._col_sweep(
-                q_oh, db_sh, n_windows, init, fold
+            mask = self._col_sweep(q_oh, db_sh, n_windows, init, fold)
+            rows, idx, rc, total = D.extract_mask_hits(
+                mask, jnp.int32(0), chunk, t_cap
             )
-            return rows, idx, dv, total[None]
+            return rows, idx, rc, total[None]
 
         return self._jit_mapped(shard_fn, 1, (P(), P(), P(), P()))
-
-    def min2(self, q_codes: np.ndarray):
-        q_padded, nq = self._pad(q_codes)
-        fn = self._program("min2", q_padded.shape[0])
-        lo, hi = fn(q_padded, self.db_oh, self.n_windows_dev)
-        return D.unpack_min2(np.asarray(lo)[:nq], np.asarray(hi)[:nq],
-                             self.shift, self.wp)

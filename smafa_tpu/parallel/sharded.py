@@ -88,8 +88,8 @@ class ScanRunner(HitModesMixin):
 
     def _build_program(self, kind: str, b: int, shift: int | None = None,
                        t_cap: int | None = None):
-        if kind == "mincnt":
-            return self._build_min2count(b, shift)
+        if kind == "min2":
+            return self._build_min2(b, shift)
         if kind == "hist":
             return self._build_hist(b)
         if kind == "kstats":
@@ -105,6 +105,9 @@ class ScanRunner(HitModesMixin):
         enable_compilation_cache()
         self.seq_len = max(1, seq_len)
         self.n_windows = int(codes.shape[0])
+        # Host-side view of the channel codes (often a memmap): K-mode
+        # recomputes per-hit distances from it (hitops._host_distances).
+        self._codes_host = codes
         if mesh is None:
             if jax.process_count() > 1:
                 # Multi-host is SPMD over the full global mesh; a
@@ -259,20 +262,20 @@ class ScanRunner(HitModesMixin):
 
         if self.n_q == 1 and self.n_w == 1:
             @jax.jit
-            def run_single(q_codes, db_oh, n_windows, lo_b, hi_b):
+            def run_single(q_codes, db_oh, n_windows):
                 q_oh = D.expand_onehot(q_codes, seq_len)
                 return D.min2_scan(
-                    q_oh, db_oh, n_windows, jnp.int32(0), lo_b, hi_b,
+                    q_oh, db_oh, n_windows, jnp.int32(0),
                     seq_len, shift, chunk, span,
                 )
 
             return run_single
 
-        def shard_fn(q_oh, db_shard, n_windows, lo_b, hi_b):
+        def shard_fn(q_oh, db_shard, n_windows):
             off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
             n_valid_local = jnp.clip(n_windows - off, 0, shard_rows)
             lo, hi = D.min2_scan(
-                q_oh, db_shard, n_valid_local, off, lo_b, hi_b,
+                q_oh, db_shard, n_valid_local, off,
                 seq_len, shift, chunk, span,
             )
             # Packed keys compare globally (the index fields are global), so
@@ -283,121 +286,8 @@ class ScanRunner(HitModesMixin):
         mapped = jax.shard_map(
             shard_fn,
             mesh=self.mesh,
-            in_specs=(P("q", None), P("w", None), P(), P("q"), P("q")),
-            out_specs=(P("q"), P("q")),
-            check_vma=False,
-        )
-
-        @jax.jit
-        def run(q_codes, db_oh, n_windows, lo_b, hi_b):
-            q_oh = D.expand_onehot(q_codes, seq_len)
-            return mapped(q_oh, db_oh, n_windows, lo_b, hi_b)
-
-        return run
-
-    def _min2_fn(self, b: int, shift: int):
-        key = ("min2", b, shift)
-        fn = self._topm_cache.get(key)
-        if fn is None:
-            fn = self._build_min2(b, shift)
-            self._topm_cache[key] = fn
-        return fn
-
-    def min2_async(self, q_codes: np.ndarray, lo_bound=None, hi_bound=None):
-        """Dispatch the fused min2 scan; returns an opaque handle (device
-        futures) for ``min2_result``, or None when key packing overflows
-        31 bits (never for this domain's window lengths).
-
-        The async split lets the query engine overlap host-side FASTX
-        parse/encode of batch k+1 with the device scan of batch k — the
-        pipeline parallelism the single-threaded reference lacks
-        (SURVEY.md §2.2 PP row). ``lo_bound``/``hi_bound`` restrict each
-        row to the open index interval (used by tie collection).
-        """
-        self._require_windows()
-        shift = D.packing_shift(self.seq_len, max(self.wp, 2))
-        if shift is None:
-            return None
-        q_codes, nq, b = D.pad_batch(q_codes, multiple=self.n_q,
-                                     minimum=max(16, self.n_q))
-        if lo_bound is None:
-            lo_b = np.full(b, -1, np.int32)
-        else:
-            lo_b = np.full(b, self.wp, np.int32)
-            lo_b[:nq] = lo_bound
-        if hi_bound is None:
-            hi_b = np.full(b, self.wp, np.int32)
-        else:
-            hi_b = np.full(b, -1, np.int32)
-            hi_b[:nq] = hi_bound
-        fn = self._min2_fn(b, shift)
-        lo, hi = fn(q_codes, self.db_oh, self.n_windows_dev, lo_b, hi_b)
-        return (lo, hi, nq, shift)
-
-    def min2_result(self, handle) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Fetch + unpack a min2_async handle."""
-        lo, hi, nq, shift = handle
-        return D.unpack_min2(np.asarray(lo)[:nq], np.asarray(hi)[:nq], shift, self.wp)
-
-    def min2(self, q_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Per row: (min distance, first argmin, unique-min flag).
-
-        One fused packed-key pass — no top-k sort. ``unique`` is True when
-        exactly one window attains the min distance (best-hit mode then
-        needs no rescan). Falls back to the exact top-M path when key
-        packing would overflow 31 bits.
-        """
-        handle = self.min2_async(q_codes)
-        if handle is None:
-            d, i, _ = self.topm(q_codes, 1)
-            return d[:, 0], i[:, 0], None
-        return self.min2_result(handle)
-
-    def min_scan(self, q_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(min distance, first argmin) per row — cluster's inner scan."""
-        d, i, _ = self.min2(q_codes)
-        return d, i
-
-    # -- two-phase best-hit: fused min+count scan, then one compaction pass
-
-    def _build_min2count(self, b: int, shift: int):
-        seq_len = self.seq_len
-        chunk = self.chunk
-        shard_rows = self.shard_rows
-        span = self.wp
-
-        if self.n_q == 1 and self.n_w == 1:
-            @jax.jit
-            def run_single(q_codes, db_oh, n_windows):
-                q_oh = D.expand_onehot(q_codes, seq_len)
-                return D.min2_count_scan(
-                    q_oh, db_oh, n_windows, jnp.int32(0),
-                    seq_len, shift, chunk, span,
-                )
-
-            return run_single
-
-        def shard_fn(q_oh, db_shard, n_windows):
-            off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
-            n_valid = jnp.clip(n_windows - off, 0, shard_rows)
-            lo, hi, cnt = D.min2_count_scan(
-                q_oh, db_shard, n_valid, off, seq_len, shift, chunk, span
-            )
-            big = jnp.int32(2**31 - 1)
-            glo = jax.lax.pmin(lo, "w")
-            ghi = jax.lax.pmin(hi, "w")
-            # Counts only contribute from shards whose local min equals
-            # the global min (other shards counted a worse distance).
-            ld = jnp.where(lo == big, D.BIG, lo >> shift)
-            gd = jnp.where(glo == big, D.BIG, glo >> shift)
-            gcnt = jax.lax.psum(jnp.where(ld == gd, cnt, 0), "w")
-            return glo, ghi, gcnt
-
-        mapped = jax.shard_map(
-            shard_fn,
-            mesh=self.mesh,
             in_specs=(P("q", None), P("w", None), P()),
-            out_specs=(P("q"), P("q"), P("q")),
+            out_specs=(P("q"), P("q")),
             check_vma=False,
         )
 
@@ -408,6 +298,22 @@ class ScanRunner(HitModesMixin):
 
         return run
 
+    def min2(self, q_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Per row: (min distance, first argmin, unique-min flag).
+
+        One fused packed-key pass — no top-k sort. ``unique`` is True when
+        exactly one window attains the min distance (best-hit mode then
+        needs no enumeration pass). Falls back to the exact top-M path
+        when key packing would overflow 31 bits.
+        """
+        handle = self.min2_async(q_codes)
+        if handle is None:
+            d, i, _ = self.topm(q_codes, 1)
+            return d[:, 0], i[:, 0], None
+        return self.min2_result(handle)
+
+    # -- best-hit phase B: the one-pass bitmask compaction ------------------
+
     def _build_compact(self, b: int, t_cap: int):
         seq_len = self.seq_len
         chunk = self.chunk
@@ -417,11 +323,11 @@ class ScanRunner(HitModesMixin):
             @jax.jit
             def run_single(q_codes, db_oh, n_windows, thresh):
                 q_oh = D.expand_onehot(q_codes, seq_len)
-                rows, idx, dv, total = D.compact_scan(
+                rows, idx, rc, total = D.compact_scan(
                     q_oh, db_oh, n_windows, thresh, jnp.int32(0),
                     seq_len, chunk, t_cap,
                 )
-                return rows, idx, dv, total[None]
+                return rows, idx, rc, total[None]
 
             return run_single
 
@@ -430,7 +336,7 @@ class ScanRunner(HitModesMixin):
         def shard_fn(q_oh, db_shard, n_windows, thresh):
             off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
             n_valid = jnp.clip(n_windows - off, 0, shard_rows)
-            rows, idx, dv, total = D.compact_scan(
+            rows, idx, rc, total = D.compact_scan(
                 q_oh, db_shard, n_valid, thresh, off, seq_len, chunk, t_cap
             )
             # Global batch-row ids so the host merge is one lexsort.
@@ -438,13 +344,16 @@ class ScanRunner(HitModesMixin):
             rows = jnp.where(rows >= 0, rows + q_off, -1)
             total = total[None]
             if n_w > 1:
-                # Replicate within the q-group so every process holds the
-                # full result (multi-host fetches must be addressable).
+                # Row counts sum exactly over disjoint db shards; the
+                # buffers replicate within the q-group so every process
+                # holds the full result (multi-host fetches must be
+                # addressable). Per-shard totals stay separate: validity
+                # is per-shard (each shard owns its own t_cap buffer).
+                rc = jax.lax.psum(rc, "w")
                 rows = jax.lax.all_gather(rows, "w", axis=0, tiled=True)
                 idx = jax.lax.all_gather(idx, "w", axis=0, tiled=True)
-                dv = jax.lax.all_gather(dv, "w", axis=0, tiled=True)
                 total = jax.lax.all_gather(total, "w", axis=0, tiled=True)
-            return rows, idx, dv, total
+            return rows, idx, rc, total
 
         mapped = jax.shard_map(
             shard_fn,

@@ -4,9 +4,9 @@
 Measures, back-to-back in one session (tunnel latency varies across
 sessions, so only within-run comparisons are meaningful):
 
-- phase-A kernels at the production shapes: min2 (round-1 headline),
-  min2_count (shipped best-hit phase A), hist (K-mode phase A),
-  binary-search stats pass (long-window phase A), compact (phase B);
+- phase-A kernels at the production shapes: min2 (shipped best-hit
+  phase A), hist (K-mode phase A), binary-search stats pass
+  (long-window phase A), compact (the one-pass bitmask phase B);
 - the shipped ScanRunner.best_hit end-to-end on a tie-heavy db
   (VERDICT round-1 item 1: was 153 ms/batch at 2048 x 200k; target
   <= 2 scan-equivalents);
@@ -76,15 +76,8 @@ def main() -> None:
 
     @jax.jit
     def min2_a(q, db):
-        lo_b = jnp.full((q.shape[0],), -1, jnp.int32)
-        hi_b = jnp.full((q.shape[0],), W_a, jnp.int32)
         return D.min2_scan(D.expand_onehot(q, seq_len), db, nw_a, zero,
-                           lo_b, hi_b, seq_len, shift_a, chunk, W_a)
-
-    @jax.jit
-    def mincnt_a(q, db):
-        return D.min2_count_scan(D.expand_onehot(q, seq_len), db, nw_a, zero,
-                                 seq_len, shift_a, chunk, W_a)
+                           seq_len, shift_a, chunk, W_a)
 
     @jax.jit
     def hist_a(q, db):
@@ -103,7 +96,6 @@ def main() -> None:
 
     cmp_a = B_a * W_a
     emit("min2@2048x200k", timeit(min2_a, q_a, db_oh_a), cmp_a)
-    emit("mincnt@2048x200k", timeit(mincnt_a, q_a, db_oh_a), cmp_a)
     emit("hist@2048x200k", timeit(hist_a, q_a, db_oh_a), cmp_a)
     emit("stats@2048x200k", timeit(stats_a, q_a, db_oh_a), cmp_a)
     thresh_med = np.full(B_a, 20, np.int32)  # some hits per row
@@ -156,19 +148,18 @@ def main() -> None:
 
     @jax.jit
     def min2_b(q, db):
-        lo_b = jnp.full((q.shape[0],), -1, jnp.int32)
-        hi_b = jnp.full((q.shape[0],), W_b, jnp.int32)
         return D.min2_scan(D.expand_onehot(q, seq_len), db, nw_b, zero,
-                           lo_b, hi_b, seq_len, shift_b, chunk_b, W_b)
+                           seq_len, shift_b, chunk_b, W_b)
 
     @jax.jit
-    def mincnt_b(q, db):
-        return D.min2_count_scan(D.expand_onehot(q, seq_len), db, nw_b, zero,
-                                 seq_len, shift_b, chunk_b, W_b)
+    def compact_b(q, db, thresh):
+        return D.compact_scan(D.expand_onehot(q, seq_len), db, nw_b, thresh,
+                              zero, seq_len, chunk_b, 1 << 14)
 
     cmp_b = B_b * W_b
     emit("min2@16384x1M", timeit(min2_b, q_b, db_oh_b), cmp_b)
-    emit("mincnt@16384x1M", timeit(mincnt_b, q_b, db_oh_b), cmp_b)
+    thresh_b = np.full(B_b, 20, np.int32)
+    emit("compact@16384x1M", timeit(compact_b, q_b, db_oh_b, thresh_b), cmp_b)
 
 
 if __name__ == "__main__":
