@@ -202,9 +202,9 @@ def _drain_batch(out, db, pending, k_mode, max_divergence, limit_per_sequence, t
     """Resolve one dispatched batch's device work and emit its hits."""
     qnum0, nq, p_codes, p_handle = pending
     if k_mode is None and p_handle is not None:
-        # Best-hit mode: phase A (fused min + tie count, already
-        # dispatched) resolves rows with <= 2 ties outright; one
-        # compaction pass enumerates the rest. Bulk TSV emit.
+        # Best-hit mode: phase A (dual packed-key min, already
+        # dispatched) resolves rows with a unique minimum outright; one
+        # bitmask compaction pass enumerates the rest. Bulk TSV emit.
         with timers.stage("scan"):
             res = db.runner.best_hit(p_codes, max_divergence, handle=p_handle)
         if res is not None:

@@ -279,8 +279,13 @@ class HitModesMixin:
         ride along detect an undersized buffer, in which case the rows
         are re-compacted in exactly-sized groups. Returns flat
         (rows, idx) sorted by (row, index) over tied rows only, plus the
-        exact per-padded-row counts."""
-        t_cap = min(D.bucket(max(256, 8 * n_tied)), COMPACT_MAX)
+        exact per-padded-row counts.
+
+        The probe allows 64 ties per tied row: extraction slots are
+        cheap (gathers), so oversizing costs little, while an undersized
+        probe costs a whole extra pass over the db — only batches
+        averaging >64 ties per tied row pay the second pass."""
+        t_cap = min(D.bucket(max(1024, 64 * n_tied)), COMPACT_MAX)
         rows, idx, row_counts, valid = self._compact_call(
             q_padded, thresh, t_cap
         )

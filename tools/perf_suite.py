@@ -101,9 +101,30 @@ def main() -> None:
     thresh_med = np.full(B_a, 20, np.int32)  # some hits per row
     emit("compact@2048x200k", timeit(compact_a, q_a, db_oh_a, thresh_med), cmp_a)
 
-    # ---- shipped end-to-end best-hit on a tie-heavy db (ties ~50/row) ----
+    # ---- shipped end-to-end best-hit ----
     from smafa_tpu.parallel import sharded
 
+    # Realistic tie density: random db/queries (at 200k windows ~46% of
+    # rows tie at the min, mean 2-3 ties) — the production-typical batch.
+    runner_r = sharded.ScanRunner(db_a, seq_len, mesh=sharded.build_mesh(1, 1),
+                                  chunk=chunk)
+
+    def best_hit_rand():
+        h = runner_r.min_count_async(q_a)
+        return runner_r.best_hit(q_a, None, handle=h)
+
+    for _ in range(2):
+        res = best_hit_rand()
+    counts = res[1]
+    t0 = time.perf_counter()
+    for _ in range(3):
+        best_hit_rand()
+    bh = (time.perf_counter() - t0) / 3
+    emit("best_hit_rand@2048x200k", bh, cmp_a,
+         mean_ties=float(counts.mean()), total=int(counts.sum()))
+
+    # Adversarial tie density: db of 50x-duplicated pool rows, queries
+    # drawn from the pool -> every row has ~50 exact-hit ties.
     pool = rng.integers(0, N_CHANNELS, size=(W_a // 50, seq_len), dtype=np.uint8)
     db_ties = pool[rng.integers(0, len(pool), W_a)]
     q_ties = pool[rng.integers(0, len(pool), B_a)]  # exact hits -> max ties
