@@ -34,8 +34,10 @@ with a Python set fallback.
 from __future__ import annotations
 
 import logging
+import os
 import sys
 import time
+from collections import deque
 from functools import partial
 from pathlib import Path
 from typing import TextIO
@@ -195,7 +197,19 @@ class _CentroidStore:
             )
             self.buf = expand(all_codes)
         else:
-            self.buf = _append_rows(self.buf, codes_rows, n0, self.seq_len)
+            # Pad the appended block to a power-of-two row bucket: the
+            # number of promotions varies per batch, and an exact-shape
+            # append would compile a fresh device program for every
+            # distinct count (ruinous where compiles are expensive).
+            # The pad rows land beyond len(ws), are masked out of every
+            # scan, and are overwritten by the next append.
+            kb = _bucket(k)
+            if n0 + kb <= self.cap and kb > k:
+                codes_pad = np.zeros((kb, codes_rows.shape[1]), np.uint8)
+                codes_pad[:k] = codes_rows
+                self.buf = _append_rows(self.buf, codes_pad, n0, self.seq_len)
+            else:
+                self.buf = _append_rows(self.buf, codes_rows, n0, self.seq_len)
         self.ws.push_batch(codes_rows)
         flat = alphabet.DECODE_BYTES[codes_rows].tobytes().decode("ascii")
         L = self.seq_len
@@ -300,12 +314,22 @@ def cluster(
     logger.info("Clustering ..")
     timers = StageTimers()
     query_number = 0
-    pending: tuple | None = None  # (raws_u, codes_u, handle, snap_n)
+    # Scans-in-flight: each dispatched batch snapshots the centroid set at
+    # dispatch time, and _resolve_emit exactly folds in any centroids
+    # promoted since (host Hamming over the delta columns), so several
+    # batches can be in flight at once — resolution order alone defines
+    # the output (byte-identical at any depth; tested). Depth > 1 can
+    # hide per-dispatch latency behind host work on locally-attached
+    # TPUs, but measured on the remote-compile tunnel it triggers
+    # occasional multi-minute server stalls (100k-seq A/B: depth 1 =
+    # 10-15 s stable; depth 2/4 = 11-161 s), so the default is 1.
+    depth = max(1, int(os.environ.get("SMAFA_TPU_CLUSTER_PIPELINE", "1")))
+    pending: deque = deque()  # of (raws_u, codes_u, handle, snap_n)
     batches = read_encoded_batches(input_fasta, batch_size=batch_size)
     while True:
-        # The already-dispatched pending batch must be resolved/emitted
-        # before any parse/encode error propagates (reference streaming
-        # behavior: every record before the offending one prints).
+        # Already-dispatched batches must be resolved/emitted before any
+        # parse/encode error propagates (reference streaming behavior:
+        # every record before the offending one prints).
         try:
             item = next(batches, None)
             if item is not None:
@@ -324,20 +348,17 @@ def cluster(
                     timers.count("comparisons", codes_u.shape[0] * len(store))
                     with timers.stage("dispatch"):
                         handle = store.scan_async(codes_u) if len(store) else None
-                    current = (raws_u, codes_u, handle, len(store))
-                else:
-                    current = None  # whole batch was duplicates
-            else:
-                current = None
+                    pending.append((raws_u, codes_u, handle, len(store)))
         except Exception:
-            if pending is not None:
-                _resolve_emit(store, pending, max_div, out, timers)
+            while pending:
+                _resolve_emit(store, pending.popleft(), max_div, out, timers)
             raise
-        if pending is not None:
-            _resolve_emit(store, pending, max_div, out, timers)
-        pending = current
         if item is None:
+            while pending:
+                _resolve_emit(store, pending.popleft(), max_div, out, timers)
             break
+        while len(pending) >= depth:
+            _resolve_emit(store, pending.popleft(), max_div, out, timers)
     timers.log_report(logging.DEBUG)
 
     n_centroids = len(store) if store is not None else 0
