@@ -1,0 +1,97 @@
+"""Extended randomized parity campaign for the round-2 compaction paths.
+
+Runs the repo's literal-transcription oracles against the CLI across
+random configs, cycling db layouts / forced sharding, with tie-heavy and
+cutoff-boundary generators overrepresented. CPU 8-device mesh.
+"""
+import io
+import os
+import pathlib
+import sys
+import tempfile
+import traceback
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+_ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_ROOT))
+sys.path.insert(0, str(_ROOT / "tests"))
+
+import numpy as np
+from test_fuzz_parity import _run_query, _write_fasta, oracle_cluster, oracle_query
+from smafa_tpu.engine.cluster import cluster
+
+START = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
+COUNT = int(sys.argv[2]) if len(sys.argv) > 2 else 300
+
+fails = 0
+for n in range(START, START + COUNT):
+    rng = np.random.default_rng(n)
+    layout = ["auto", "sharded", "ring", "col"][n % 4]
+    os.environ["SMAFA_TPU_LAYOUT"] = layout
+    os.environ["SMAFA_TPU_FORCE_SHARD"] = "1" if (n // 4) % 2 else ""
+    gen = n % 3
+    L = int(rng.integers(1, 90))
+    alpha = int(rng.integers(2, 6))
+    if gen == 0:  # random
+        nd, nq = int(rng.integers(1, 150)), int(rng.integers(1, 60))
+        mk = lambda k: ["".join("ACGTN"[c] for c in rng.integers(0, alpha, L))
+                        for _ in range(k)]
+        db, qs = mk(nd), mk(nq)
+    elif gen == 1:  # tie-heavy: small pool, many duplicates
+        pool_n = int(rng.integers(1, 8))
+        dup = int(rng.integers(2, 120))
+        pool = ["".join("ACGTN"[c] for c in rng.integers(0, alpha, L))
+                for _ in range(pool_n)]
+        db = [pool[int(rng.integers(0, pool_n))] for _ in range(pool_n * dup)]
+        qs = [pool[int(rng.integers(0, pool_n))] for _ in range(int(rng.integers(1, 30)))]
+    else:  # mutation clusters: distances concentrate at the cutoff
+        pool_n = int(rng.integers(2, 10))
+        anc = rng.integers(0, alpha, size=(pool_n, L))
+        def mut():
+            s = anc[int(rng.integers(0, pool_n))].copy()
+            for _ in range(int(rng.integers(0, max(1, L // 8)))):
+                s[int(rng.integers(0, L))] = int(rng.integers(0, alpha))
+            return "".join("ACGTN"[c] for c in s)
+        db = [mut() for _ in range(int(rng.integers(1, 200)))]
+        qs = [mut() for _ in range(int(rng.integers(1, 40)))]
+
+    mode = (n // 3) % 3
+    if mode == 0:
+        kw = dict(max_divergence=[None, int(rng.integers(0, L + 1))][n % 2])
+    elif mode == 1:
+        kw = dict(max_num_hits=int(rng.integers(1, 300)),
+                  max_divergence=[None, int(rng.integers(0, L + 1))][(n // 9) % 2])
+    else:
+        kw = dict(max_num_hits=int(rng.integers(2, 60)),
+                  limit_per_sequence=int(rng.integers(1, 6)))
+
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            tdp = pathlib.Path(td)
+            got = _run_query(tdp, db, qs, **kw)
+            want = oracle_query(db, qs, **kw)
+            assert got == want, "query mismatch"
+            f = tdp / "c.fna"
+            _write_fasta(f, db)
+            maxd = int(rng.integers(0, max(1, L)))
+            buf = io.StringIO()
+            cluster(f, maxd, out=buf, batch_size=int(rng.integers(1, 50)))
+            assert buf.getvalue() == oracle_cluster(db, maxd), "cluster mismatch"
+    except Exception:
+        fails += 1
+        print(f"FAIL seed={n} layout={layout} gen={gen} mode={mode} "
+              f"L={L} kw={kw}", flush=True)
+        traceback.print_exc()
+        if fails >= 5:
+            break
+    if (n - START + 1) % 25 == 0:
+        print(f"{n - START + 1}/{COUNT} done ({fails} fails)", flush=True)
+
+print(f"CAMPAIGN DONE: {COUNT} configs, {fails} failures", flush=True)
