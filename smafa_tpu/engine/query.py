@@ -303,19 +303,29 @@ class _ResumeState:
         if self.path is None or not self.write_enabled:
             return
         if not self._had_checkpoint:
-            # Fresh run: nothing recorded yet. Leave the stream alone —
-            # a user may be appending to a file holding earlier results
-            # (truncating here would destroy them). The rare crash before
-            # the first checkpoint therefore resumes at-least-once.
+            # Fresh run: the stream may already hold content the tool
+            # did not write (a user appending runs with '>>'), so the
+            # current END of the stream — not 0 — is the baseline.
+            # Persist it as a done=0 checkpoint BEFORE emitting anything:
+            # a crash mid-batch-0 then resumes by truncating the torn
+            # prefix back to this baseline (exactly-once) instead of
+            # appending after it.
+            pos = None
+            try:
+                pos = out.seek(0, 2)
+            except (AttributeError, OSError, io.UnsupportedOperation):
+                pass  # non-seekable stream: at-least-once
+            self.out_pos = pos
+            self._persist(0, pos)
             return
-        if self.done > 0 and self.out_pos is None:
-            # A checkpoint exists but the original run's output was
-            # non-seekable (no offset recorded). The surviving output may
-            # have been collected into this file out-of-band; truncating
-            # would destroy queries 0..done-1. At-least-once semantics:
-            # leave the file alone.
+        if self.out_pos is None:
+            # A checkpoint exists but no offset was recorded (the
+            # original run's output was non-seekable). The surviving
+            # output may have been collected into this file out-of-band;
+            # truncating would destroy already-emitted queries.
+            # At-least-once semantics: leave the file alone.
             return
-        target = self.out_pos if self.out_pos is not None else 0
+        target = self.out_pos
         try:
             end = out.seek(0, 2)
             if end >= target:
@@ -336,6 +346,9 @@ class _ResumeState:
             pos = out.tell()
         except (AttributeError, OSError, io.UnsupportedOperation):
             pass
+        self._persist(done, pos)
+
+    def _persist(self, done: int, pos: int | None) -> None:
         tmp = self.path.with_suffix(self.path.suffix + ".tmp")
         tmp.write_text(json.dumps(
             {"query_fasta": self._query_fasta, "done": done, "out_pos": pos}

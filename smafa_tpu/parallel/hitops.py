@@ -300,13 +300,28 @@ class HitModesMixin:
     def _compact_grouped(self, q_padded, thresh, counts):
         """Compact with row grouping so no single dispatch needs a buffer
         beyond COMPACT_MAX: rows are split greedily by their (exact,
-        already-known) hit counts. Returns flat (rows, idx) sorted by
+        already-known) hit counts. A single row whose count exceeds
+        COMPACT_MAX never reaches the device (an uncapped dispatch would
+        allocate multi-GB buffers next to the resident db, or OOM) — its
+        hits are enumerated host-side instead, one chunked numpy pass
+        over the channel codes. Returns flat (rows, idx) sorted by
         (row, index)."""
         nq = counts.shape[0]
         b = q_padded.shape[0]
         out_r, out_i = [], []
         start = 0
         while start < nq:
+            if int(counts[start]) > COMPACT_MAX:
+                hit_idx = self._host_enumerate_row(
+                    q_padded[start], int(thresh[start])
+                )
+                assert hit_idx.shape[0] == int(counts[start]), (
+                    hit_idx.shape[0], int(counts[start])
+                )
+                out_r.append(np.full(hit_idx.shape[0], start, np.int32))
+                out_i.append(hit_idx)
+                start += 1
+                continue
             end = start + 1
             acc = int(counts[start])
             while end < nq and acc + int(counts[end]) <= COMPACT_MAX:
@@ -325,3 +340,20 @@ class HitModesMixin:
         idx = np.concatenate(out_i)
         order = np.lexsort((idx, rows))
         return rows[order], idx[order]
+
+    def _host_enumerate_row(self, q_row: np.ndarray, thresh: int) -> np.ndarray:
+        """All window indices with distance <= thresh for ONE query row,
+        enumerated host-side in ascending order (chunked so a memmap db
+        streams through a bounded working set)."""
+        if thresh < 0:
+            return np.empty(0, np.int32)
+        L = self.seq_len
+        q = q_row[:L]
+        out = []
+        step = 1 << 20
+        for s in range(0, self.n_windows, step):
+            d = np.asarray(self._codes_host[s:s + step])[:, :L]
+            dist = L - (q == d).sum(axis=1)
+            hit = np.nonzero(dist <= thresh)[0].astype(np.int32)
+            out.append(hit + np.int32(s))
+        return np.concatenate(out) if out else np.empty(0, np.int32)

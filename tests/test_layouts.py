@@ -96,3 +96,42 @@ def test_tie_heavy_best_hit(tmp_path, monkeypatch):
     assert len(dists) == 1
     subjects = [int(l.split("\t")[1]) for l in first_q_lines]
     assert subjects == sorted(subjects)
+
+
+@pytest.mark.parametrize("mode", [
+    {},                                        # best-hit, every row tied
+    {"max_num_hits": 200},                     # K-mode, cutoff spans db
+])
+def test_monster_row_host_enumeration(tmp_path, monkeypatch, mode):
+    # A row whose exact hit count exceeds COMPACT_MAX must never reach a
+    # device compaction dispatch (an uncapped t_cap would allocate
+    # buffers past the module's own bound); it is enumerated host-side.
+    # Shrink the cap so an ordinary test db trips the path, and verify
+    # byte-parity against the unclamped run.
+    from smafa_tpu.parallel import hitops
+
+    rng = np.random.default_rng(11)
+    L = 12
+    pool = _random_seqs(rng, 2, L)
+    db_seqs = _random_seqs(rng, 120, L, pool=pool)  # ~60 ties per pool row
+    q_seqs = pool + _random_seqs(rng, 3, L)
+    subj, qf = tmp_path / "s.fa", tmp_path / "q.fa"
+    dbf = tmp_path / "d.smafadb"
+    _write_fasta(subj, db_seqs)
+    _write_fasta(qf, q_seqs)
+    makedb(subj, dbf)
+
+    ref = _run_query(dbf, qf, "sharded", monkeypatch, **mode)
+    assert ref.count("\n") >= 100
+    monkeypatch.setattr(hitops, "COMPACT_MAX", 16)
+    calls = []
+    orig = hitops.HitModesMixin._host_enumerate_row
+
+    def spy(self, q_row, thresh):
+        calls.append(thresh)
+        return orig(self, q_row, thresh)
+
+    monkeypatch.setattr(hitops.HitModesMixin, "_host_enumerate_row", spy)
+    got = _run_query(dbf, qf, "sharded", monkeypatch, **mode)
+    assert got == ref
+    assert calls, "host enumeration path was not exercised"

@@ -94,3 +94,68 @@ def test_resume_noop_when_complete(tmp_path):
     out2 = io.StringIO()
     query(dbp, qf, out=out2, batch_size=7, resume_state=state)
     assert out2.getvalue() == ""
+
+
+def test_resume_truncates_torn_prefix_before_first_checkpoint(tmp_path):
+    # Crash mid-batch-0: the output ends with a torn partial line and the
+    # only checkpoint is the done=0 baseline written at startup. Resuming
+    # must truncate the torn prefix back to the baseline — while
+    # preserving content that predates the run (a user's '>>' append).
+    dbp, qf = _setup(tmp_path)
+    full_out = tmp_path / "full.tsv"
+    with open(full_out, "w") as f:
+        query(dbp, qf, out=f, batch_size=5)
+
+    preexisting = "old-results-line\t0\tkeepme\n"
+    part = tmp_path / "part.tsv"
+    part.write_text(preexisting)
+    state = tmp_path / "state.json"
+
+    class _Boom(RuntimeError):
+        pass
+
+    class _CrashyFile:
+        """Write-through wrapper that dies partway into the first write."""
+
+        def __init__(self, f):
+            self._f = f
+            self._writes = 0
+
+        def write(self, s):
+            self._writes += 1
+            if self._writes == 1 and len(s) > 3:
+                self._f.write(s[: len(s) // 2])  # torn partial line
+                raise _Boom()
+            return self._f.write(s)
+
+        def __getattr__(self, name):
+            return getattr(self._f, name)
+
+    with open(part, "a+") as f:
+        with pytest.raises(_Boom):
+            query(dbp, qf, out=_CrashyFile(f), batch_size=5,
+                  resume_state=state)
+    data = json.loads(state.read_text())
+    assert data["done"] == 0
+    assert data["out_pos"] == len(preexisting)
+    assert part.read_text() != preexisting  # torn fragment really landed
+
+    with open(part, "a+") as f:
+        query(dbp, qf, out=f, batch_size=5, resume_state=state)
+    assert part.read_text() == preexisting + full_out.read_text()
+
+
+def test_fresh_run_records_baseline_not_truncating(tmp_path):
+    # A fresh resume-state run against a file already holding earlier
+    # results must keep them (no truncate-to-zero) and complete normally.
+    dbp, qf = _setup(tmp_path)
+    full = io.StringIO()
+    query(dbp, qf, out=full, batch_size=5)
+
+    prior = "earlier-run-line\n"
+    outp = tmp_path / "out.tsv"
+    outp.write_text(prior)
+    state = tmp_path / "state.json"
+    with open(outp, "a+") as f:
+        query(dbp, qf, out=f, batch_size=5, resume_state=state)
+    assert outp.read_text() == prior + full.getvalue()
