@@ -124,6 +124,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Maximum divergence to report hits for, for each sequence "
                         "[default: not used]")
     p.add_argument("--batch-size", type=int, default=None, help=argparse.SUPPRESS)
+    p.add_argument("-o", "--output", default=None,
+                   help="Write cluster assignments to FILE instead of stdout "
+                        "(with --resume-state, reopens and truncates a torn "
+                        "tail for exactly-once resume)")
+    p.add_argument("--resume-state", default=None,
+                   help="JSON checkpoint file enabling resumable clustering "
+                        "(centroids persist in a .centroids.npy sidecar; "
+                        "restart skips already-clustered records)")
     p.add_argument("--coordinator", default=None,
                    help="Multi-host: coordinator address host:port")
     p.add_argument("--num-processes", type=int, default=None,
@@ -211,7 +219,8 @@ def main(argv: list[str] | None = None) -> int:
             from smafa_tpu.engine.cluster import cluster
 
             cluster(args.input, args.max_divergence, out=out_stream,
-                    batch_size=args.batch_size)
+                    batch_size=args.batch_size,
+                    resume_state=args.resume_state)
         elif args.subcommand == "count":
             from smafa_tpu.engine.count import count
 

@@ -29,6 +29,13 @@ The TPU formulation batches the stream and PIPELINES the device scan:
 Exact-duplicate skip runs in one native C++ call per batch
 (native/fastx.cpp dedup_filter; reference cluster.rs:46-48 semantics),
 with a Python set fallback.
+
+``resume_state`` makes long clustering runs restartable (the BASELINE
+1M-sequence config): the checkpoint JSON records the consumed-record
+count and output offset (exactly-once on seekable outputs, as for
+query), centroids persist in an atomically-replaced ``.centroids.npy``
+sidecar, and the dedup set — a pure function of the input prefix — is
+rebuilt by re-encoding records [0, done) on restart.
 """
 
 from __future__ import annotations
@@ -48,6 +55,7 @@ import numpy as np
 
 from smafa_tpu.core import alphabet
 from smafa_tpu.core.windowset import WindowSet
+from smafa_tpu.engine.query import _ResumeState
 from smafa_tpu.io.fastx import read_encoded_batches
 from smafa_tpu.ops import distance as D
 from smafa_tpu.utils.profiling import StageTimers
@@ -295,11 +303,98 @@ class _Dedup:
             self._h = None
 
 
+class _ClusterResume(_ResumeState):
+    """Cluster-stream checkpoint: the query JSON contract plus the
+    greedy state. Centroid channel codes live in an atomically-replaced
+    ``<state>.centroids.npy`` sidecar (written BEFORE the JSON rename,
+    so the JSON's ``n_centroids`` never points past the sidecar); the
+    dedup set is NOT persisted — it is a pure function of the input
+    prefix and is rebuilt by re-encoding records [0, done) on resume
+    (native parse makes this seconds even at 1M records).
+    """
+
+    PATH_KEY = "input_fasta"
+    PATH_NOUN = "input file"
+
+    def __init__(self, path, stream_path):
+        self.n_centroids = 0
+        self.centroid_codes: np.ndarray | None = None
+        self._store = None  # set by cluster() once the store exists
+        super().__init__(path, stream_path)
+        if self._had_checkpoint and self.n_centroids > 0:
+            side = self._sidecar()
+            codes = np.load(side)
+            if codes.shape[0] < self.n_centroids:
+                raise ValueError(
+                    f"Resume state {self.path}: centroid sidecar {side} has "
+                    f"{codes.shape[0]} rows, expected >= {self.n_centroids}"
+                )
+            self.centroid_codes = np.ascontiguousarray(
+                codes[: self.n_centroids], dtype=np.uint8
+            )
+
+    def _sidecar(self) -> Path:
+        return self.path.with_suffix(self.path.suffix + ".centroids.npy")
+
+    def _load_extra(self, data: dict) -> None:
+        self.n_centroids = int(data.get("n_centroids", 0))
+
+    def _extra_payload(self) -> dict:
+        return {"n_centroids": self.n_centroids}
+
+    def sync_processes(self) -> None:
+        """Multi-host: process 0's checkpoint is authoritative — its
+        prefix length AND centroid tensor broadcast so every process
+        rebuilds the identical greedy state (the state file need not
+        exist on other hosts' filesystems)."""
+        if self.path is None:
+            return
+        import jax
+
+        if jax.process_count() <= 1:
+            return
+        from jax.experimental import multihost_utils
+
+        shape = (self.centroid_codes.shape if self.centroid_codes is not None
+                 else (0, 0))
+        meta = multihost_utils.broadcast_one_to_all(
+            np.array([self.done, shape[0], shape[1]], np.int64)
+        )
+        self.done = int(meta[0])
+        n, L = int(meta[1]), int(meta[2])
+        if n > 0:
+            local = (self.centroid_codes
+                     if jax.process_index() == 0 and self.centroid_codes is not None
+                     else np.zeros((n, L), np.uint8))
+            self.centroid_codes = np.asarray(
+                multihost_utils.broadcast_one_to_all(local), dtype=np.uint8
+            )
+        self.n_centroids = n
+        if jax.process_index() != 0:
+            self.write_enabled = False
+            self.out_pos = None
+
+    def mark_done(self, done: int, out) -> None:
+        if self.path is not None and self.write_enabled:
+            store = self._store
+            n = len(store) if store is not None else 0
+            if n != self.n_centroids:
+                codes = np.ascontiguousarray(store.ws.codes[:n], np.uint8)
+                side = self._sidecar()
+                tmp = side.with_suffix(side.suffix + ".tmp")
+                with open(tmp, "wb") as f:
+                    np.save(f, codes)
+                tmp.replace(side)
+                self.n_centroids = n
+        super().mark_done(done, out)
+
+
 def cluster(
     input_fasta: str | Path,
     max_divergence: int,
     out: TextIO | None = None,
     batch_size: int | None = None,
+    resume_state: str | Path | None = None,
 ) -> None:
     out = out if out is not None else sys.stdout
     batch_size = batch_size or DEFAULT_BATCH
@@ -311,9 +406,29 @@ def cluster(
     if not Path(input_fasta).exists():
         # Reference panic text on open failure (cluster.rs:28).
         raise ValueError(f"valid path/file of input fasta: {input_fasta}")
+    state = _ClusterResume(resume_state, input_fasta)
+    state.sync_processes()
+    state.restore_output(out)
+    if state.done:
+        logger.info("Resuming after %d consumed records", state.done)
+        # The dedup set is a pure function of the input prefix: re-encode
+        # records [0, done) and refilter (no scans, no output).
+        rebuilt = 0
+        for _ids, _raws, codes in read_encoded_batches(
+            input_fasta, batch_size=batch_size
+        ):
+            take = min(codes.shape[0], state.done - rebuilt)
+            dedup.filter(codes[:take])
+            rebuilt += take
+            if rebuilt >= state.done:
+                break
+        if state.centroid_codes is not None and state.centroid_codes.shape[0]:
+            store = _CentroidStore(state.centroid_codes.shape[1])
+            store.append(state.centroid_codes)
+            state._store = store
     logger.info("Clustering ..")
     timers = StageTimers()
-    query_number = 0
+    query_number = state.done
     # Scans-in-flight: each dispatched batch snapshots the centroid set at
     # dispatch time, and _resolve_emit exactly folds in any centroids
     # promoted since (host Hamming over the delta columns), so several
@@ -324,8 +439,18 @@ def cluster(
     # occasional multi-minute server stalls (100k-seq A/B: depth 1 =
     # 10-15 s stable; depth 2/4 = 11-161 s), so the default is 1.
     depth = max(1, int(os.environ.get("SMAFA_TPU_CLUSTER_PIPELINE", "1")))
-    pending: deque = deque()  # of (raws_u, codes_u, handle, snap_n)
-    batches = read_encoded_batches(input_fasta, batch_size=batch_size)
+    pending: deque = deque()  # of (raws_u, codes_u, handle, snap_n, qnum_end)
+
+    def resolve_next() -> None:
+        p = pending.popleft()
+        _resolve_emit(store, p, max_div, out, timers)
+        # p[4] = records consumed through this batch (dup-only batches
+        # parsed since the previous append are covered by it too).
+        state.mark_done(p[4], out)
+
+    batches = read_encoded_batches(
+        input_fasta, batch_size=batch_size, skip_records=state.done
+    )
     while True:
         # Already-dispatched batches must be resolved/emitted before any
         # parse/encode error propagates (reference streaming behavior:
@@ -343,22 +468,29 @@ def cluster(
                     seq_len = codes_u.shape[1]
                     if store is None:
                         store = _CentroidStore(seq_len)
+                        state._store = store
                     else:
                         store.ws.check_query_length(seq_len)
                     timers.count("comparisons", codes_u.shape[0] * len(store))
                     with timers.stage("dispatch"):
                         handle = store.scan_async(codes_u) if len(store) else None
-                    pending.append((raws_u, codes_u, handle, len(store)))
+                    pending.append(
+                        (raws_u, codes_u, handle, len(store), query_number)
+                    )
         except Exception:
             while pending:
-                _resolve_emit(store, pending.popleft(), max_div, out, timers)
+                resolve_next()
             raise
         if item is None:
             while pending:
-                _resolve_emit(store, pending.popleft(), max_div, out, timers)
+                resolve_next()
+            # Cover trailing dup-only batches (they produce no output but
+            # must not be re-consumed by a restart).
+            if query_number > state.done:
+                state.mark_done(query_number, out)
             break
         while len(pending) >= depth:
-            _resolve_emit(store, pending.popleft(), max_div, out, timers)
+            resolve_next()
     timers.log_report(logging.DEBUG)
 
     n_centroids = len(store) if store is not None else 0
@@ -375,7 +507,7 @@ def _resolve_emit(store, pending, max_div, out, timers):
     promoted since (by the previous batch's resolution) and intra-batch
     promotions are merged host-side from small exact Hamming blocks.
     """
-    raws_u, codes_u, handle, snap_n = pending
+    raws_u, codes_u, handle, snap_n, _qnum_end = pending
     nb = codes_u.shape[0]
     sentinel = max_div * 2 + 2  # reference cluster.rs:54-58
     with timers.stage("fetch"):

@@ -260,9 +260,16 @@ class _ResumeState:
     recorded offset on resume, making restart exactly-once. Non-seekable
     outputs (a pipe/stdout) get at-least-once semantics — the surviving
     suffix of a torn batch repeats.
+
+    Subclass hooks (cluster resume, engine/cluster.py): ``PATH_KEY`` /
+    ``PATH_NOUN`` name the identity field; ``_load_extra`` /
+    ``_extra_payload`` round-trip additional JSON fields.
     """
 
-    def __init__(self, path: str | Path | None, query_fasta):
+    PATH_KEY = "query_fasta"
+    PATH_NOUN = "query file"
+
+    def __init__(self, path: str | Path | None, stream_path):
         self.path = Path(path) if path else None
         self.done = 0
         self.out_pos: int | None = None
@@ -270,14 +277,21 @@ class _ResumeState:
         self._had_checkpoint = self.path is not None and self.path.exists()
         if self._had_checkpoint:
             data = json.loads(self.path.read_text())
-            if data.get("query_fasta") != str(query_fasta):
+            if data.get(self.PATH_KEY) != str(stream_path):
                 raise QueryError(
-                    f"Resume state {self.path} is for query file "
-                    f"{data.get('query_fasta')!r}, not {query_fasta!r}"
+                    f"Resume state {self.path} is for {self.PATH_NOUN} "
+                    f"{data.get(self.PATH_KEY)!r}, not {str(stream_path)!r}"
                 )
             self.done = int(data.get("done", 0))
             self.out_pos = data.get("out_pos")
-        self._query_fasta = str(query_fasta)
+            self._load_extra(data)
+        self._stream_path = str(stream_path)
+
+    def _load_extra(self, data: dict) -> None:
+        pass
+
+    def _extra_payload(self) -> dict:
+        return {}
 
     def sync_processes(self) -> None:
         """Multi-host: every process must skip the same prefix (the scan
@@ -350,9 +364,10 @@ class _ResumeState:
 
     def _persist(self, done: int, pos: int | None) -> None:
         tmp = self.path.with_suffix(self.path.suffix + ".tmp")
-        tmp.write_text(json.dumps(
-            {"query_fasta": self._query_fasta, "done": done, "out_pos": pos}
-        ))
+        tmp.write_text(json.dumps({
+            self.PATH_KEY: self._stream_path, "done": done, "out_pos": pos,
+            **self._extra_payload(),
+        }))
         tmp.replace(self.path)
 
 

@@ -6,6 +6,7 @@ only its own rows from the native format), pmin merge across the global
 mesh — produces results identical to the single-process oracle.
 """
 
+import json
 import os
 import socket
 import subprocess
@@ -308,3 +309,65 @@ def test_two_process_scan_matches_oracle(tmp_path):
     assert np.array_equal(got["i"], full.argmin(axis=1))
     ties = (full == full.min(axis=1)[:, None]).sum(axis=1)
     assert np.array_equal(got["u"], ties == 1)
+
+
+def test_two_process_cluster_resume_mid_stream(tmp_path):
+    """Multi-host cluster --resume-state: a run over a prefix, then a
+    restart with the full stream, must match a straight single run byte
+    for byte (process 0's done AND centroid tensor broadcast so every
+    process rebuilds the identical greedy state)."""
+    rng = np.random.default_rng(29)
+    n, L = 60, 24
+    cent = rng.integers(0, 4, size=(8, L)).astype(np.uint8)
+    seqs = cent[rng.integers(0, 8, n)].copy()
+    mut = rng.integers(0, L, n)
+    seqs[np.arange(n), mut] = rng.integers(0, 4, n)
+    seqs[n - 2] = seqs[3]  # exact dup across the resume boundary
+
+    def fasta(rows):
+        return "".join(
+            ">s%d\n%s\n" % (i, "".join("ACGTN"[c] for c in row))
+            for i, row in enumerate(rows)
+        )
+
+    in_path = tmp_path / "in.fna"
+    env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = os.getcwd()
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    in_path.write_text(fasta(seqs))
+    single = subprocess.run(
+        [sys.executable, "-m", "smafa_tpu", "cluster", "-i", str(in_path),
+         "-d", "3", "--batch-size", "16"],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert single.returncode == 0, single.stderr[-2000:]
+
+    out_file = tmp_path / "out.tsv"
+    state = tmp_path / "cstate.json"
+
+    def run_pair(n_records):
+        in_path.write_text(fasta(seqs[:n_records]))
+        coord = f"localhost:{_free_port()}"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-m", "smafa_tpu", "cluster",
+                 "-i", str(in_path), "-d", "3", "--batch-size", "16",
+                 "-o", str(out_file), "--resume-state", str(state),
+                 "--coordinator", coord, "--num-processes", "2",
+                 "--process-id", str(pid)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+            for pid in (0, 1)
+        ]
+        outs = [p.communicate(timeout=300) for p in procs]
+        for p, (_so, se) in zip(procs, outs):
+            assert p.returncode == 0, se[-2000:]
+
+    run_pair(33)   # prefix run checkpoints done=33 + its centroids
+    assert state.exists()
+    data = json.loads(state.read_text())
+    assert data["done"] == 33 and data["n_centroids"] > 0
+    run_pair(n)    # restart resumes after the prefix
+    assert out_file.read_text() == single.stdout

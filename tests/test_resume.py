@@ -159,3 +159,126 @@ def test_fresh_run_records_baseline_not_truncating(tmp_path):
     with open(outp, "a+") as f:
         query(dbp, qf, out=f, batch_size=5, resume_state=state)
     assert outp.read_text() == prior + full.getvalue()
+
+
+def _cluster_setup(tmp_path, n=60, L=14, seed=3):
+    rng = np.random.default_rng(seed)
+    anc = [''.join("ACGT"[c] for c in rng.integers(0, 4, L)) for _ in range(6)]
+
+    def mut(s):
+        s = list(s)
+        for _ in range(int(rng.integers(0, 3))):
+            s[int(rng.integers(0, L))] = "ACGT"[int(rng.integers(0, 4))]
+        return ''.join(s)
+
+    seqs = [mut(anc[int(rng.integers(0, 6))]) for _ in range(n)]
+    # plant exact duplicates spanning the stream so the rebuilt dedup set
+    # matters: a dup after the crash point must still be skipped
+    seqs[n - 3] = seqs[2]
+    seqs[n - 1] = seqs[5]
+    f = tmp_path / "in.fna"
+    f.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(seqs)))
+    return f
+
+
+def test_cluster_resume_crash_replay(tmp_path):
+    from smafa_tpu.engine.cluster import cluster
+
+    inp = _cluster_setup(tmp_path)
+    full = tmp_path / "full.tsv"
+    with open(full, "w") as f:
+        cluster(inp, 3, out=f, batch_size=7)
+
+    state = tmp_path / "cst.json"
+    outp = tmp_path / "part.tsv"
+    prior = "pre-existing\tline\n"
+    outp.write_text(prior)
+
+    class _Boom(RuntimeError):
+        pass
+
+    class _CrashyFile:
+        def __init__(self, f, fail_at):
+            self._f, self._n, self._fail = f, 0, fail_at
+
+        def write(self, s):
+            self._n += 1
+            if self._n == self._fail and len(s) > 3:
+                self._f.write(s[: len(s) // 2])  # torn partial batch
+                raise _Boom()
+            return self._f.write(s)
+
+        def __getattr__(self, name):
+            return getattr(self._f, name)
+
+    with open(outp, "a+") as f:
+        with pytest.raises(_Boom):
+            cluster(inp, 3, out=_CrashyFile(f, 4), batch_size=7,
+                    resume_state=state)
+    data = json.loads(state.read_text())
+    assert 0 < data["done"] < 60
+    assert (tmp_path / "cst.json.centroids.npy").exists()
+
+    with open(outp, "a+") as f:
+        cluster(inp, 3, out=f, batch_size=7, resume_state=state)
+    assert outp.read_text() == prior + full.read_text()
+    assert json.loads(state.read_text())["done"] == 60
+
+
+def test_cluster_resume_noop_when_complete(tmp_path):
+    from smafa_tpu.engine.cluster import cluster
+
+    inp = _cluster_setup(tmp_path, seed=4)
+    state = tmp_path / "cst.json"
+    out1 = io.StringIO()
+    cluster(inp, 3, out=out1, batch_size=9, resume_state=state)
+    out2 = io.StringIO()
+    cluster(inp, 3, out=out2, batch_size=9, resume_state=state)
+    assert out2.getvalue() == ""
+
+
+def test_cluster_resume_rejects_different_input(tmp_path):
+    from smafa_tpu.engine.cluster import cluster
+
+    inp = _cluster_setup(tmp_path, seed=5)
+    state = tmp_path / "cst.json"
+    state.write_text(json.dumps({"input_fasta": "/elsewhere/x.fna", "done": 5}))
+    with pytest.raises(Exception, match="Resume state"):
+        cluster(inp, 3, out=io.StringIO(), resume_state=state)
+
+
+def test_cluster_resume_batch_size_change(tmp_path):
+    # done is a record count, not a batch count: resuming with a
+    # different batch size must still be byte-identical.
+    from smafa_tpu.engine.cluster import cluster
+
+    inp = _cluster_setup(tmp_path, seed=6)
+    full = io.StringIO()
+    cluster(inp, 3, out=full, batch_size=8)
+
+    state = tmp_path / "cst.json"
+    outp = tmp_path / "o.tsv"
+
+    class _Boom(RuntimeError):
+        pass
+
+    class _CrashyFile:
+        def __init__(self, f):
+            self._f, self._n = f, 0
+
+        def write(self, s):
+            self._n += 1
+            if self._n == 3:
+                raise _Boom()
+            return self._f.write(s)
+
+        def __getattr__(self, name):
+            return getattr(self._f, name)
+
+    with open(outp, "w+") as f:
+        with pytest.raises(_Boom):
+            cluster(inp, 3, out=_CrashyFile(f), batch_size=8,
+                    resume_state=state)
+    with open(outp, "a+") as f:
+        cluster(inp, 3, out=f, batch_size=5, resume_state=state)
+    assert outp.read_text() == full.getvalue()
