@@ -316,11 +316,11 @@ class _ClusterResume(_ResumeState):
     PATH_KEY = "input_fasta"
     PATH_NOUN = "input file"
 
-    def __init__(self, path, stream_path):
+    def __init__(self, path, stream_path, config=None):
         self.n_centroids = 0
         self.centroid_codes: np.ndarray | None = None
         self._store = None  # set by cluster() once the store exists
-        super().__init__(path, stream_path)
+        super().__init__(path, stream_path, config=config)
         if self._had_checkpoint and self.n_centroids > 0:
             side = self._sidecar()
             codes = np.load(side)
@@ -406,22 +406,12 @@ def cluster(
     if not Path(input_fasta).exists():
         # Reference panic text on open failure (cluster.rs:28).
         raise ValueError(f"valid path/file of input fasta: {input_fasta}")
-    state = _ClusterResume(resume_state, input_fasta)
+    state = _ClusterResume(resume_state, input_fasta,
+                           config={"max_divergence": max_div})
     state.sync_processes()
     state.restore_output(out)
     if state.done:
         logger.info("Resuming after %d consumed records", state.done)
-        # The dedup set is a pure function of the input prefix: re-encode
-        # records [0, done) and refilter (no scans, no output).
-        rebuilt = 0
-        for _ids, _raws, codes in read_encoded_batches(
-            input_fasta, batch_size=batch_size
-        ):
-            take = min(codes.shape[0], state.done - rebuilt)
-            dedup.filter(codes[:take])
-            rebuilt += take
-            if rebuilt >= state.done:
-                break
         if state.centroid_codes is not None and state.centroid_codes.shape[0]:
             store = _CentroidStore(state.centroid_codes.shape[1])
             store.append(state.centroid_codes)
@@ -448,9 +438,7 @@ def cluster(
         # parsed since the previous append are covered by it too).
         state.mark_done(p[4], out)
 
-    batches = read_encoded_batches(
-        input_fasta, batch_size=batch_size, skip_records=state.done
-    )
+    batches = _resumed_batches(input_fasta, batch_size, state.done, dedup)
     while True:
         # Already-dispatched batches must be resolved/emitted before any
         # parse/encode error propagates (reference streaming behavior:
@@ -498,6 +486,29 @@ def cluster(
         "Clustering complete, took %d seconds. Clustered %d sequences into %d clusters.",
         int(time.time() - t0), query_number, n_centroids,
     )
+
+
+def _resumed_batches(input_fasta, batch_size: int, done: int, dedup):
+    """Encoded-batch stream that resumes after ``done`` records.
+
+    The dedup set is a pure function of the input prefix, so a restart
+    refilters records [0, done) — no scans, no output — then yields the
+    remainder. One parse serves both phases (the native reader decodes
+    the file eagerly; a separate skip_records pass would parse it twice),
+    and ``done`` need not align with a batch boundary (the straddling
+    batch's tail is yielded as a short first work batch).
+    """
+    batches = read_encoded_batches(input_fasta, batch_size=batch_size)
+    rebuilt = 0
+    for ids, raws, codes in batches:
+        if rebuilt >= done:
+            yield ids, raws, codes
+            continue
+        take = min(codes.shape[0], done - rebuilt)
+        dedup.filter(codes[:take])
+        rebuilt += take
+        if take < codes.shape[0]:
+            yield ids[take:], raws[take:], codes[take:]
 
 
 def _resolve_emit(store, pending, max_div, out, timers):

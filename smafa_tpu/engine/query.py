@@ -143,7 +143,14 @@ def query(
     if not Path(query_fasta).exists():
         # Reference panic text on open failure (lib.rs:221).
         raise QueryError(f"valid path/file of query fasta: {query_fasta}")
-    state = _ResumeState(resume_state, query_fasta)
+    state = _ResumeState(resume_state, query_fasta, config={
+        "database": str(db_path),
+        "max_divergence": max_divergence,
+        # K=1 ≡ None (lib.rs:224): record the normalized mode so
+        # equivalent invocations resume each other.
+        "max_num_hits": k_mode,
+        "limit_per_sequence": limit_per_sequence,
+    })
     state.sync_processes()
     state.restore_output(out)
     query_number = state.done
@@ -269,11 +276,13 @@ class _ResumeState:
     PATH_KEY = "query_fasta"
     PATH_NOUN = "query file"
 
-    def __init__(self, path: str | Path | None, stream_path):
+    def __init__(self, path: str | Path | None, stream_path,
+                 config: dict | None = None):
         self.path = Path(path) if path else None
         self.done = 0
         self.out_pos: int | None = None
         self.write_enabled = True  # multi-host: only process 0 persists
+        self._config = config or {}
         self._had_checkpoint = self.path is not None and self.path.exists()
         if self._had_checkpoint:
             data = json.loads(self.path.read_text())
@@ -281,6 +290,21 @@ class _ResumeState:
                 raise QueryError(
                     f"Resume state {self.path} is for {self.PATH_NOUN} "
                     f"{data.get(self.PATH_KEY)!r}, not {str(stream_path)!r}"
+                )
+            # A prefix clustered/queried under one flag set and a suffix
+            # under another is not a valid output for either; reject a
+            # changed configuration loudly. (States written before config
+            # recording — no "config" key — are accepted as-is.)
+            saved = data.get("config")
+            if saved is not None and saved != self._config:
+                diffs = sorted(
+                    k for k in set(saved) | set(self._config)
+                    if saved.get(k) != self._config.get(k)
+                )
+                raise QueryError(
+                    f"Resume state {self.path} was created with different "
+                    f"options ({', '.join(diffs)}); rerun with the original "
+                    "options or delete the state file"
                 )
             self.done = int(data.get("done", 0))
             self.out_pos = data.get("out_pos")
@@ -366,6 +390,7 @@ class _ResumeState:
         tmp = self.path.with_suffix(self.path.suffix + ".tmp")
         tmp.write_text(json.dumps({
             self.PATH_KEY: self._stream_path, "done": done, "out_pos": pos,
+            "config": self._config,
             **self._extra_payload(),
         }))
         tmp.replace(self.path)

@@ -10,6 +10,7 @@ from smafa_tpu.core.alphabet import BYTE_LUT
 from smafa_tpu.core.windowset import WindowSet
 from smafa_tpu.engine.query import QueryError, query
 from smafa_tpu.io import postcard
+from smafa_tpu.utils.testing import CrashError, CrashyFile
 
 
 def _setup(tmp_path, n_db=20, n_q=23, L=12, seed=0):
@@ -111,29 +112,9 @@ def test_resume_truncates_torn_prefix_before_first_checkpoint(tmp_path):
     part.write_text(preexisting)
     state = tmp_path / "state.json"
 
-    class _Boom(RuntimeError):
-        pass
-
-    class _CrashyFile:
-        """Write-through wrapper that dies partway into the first write."""
-
-        def __init__(self, f):
-            self._f = f
-            self._writes = 0
-
-        def write(self, s):
-            self._writes += 1
-            if self._writes == 1 and len(s) > 3:
-                self._f.write(s[: len(s) // 2])  # torn partial line
-                raise _Boom()
-            return self._f.write(s)
-
-        def __getattr__(self, name):
-            return getattr(self._f, name)
-
     with open(part, "a+") as f:
-        with pytest.raises(_Boom):
-            query(dbp, qf, out=_CrashyFile(f), batch_size=5,
+        with pytest.raises(CrashError):
+            query(dbp, qf, out=CrashyFile(f, fail_at=1), batch_size=5,
                   resume_state=state)
     data = json.loads(state.read_text())
     assert data["done"] == 0
@@ -194,26 +175,9 @@ def test_cluster_resume_crash_replay(tmp_path):
     prior = "pre-existing\tline\n"
     outp.write_text(prior)
 
-    class _Boom(RuntimeError):
-        pass
-
-    class _CrashyFile:
-        def __init__(self, f, fail_at):
-            self._f, self._n, self._fail = f, 0, fail_at
-
-        def write(self, s):
-            self._n += 1
-            if self._n == self._fail and len(s) > 3:
-                self._f.write(s[: len(s) // 2])  # torn partial batch
-                raise _Boom()
-            return self._f.write(s)
-
-        def __getattr__(self, name):
-            return getattr(self._f, name)
-
     with open(outp, "a+") as f:
-        with pytest.raises(_Boom):
-            cluster(inp, 3, out=_CrashyFile(f, 4), batch_size=7,
+        with pytest.raises(CrashError):
+            cluster(inp, 3, out=CrashyFile(f, fail_at=4), batch_size=7,
                     resume_state=state)
     data = json.loads(state.read_text())
     assert 0 < data["done"] < 60
@@ -259,26 +223,38 @@ def test_cluster_resume_batch_size_change(tmp_path):
     state = tmp_path / "cst.json"
     outp = tmp_path / "o.tsv"
 
-    class _Boom(RuntimeError):
-        pass
-
-    class _CrashyFile:
-        def __init__(self, f):
-            self._f, self._n = f, 0
-
-        def write(self, s):
-            self._n += 1
-            if self._n == 3:
-                raise _Boom()
-            return self._f.write(s)
-
-        def __getattr__(self, name):
-            return getattr(self._f, name)
-
     with open(outp, "w+") as f:
-        with pytest.raises(_Boom):
-            cluster(inp, 3, out=_CrashyFile(f), batch_size=8,
-                    resume_state=state)
+        with pytest.raises(CrashError):
+            cluster(inp, 3, out=CrashyFile(f, fail_at=3, torn=False),
+                    batch_size=8, resume_state=state)
     with open(outp, "a+") as f:
         cluster(inp, 3, out=f, batch_size=5, resume_state=state)
     assert outp.read_text() == full.getvalue()
+
+
+def test_resume_rejects_changed_options(tmp_path):
+    # A prefix emitted under one flag set and a suffix under another is
+    # not a valid output for either; changed options must error loudly.
+    dbp, qf = _setup(tmp_path)
+    state = tmp_path / "state.json"
+    query(dbp, qf, out=io.StringIO(), batch_size=5, resume_state=state,
+          max_num_hits=3)
+    with pytest.raises(QueryError, match="different options"):
+        query(dbp, qf, out=io.StringIO(), batch_size=5, resume_state=state,
+              max_num_hits=7)
+    # K=1 is the same mode as K=None (lib.rs:224): equivalent invocations
+    # resume each other.
+    state2 = tmp_path / "state2.json"
+    query(dbp, qf, out=io.StringIO(), batch_size=5, resume_state=state2)
+    query(dbp, qf, out=io.StringIO(), batch_size=5, resume_state=state2,
+          max_num_hits=1)
+
+
+def test_cluster_resume_rejects_changed_divergence(tmp_path):
+    from smafa_tpu.engine.cluster import cluster
+
+    inp = _cluster_setup(tmp_path, seed=9)
+    state = tmp_path / "cst.json"
+    cluster(inp, 3, out=io.StringIO(), batch_size=9, resume_state=state)
+    with pytest.raises(Exception, match="different options"):
+        cluster(inp, 6, out=io.StringIO(), batch_size=9, resume_state=state)

@@ -37,29 +37,7 @@ import numpy as np
 from smafa_tpu.engine.cluster import cluster
 from smafa_tpu.engine.query import query
 from smafa_tpu.engine.makedb import makedb
-
-
-class _Boom(RuntimeError):
-    pass
-
-
-class CrashyFile:
-    """Write-through wrapper that dies at the n-th write, optionally
-    mid-string (a torn line)."""
-
-    def __init__(self, f, fail_at, torn):
-        self._f, self._n, self._fail, self._torn = f, 0, fail_at, torn
-
-    def write(self, s):
-        self._n += 1
-        if self._n == self._fail:
-            if self._torn and len(s) > 1:
-                self._f.write(s[: max(1, len(s) // 2)])
-            raise _Boom()
-        return self._f.write(s)
-
-    def __getattr__(self, name):
-        return getattr(self._f, name)
+from smafa_tpu.utils.testing import CrashError, CrashyFile
 
 
 def write_fasta(path, seqs):
@@ -87,7 +65,7 @@ def run_to_completion(op, rng, outp, state):
             with open(outp, "a+") as f:
                 op(CrashyFile(f, fail_at, torn))
             return
-        except _Boom:
+        except CrashError:
             continue
     raise AssertionError("op did not complete within 30 crash-resume cycles")
 
