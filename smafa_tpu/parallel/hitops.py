@@ -30,6 +30,8 @@ hits) — see ``_host_distances``.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from smafa_tpu.ops import distance as D
@@ -38,6 +40,13 @@ from smafa_tpu.ops import distance as D
 # entries; batches whose exact hit totals exceed it are split into row
 # groups (each group is its own compaction pass over the full db).
 COMPACT_MAX = 1 << 22
+
+# The compaction scan carries a [rows, wp/32] uint32 hit mask; at large
+# row counts x 10M-window dbs that is gigabytes (and its flat index
+# space must stay inside int32 for the rank extraction). Dispatches are
+# therefore row-sliced so one program's mask never exceeds this many
+# uint32 words (default 2^28 = 1 GiB).
+MASK_WORDS_BUDGET = int(os.environ.get("SMAFA_TPU_MASK_WORDS", str(1 << 28)))
 
 
 class HitModesMixin:
@@ -256,88 +265,130 @@ class HitModesMixin:
         d = np.asarray(self._codes_host[idx])[:, :L]
         return (L - (q == d).sum(axis=1)).astype(np.int32)
 
-    def _compact_call(self, q_padded: np.ndarray, thresh: np.ndarray,
-                      t_cap: int):
-        """One compaction dispatch. Returns (rows, idx, row_counts,
-        valid): rows/idx are the (unfiltered, -1-padded) device buffers,
-        row_counts the exact per-row hit counts, and ``valid`` whether
-        every per-shard buffer held all of its hits (when False the
-        buffers are incomplete and the caller must re-dispatch with
-        exact sizing — the counts are always exact)."""
-        fn = self._program("compact", q_padded.shape[0], t_cap=t_cap)
-        rows, idx, row_counts, shard_totals = fn(
-            q_padded, self.db_oh, self.n_windows_dev, thresh.astype(np.int32)
+    def _mask_row_cap(self) -> int:
+        """Max rows per compaction dispatch so one program's hit mask
+        stays under MASK_WORDS_BUDGET uint32 words (conservatively sized
+        for the least-sharded program instance, which sees all wp
+        words)."""
+        w32 = max(1, self.wp // 32)
+        return max(64, MASK_WORDS_BUDGET // w32)
+
+    def _compact_dispatch(self, q_padded: np.ndarray, row_ids: np.ndarray,
+                          thresh_vals: np.ndarray, t_cap: int):
+        """One compaction dispatch over exactly the selected rows.
+
+        The selected rows are gathered into a bucketed sub-batch (so
+        programs compile per power-of-two shape, and phase B scans only
+        the rows that need it), then mapped back to global row ids.
+        Returns (global rows, idx, exact per-selected-row counts, valid);
+        when ``valid`` is False the buffers were undersized (counts stay
+        exact) and the caller re-dispatches with exact sizing."""
+        nsel = int(row_ids.shape[0])
+        b = D.bucket(nsel, minimum=16)
+        q_sub = np.zeros((b, q_padded.shape[1]), q_padded.dtype)
+        q_sub[:nsel] = q_padded[row_ids]
+        q_sub_p, _ = self._pad(q_sub)
+        th = np.full(q_sub_p.shape[0], -1, np.int32)
+        th[:nsel] = thresh_vals
+        fn = self._program("compact", q_sub_p.shape[0], t_cap=t_cap)
+        rows, idx, rc, shard_totals = fn(
+            q_sub_p, self.db_oh, self.n_windows_dev, th
         )
-        shard_totals = np.asarray(shard_totals)
-        return (np.asarray(rows), np.asarray(idx),
-                np.asarray(row_counts).astype(np.int64),
-                bool((shard_totals <= t_cap).all()))
+        rows = np.asarray(rows)
+        idx = np.asarray(idx)
+        rc = np.asarray(rc).astype(np.int64)[:nsel]
+        valid = bool((np.asarray(shard_totals) <= t_cap).all())
+        keep = rows >= 0
+        return row_ids[rows[keep]], idx[keep], rc, valid
 
     def _compact_adaptive(self, q_padded, thresh, n_tied: int):
-        """Best-hit phase B without prior counts: one pass with a guessed
-        buffer (ties are nearly always few); the exact row_counts that
-        ride along detect an undersized buffer, in which case the rows
-        are re-compacted in exactly-sized groups. Returns flat
-        (rows, idx) sorted by (row, index) over tied rows only, plus the
-        exact per-padded-row counts.
+        """Best-hit phase B without prior counts: per row slice, one
+        pass with a guessed buffer (ties are nearly always few); the
+        exact row_counts that ride along detect an undersized buffer, in
+        which case the slice's rows are re-compacted in exactly-sized
+        groups. Returns flat (rows, idx) sorted by (row, index) over
+        tied rows only, plus exact per-padded-row counts (zero for
+        untied rows).
 
         The probe allows 64 ties per tied row: extraction slots are
         cheap (gathers), so oversizing costs little, while an undersized
         probe costs a whole extra pass over the db — only batches
         averaging >64 ties per tied row pay the second pass."""
-        t_cap = min(D.bucket(max(1024, 64 * n_tied)), COMPACT_MAX)
-        rows, idx, row_counts, valid = self._compact_call(
-            q_padded, thresh, t_cap
-        )
-        if valid:
-            mask = rows >= 0
-            rows, idx = rows[mask], idx[mask]
-            order = np.lexsort((idx, rows))
-            return rows[order], idx[order], row_counts
-        g_rows, g_idx = self._compact_grouped(q_padded, thresh, row_counts)
-        return g_rows, g_idx, row_counts
+        sel = np.nonzero(thresh >= 0)[0].astype(np.int32)
+        cap = self._mask_row_cap()
+        row_counts = np.zeros(q_padded.shape[0], np.int64)
+        out_r, out_i = [], []
+        for s in range(0, sel.size, cap):
+            ids = sel[s:s + cap]
+            t_cap = min(D.bucket(max(1024, 64 * ids.size)), COMPACT_MAX)
+            g_rows, g_idx, rc, valid = self._compact_dispatch(
+                q_padded, ids, thresh[ids], t_cap
+            )
+            row_counts[ids] = rc
+            if valid:
+                out_r.append(g_rows)
+                out_i.append(g_idx)
+            else:
+                gr, gi = self._compact_grouped_rows(
+                    q_padded, ids, thresh[ids], rc
+                )
+                out_r.append(gr)
+                out_i.append(gi)
+        rows = np.concatenate(out_r) if out_r else np.empty(0, np.int32)
+        idx = np.concatenate(out_i) if out_i else np.empty(0, np.int32)
+        order = np.lexsort((idx, rows))
+        return rows[order], idx[order], row_counts
 
     def _compact_grouped(self, q_padded, thresh, counts):
-        """Compact with row grouping so no single dispatch needs a buffer
-        beyond COMPACT_MAX: rows are split greedily by their (exact,
-        already-known) hit counts. A single row whose count exceeds
-        COMPACT_MAX never reaches the device (an uncapped dispatch would
-        allocate multi-GB buffers next to the resident db, or OOM) — its
-        hits are enumerated host-side instead, one chunked numpy pass
-        over the channel codes. Returns flat (rows, idx) sorted by
-        (row, index)."""
-        nq = counts.shape[0]
-        b = q_padded.shape[0]
+        """Compact rows with known exact counts, grouped so no dispatch
+        exceeds COMPACT_MAX buffered hits or the mask-memory row cap."""
+        counts = np.asarray(counts)
+        sel = np.nonzero(counts > 0)[0].astype(np.int32)
+        return self._compact_grouped_rows(
+            q_padded, sel, np.asarray(thresh)[sel], counts[sel]
+        )
+
+    def _compact_grouped_rows(self, q_padded, row_ids, thresh_vals, counts):
+        """Greedy row groups under two bounds: COMPACT_MAX buffered hits
+        per dispatch and the mask-memory row cap. A single row whose
+        count exceeds COMPACT_MAX never reaches the device (an uncapped
+        dispatch would allocate multi-GB buffers next to the resident
+        db, or OOM) — its hits are enumerated host-side instead, one
+        chunked numpy pass over the channel codes. Returns flat
+        (rows, idx) sorted by (row, index)."""
+        cap = self._mask_row_cap()
+        n = int(row_ids.shape[0])
         out_r, out_i = [], []
         start = 0
-        while start < nq:
-            if int(counts[start]) > COMPACT_MAX:
+        while start < n:
+            c0 = int(counts[start])
+            if c0 > COMPACT_MAX:
+                gid = int(row_ids[start])
                 hit_idx = self._host_enumerate_row(
-                    q_padded[start], int(thresh[start])
+                    q_padded[gid], int(thresh_vals[start])
                 )
-                assert hit_idx.shape[0] == int(counts[start]), (
-                    hit_idx.shape[0], int(counts[start])
-                )
-                out_r.append(np.full(hit_idx.shape[0], start, np.int32))
+                assert hit_idx.shape[0] == c0, (hit_idx.shape[0], c0)
+                out_r.append(np.full(c0, gid, np.int32))
                 out_i.append(hit_idx)
                 start += 1
                 continue
             end = start + 1
-            acc = int(counts[start])
-            while end < nq and acc + int(counts[end]) <= COMPACT_MAX:
+            acc = c0
+            while (end < n and end - start < cap
+                   and int(counts[end]) <= COMPACT_MAX
+                   and acc + int(counts[end]) <= COMPACT_MAX):
                 acc += int(counts[end])
                 end += 1
-            th = np.full(b, -1, np.int32)
-            th[start:end] = thresh[start:end]
             t_cap = D.bucket(max(acc, 1), minimum=256)
-            rows, idx, _rc, valid = self._compact_call(q_padded, th, t_cap)
+            g_rows, g_idx, _rc, valid = self._compact_dispatch(
+                q_padded, row_ids[start:end], thresh_vals[start:end], t_cap
+            )
             assert valid, (acc, t_cap)
-            mask = rows >= 0
-            out_r.append(rows[mask])
-            out_i.append(idx[mask])
+            out_r.append(g_rows)
+            out_i.append(g_idx)
             start = end
-        rows = np.concatenate(out_r)
-        idx = np.concatenate(out_i)
+        rows = np.concatenate(out_r) if out_r else np.empty(0, np.int32)
+        idx = np.concatenate(out_i) if out_i else np.empty(0, np.int32)
         order = np.lexsort((idx, rows))
         return rows[order], idx[order]
 
