@@ -26,6 +26,9 @@ sys.path.insert(0, str(_ROOT / "tests"))
 import numpy as np
 from test_fuzz_parity import _run_query, _write_fasta, oracle_cluster, oracle_query
 from smafa_tpu.engine.cluster import cluster
+from smafa_tpu.parallel import hitops
+
+_orig_row_cap = hitops.HitModesMixin._mask_row_cap
 
 START = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
 COUNT = int(sys.argv[2]) if len(sys.argv) > 2 else 300
@@ -36,6 +39,12 @@ for n in range(START, START + COUNT):
     layout = ["auto", "sharded", "ring", "col"][n % 4]
     os.environ["SMAFA_TPU_LAYOUT"] = layout
     os.environ["SMAFA_TPU_FORCE_SHARD"] = "1" if (n // 4) % 2 else ""
+    # Every third config forces tiny compaction row slices so the
+    # mask-budget path (built for 10M-row dbs) sees toy-scale fuzzing.
+    if n % 3 == 0:
+        hitops.HitModesMixin._mask_row_cap = lambda self: int(rng.integers(1, 9))
+    else:
+        hitops.HitModesMixin._mask_row_cap = _orig_row_cap
     gen = n % 3
     L = int(rng.integers(1, 90))
     alpha = int(rng.integers(2, 6))
