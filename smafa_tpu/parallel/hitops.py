@@ -265,12 +265,15 @@ class HitModesMixin:
         d = np.asarray(self._codes_host[idx])[:, :L]
         return (L - (q == d).sum(axis=1)).astype(np.int32)
 
+    def _compact_span_rows(self) -> int:
+        """Db rows one compact program instance's mask spans (overridden
+        by runners that segment or shard the scanned range)."""
+        return self.wp
+
     def _mask_row_cap(self) -> int:
         """Max rows per compaction dispatch so one program's hit mask
-        stays under MASK_WORDS_BUDGET uint32 words (conservatively sized
-        for the least-sharded program instance, which sees all wp
-        words)."""
-        w32 = max(1, self.wp // 32)
+        stays under MASK_WORDS_BUDGET uint32 words."""
+        w32 = max(1, self._compact_span_rows() // 32)
         return max(64, MASK_WORDS_BUDGET // w32)
 
     def _compact_dispatch(self, q_padded: np.ndarray, row_ids: np.ndarray,

@@ -38,6 +38,17 @@ BIG_DIST = 2**30
 # time, collective latency) than it saves; use the direct single-device
 # program. Override with SMAFA_TPU_FORCE_SHARD=1 (used by the sharded
 # parity tests) or SMAFA_TPU_SHARD_THRESHOLD.
+def _compact_seg_rows() -> int:
+    """Db rows per single-device compaction segment. The compaction mask
+    spans the whole scanned range, so at 10M+ rows an unsegmented
+    program carries a multi-GB [b, wp/32] mask through thousands of scan
+    steps — big enough to OOM-kill the AOT compiler, never mind HBM.
+    Segmenting makes both the compile-time and runtime footprint
+    independent of db size (the segment offset is traced, so ONE program
+    serves every segment)."""
+    return int(os.environ.get("SMAFA_TPU_COMPACT_SEG", str(1 << 21)))
+
+
 def _shard_threshold() -> int:
     return int(os.environ.get("SMAFA_TPU_SHARD_THRESHOLD", 65536))
 
@@ -143,6 +154,16 @@ class ScanRunner(HitModesMixin):
             return
         stride = self.chunk * self.n_w
         padded = ((self.n_windows + stride - 1) // stride) * stride
+        self._compact_seg: int | None = None
+        if self.n_q == 1 and self.n_w == 1:
+            seg = max(self.chunk,
+                      (_compact_seg_rows() // self.chunk) * self.chunk)
+            if padded > seg:
+                # Segmented compaction slices the db with a traced
+                # offset; rows must pad to a whole number of segments so
+                # no segment's dynamic_slice clamps into its neighbor.
+                padded = ((padded + seg - 1) // seg) * seg
+                self._compact_seg = seg
         self.wp = padded
         self.shard_rows = padded // self.n_w
 
@@ -314,22 +335,64 @@ class ScanRunner(HitModesMixin):
 
     # -- best-hit phase B: the one-pass bitmask compaction ------------------
 
+    def _compact_span_rows(self) -> int:
+        if self._compact_seg is not None:
+            return self._compact_seg
+        return self.shard_rows if self.n_w > 1 else self.wp
+
     def _build_compact(self, b: int, t_cap: int):
         seq_len = self.seq_len
         chunk = self.chunk
         shard_rows = self.shard_rows
 
         if self.n_q == 1 and self.n_w == 1:
+            seg = self._compact_seg
+            if seg is None:
+                @jax.jit
+                def run_single(q_codes, db_oh, n_windows, thresh):
+                    q_oh = D.expand_onehot(q_codes, seq_len)
+                    rows, idx, rc, total = D.compact_scan(
+                        q_oh, db_oh, n_windows, thresh, jnp.int32(0),
+                        seq_len, chunk, t_cap,
+                    )
+                    return rows, idx, rc, total[None]
+
+                return run_single
+
+            # Huge db: ONE program per segment shape, swept over the db
+            # with a traced row offset. Keeps the [b, seg/32] mask —
+            # compile-time and runtime — independent of db size.
             @jax.jit
-            def run_single(q_codes, db_oh, n_windows, thresh):
+            def run_seg(q_codes, db_oh, n_windows, thresh, seg_off):
                 q_oh = D.expand_onehot(q_codes, seq_len)
+                block = jax.lax.dynamic_slice_in_dim(db_oh, seg_off, seg, 0)
+                n_valid = jnp.clip(n_windows - seg_off, 0, seg)
                 rows, idx, rc, total = D.compact_scan(
-                    q_oh, db_oh, n_windows, thresh, jnp.int32(0),
+                    q_oh, block, n_valid, thresh, seg_off,
                     seq_len, chunk, t_cap,
                 )
                 return rows, idx, rc, total[None]
 
-            return run_single
+            wp = self.wp
+
+            def run_swept(q_codes, db_oh, n_windows, thresh):
+                out_r, out_i, totals = [], [], []
+                rc_sum = None
+                for off in range(0, wp, seg):
+                    r, i, rc, t = run_seg(
+                        q_codes, db_oh, n_windows, thresh, jnp.int32(off)
+                    )
+                    r = np.asarray(r)
+                    keep = r >= 0
+                    out_r.append(r[keep])
+                    out_i.append(np.asarray(i)[keep])
+                    rc = np.asarray(rc)
+                    rc_sum = rc if rc_sum is None else rc_sum + rc
+                    totals.append(np.asarray(t))
+                return (np.concatenate(out_r), np.concatenate(out_i),
+                        rc_sum, np.concatenate(totals))
+
+            return run_swept
 
         n_w = self.n_w
 
