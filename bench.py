@@ -87,6 +87,13 @@ def main() -> None:
     else:  # CPU smoke sizing — keeps CI runs short
         n_windows, batch, chunk = 1 << 14, 512, 2048
         iters, warmup = 3, 1
+    if args.kernel == "compact":
+        # Compaction dispatches are row-sliced in production so the hit
+        # mask's rank cumsum stays exact (hitops.mask_row_cap); bench the
+        # shipped dispatch shape, not one the engine never runs.
+        from smafa_tpu.parallel.hitops import mask_row_cap
+
+        batch = min(batch, mask_row_cap(n_windows))
 
     rng = np.random.default_rng(42)
     db_codes = rng.integers(0, N_CHANNELS, size=(n_windows, seq_len), dtype=np.uint8)

@@ -282,11 +282,6 @@ def min2_scan(
 # once with exact sizing; callers with histogram counts never overflow.
 
 
-CUM_SAT = 2**30 - 1  # saturation ceiling for the hit-rank cumsum; must
-                     # exceed any t_cap (hitops.COMPACT_MAX = 1<<22) and
-                     # keep a+b < 2**31 during the scan combine
-
-
 def mask_words_per_chunk(chunk: int) -> int:
     return (chunk + 31) // 32
 
@@ -328,23 +323,18 @@ def extract_mask_hits(mask, index_offset, chunk, t_cap):
     row_counts/total are exact even when hits exceed t_cap.
     """
     b, w32 = mask.shape
-    # Word indices ride in int32; callers bound the per-dispatch mask
-    # (hitops row-slices large batches under MASK_WORDS_BUDGET).
-    assert b * w32 < 2**31, (b, w32)
+    # Exactness contract: the int32 rank cumsum must not overflow, so a
+    # dispatch may carry at most 2^30 POSSIBLE hit bits (jax x64 is
+    # disabled; a saturating associative_scan variant was tried and
+    # OOM-killed the TPU AOT compiler at production shapes — the native
+    # flat cumsum lowering is the only one that compiles fast). Callers
+    # enforce the bound by row-slicing (hitops._mask_row_cap).
+    assert b * w32 * 32 < 2**31, (b, w32)
     wpc = mask_words_per_chunk(chunk)
     flat = mask.reshape(-1)
     pc = jax.lax.population_count(flat).astype(jnp.int32)
     row_counts = jnp.sum(pc.reshape(b, w32), axis=1)
-    # Saturating cumulative sum: the true running total can exceed int32
-    # (b*wp possible hits; jax x64 is disabled), but every rank we search
-    # for is <= t_cap << CUM_SAT, so clamping keeps the array monotone
-    # and exact throughout the searched region. Saturating add of
-    # non-negatives is associative, hence scannable. The returned total
-    # saturates too — still correct for the <= t_cap validity test and
-    # the slot mask, both of which only compare against values < CUM_SAT.
-    cum = jax.lax.associative_scan(
-        lambda a, c: jnp.minimum(a + c, jnp.int32(CUM_SAT)), pc
-    )
+    cum = jnp.cumsum(pc)
     total = cum[-1]
     slots = jnp.arange(t_cap, dtype=jnp.int32)
     r = slots + 1

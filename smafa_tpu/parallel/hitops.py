@@ -49,6 +49,19 @@ COMPACT_MAX = 1 << 22
 MASK_WORDS_BUDGET = int(os.environ.get("SMAFA_TPU_MASK_WORDS", str(1 << 28)))
 
 
+def mask_row_cap(span_rows: int) -> int:
+    """Max rows per compaction dispatch over a ``span_rows``-row scan,
+    bounding two things: the program's [rows, span/32] mask memory
+    (MASK_WORDS_BUDGET) and the POSSIBLE hit bits per dispatch (< 2^30,
+    so the extraction's int32 rank cumsum is exact even if every bit is
+    set — see distance.extract_mask_hits). Floored to a power of two so
+    the bucketed sub-batch never exceeds it."""
+    w32 = max(1, span_rows // 32)
+    cap = min(MASK_WORDS_BUDGET // w32, (1 << 30) // (w32 * 32))
+    cap = max(16, cap)
+    return 1 << (cap.bit_length() - 1)
+
+
 class HitModesMixin:
     """Best-hit / K-mode host orchestration over layout primitives."""
 
@@ -271,10 +284,7 @@ class HitModesMixin:
         return self.wp
 
     def _mask_row_cap(self) -> int:
-        """Max rows per compaction dispatch so one program's hit mask
-        stays under MASK_WORDS_BUDGET uint32 words."""
-        w32 = max(1, self._compact_span_rows() // 32)
-        return max(64, MASK_WORDS_BUDGET // w32)
+        return mask_row_cap(self._compact_span_rows())
 
     def _compact_dispatch(self, q_padded: np.ndarray, row_ids: np.ndarray,
                           thresh_vals: np.ndarray, t_cap: int):

@@ -179,8 +179,15 @@ def main() -> None:
 
     cmp_b = B_b * W_b
     emit("min2@16384x1M", timeit(min2_b, q_b, db_oh_b), cmp_b)
-    thresh_b = np.full(B_b, 20, np.int32)
-    emit("compact@16384x1M", timeit(compact_b, q_b, db_oh_b, thresh_b), cmp_b)
+    # Compaction dispatches are row-sliced in production (the hit mask's
+    # int32 rank cumsum must stay exact even if every bit sets —
+    # hitops.mask_row_cap); bench the shipped dispatch shape.
+    from smafa_tpu.parallel.hitops import mask_row_cap
+
+    B_c = min(B_b, mask_row_cap(W_b))
+    thresh_c = np.full(B_c, 20, np.int32)
+    emit(f"compact@{B_c}x1M", timeit(compact_b, q_b[:B_c], db_oh_b, thresh_c),
+         B_c * W_b)
 
 
 if __name__ == "__main__":
