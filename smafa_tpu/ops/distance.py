@@ -286,6 +286,51 @@ def mask_words_per_chunk(chunk: int) -> int:
     return (chunk + 31) // 32
 
 
+CUM_SAT = 2**30 - 1  # clamp for the hit-rank cumsum; far above any
+                     # t_cap (hitops.COMPACT_MAX = 1<<22), so every rank
+                     # the extraction searches for sits in the exact region
+
+
+def _saturating_word_cumsum(pcw):
+    """Inclusive cumsum over flattened [b, w32] word popcounts, equal to
+    ``min(true_cumsum, CUM_SAT)`` elementwise — monotone everywhere and
+    exact wherever the true running total is below CUM_SAT — built from
+    native int32 cumsum lowerings only. (A saturating-combine
+    ``associative_scan`` computes the same thing but OOM-killed the TPU
+    AOT compiler at production shapes; a plain flat ``cumsum`` compiles
+    fast but overflows int32 once a dispatch can carry > 2^31 hit bits,
+    which forced tiny row slices.)
+
+    Exactness (pure int32; jax x64 is disabled). Let span = w32*32.
+    Within-row cumsums are exact: row totals <= span < 2^31. Row totals
+    split into hi:lo 16-bit halves whose separate cumsums are exact for
+    b <= 2^15 rows (lo-sum <= b*(2^16-1) < 2^31; hi-sum <= b*(span>>16)
+    <= 2^30). The true row offset ``(hi_sum<<16) + lo_sum`` is
+    reconstructed only where both halves keep the shift+add below 2^31
+    and clamped to CUM_SAT otherwise; both saturation predicates are
+    monotone in the row index, and a false predicate implies the true
+    offset already exceeds CUM_SAT, so offsets == min(true, CUM_SAT).
+    Adding the (clamped) within-row cumsum stays below 2^31 and the
+    final min preserves ``min(true, CUM_SAT)`` exactly.
+    """
+    b, w32 = pcw.shape
+    assert b <= 1 << 15 and w32 < 1 << 26, (b, w32)
+    row_counts = jnp.sum(pcw, axis=1)
+    wcum = jnp.cumsum(pcw, axis=1)
+    lo = row_counts & 0xFFFF
+    hi = row_counts >> 16
+    clo = jnp.cumsum(lo) - lo  # exclusive prefixes
+    chi = jnp.cumsum(hi) - hi
+    ok = (chi < (1 << 14)) & (clo < (1 << 30))
+    off = jnp.where(
+        ok, jnp.minimum((chi << 16) + clo, jnp.int32(CUM_SAT)), jnp.int32(CUM_SAT)
+    )
+    cum = jnp.minimum(
+        off[:, None] + jnp.minimum(wcum, jnp.int32(CUM_SAT)), jnp.int32(CUM_SAT)
+    )
+    return cum.reshape(-1), row_counts
+
+
 def mask_fold_chunk(mask, dist, lidx, n_windows, thresh, chunk_index):
     """Pack one chunk's hit bits (dist <= thresh[row]; thresh -1 disables
     a row) into the carried [B, n_chunks*wpc] uint32 mask at word column
@@ -320,21 +365,21 @@ def extract_mask_hits(mask, index_offset, chunk, t_cap):
     for the cumsum plus O(t_cap * 32) for the slots, independent of the
     number of db chunks (the round-1 formulation paid a t_cap-wide
     searchsorted PER CHUNK and measured ~12 scan-equivalents).
-    row_counts/total are exact even when hits exceed t_cap.
+    row_counts are exact even when hits exceed t_cap; total is exact
+    below CUM_SAT and clamps there (still a correct ">= t_cap" signal,
+    since t_cap << CUM_SAT).
     """
     b, w32 = mask.shape
-    # Exactness contract: the int32 rank cumsum must not overflow, so a
-    # dispatch may carry at most 2^30 POSSIBLE hit bits (jax x64 is
-    # disabled; a saturating associative_scan variant was tried and
-    # OOM-killed the TPU AOT compiler at production shapes — the native
-    # flat cumsum lowering is the only one that compiles fast). Callers
-    # enforce the bound by row-slicing (hitops._mask_row_cap).
-    assert b * w32 * 32 < 2**31, (b, w32)
     wpc = mask_words_per_chunk(chunk)
     flat = mask.reshape(-1)
     pc = jax.lax.population_count(flat).astype(jnp.int32)
-    row_counts = jnp.sum(pc.reshape(b, w32), axis=1)
-    cum = jnp.cumsum(pc)
+    # The rank cumsum saturates at CUM_SAT (a dispatch can carry more
+    # than 2^31 possible hit bits; see _saturating_word_cumsum for the
+    # exactness proof). Every searched rank is <= t_cap << CUM_SAT, so
+    # the searchsorted and the prior-count gather stay in the exact
+    # region; ``total`` saturates too, which callers only ever compare
+    # against t_cap-sized bounds.
+    cum, row_counts = _saturating_word_cumsum(pc.reshape(b, w32))
     total = cum[-1]
     slots = jnp.arange(t_cap, dtype=jnp.int32)
     r = slots + 1
