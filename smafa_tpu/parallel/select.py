@@ -20,10 +20,20 @@ Three layouts implement the same exact hit-mode contract
   is so long that a single device's MXU tile is contraction-bound
   (seq_len >= SMAFA_TPU_COL_SEQ_THRESHOLD, default 8192).
 
-``SMAFA_TPU_LAYOUT`` ∈ {auto, sharded, ring, col} overrides the choice
-(the forced values are exercised by the golden/fuzz suites). Multi-host
-runs always use ``sharded``: its process path assembles per-device db
-shards from a memmap so no host reads rows it does not own.
+A fourth layout handles dbs the resident three cannot:
+
+- ``stream`` — SlabStreamRunner (parallel/slab.py): the db never
+  resides on device; fixed-shape row slabs stream through HBM per
+  batch and fold into carried accumulators. Auto-selected when the
+  one-hot db would overflow the visible devices' HBM (the reference,
+  at 40 packed bytes/row in host RAM, handles such dbs on any big-RAM
+  box — reference lib.rs:54-60 — so the TPU build must too).
+
+``SMAFA_TPU_LAYOUT`` ∈ {auto, sharded, ring, col, stream} overrides the
+choice (the forced values are exercised by the golden/fuzz suites).
+Multi-host runs always use ``sharded``: its process path assembles
+per-device db shards from a memmap so no host reads rows it does not
+own.
 """
 
 from __future__ import annotations
@@ -39,22 +49,56 @@ logger = logging.getLogger("smafa")
 
 COL_SEQ_THRESHOLD = 8192
 
+# Auto-select the streaming layout when the one-hot db needs more than
+# this fraction of the visible devices' total HBM (programs need working
+# space next to the resident tensor).
+HBM_FRACTION = 0.75
+
+
+def _hbm_capacity() -> int | None:
+    """Total device memory across visible devices, or None when the
+    backend does not report it (CPU meshes). SMAFA_TPU_HBM_BYTES
+    overrides (also how tests force the out-of-core decision)."""
+    import jax
+
+    env = os.environ.get("SMAFA_TPU_HBM_BYTES")
+    if env:
+        return int(env)
+    total = 0
+    for d in jax.devices():
+        try:
+            stats = d.memory_stats()
+        except Exception:
+            return None
+        if not stats or "bytes_limit" not in stats:
+            return None
+        total += int(stats["bytes_limit"])
+    return total or None
+
 
 def choose_layout(n_windows: int, seq_len: int) -> str:
     import jax
 
     env = os.environ.get("SMAFA_TPU_LAYOUT", "auto").lower()
-    if env in ("sharded", "ring", "col"):
+    if env in ("sharded", "ring", "col", "stream"):
         return env
     if env not in ("", "auto"):
         raise ValueError(
-            f"SMAFA_TPU_LAYOUT={env!r}: expected auto, sharded, ring, or col"
+            f"SMAFA_TPU_LAYOUT={env!r}: expected auto, sharded, ring, col, "
+            "or stream"
         )
-    if jax.process_count() > 1 or len(jax.devices()) <= 1:
+    if jax.process_count() > 1:
         return "sharded"
     if D.packing_shift(seq_len, max(2, 2 * n_windows)) is None:
-        # ring/col require packed 31-bit keys; ScanRunner has the exact
-        # top-M fallback for this (pathological) regime.
+        # ring/col/stream require packed 31-bit keys; ScanRunner has the
+        # exact top-M fallback for this (pathological) regime.
+        return "sharded"
+    cap = _hbm_capacity()
+    if cap is not None:
+        need = D.padded_feature_dim(seq_len) * n_windows
+        if need > HBM_FRACTION * cap:
+            return "stream"
+    if len(jax.devices()) <= 1:
         return "sharded"
     threshold = int(os.environ.get("SMAFA_TPU_COL_SEQ_THRESHOLD",
                                    COL_SEQ_THRESHOLD))
@@ -76,6 +120,10 @@ def make_runner(codes: np.ndarray, seq_len: int):
         from smafa_tpu.parallel import seqpar
 
         return seqpar.ColumnShardedScanRunner(codes, seq_len)
+    if layout == "stream":
+        from smafa_tpu.parallel import slab
+
+        return slab.SlabStreamRunner(codes, seq_len)
     from smafa_tpu.parallel import sharded
 
     return sharded.ScanRunner(codes, seq_len)

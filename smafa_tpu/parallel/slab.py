@@ -1,0 +1,280 @@
+"""Out-of-core db layout: slab-streamed scans for dbs larger than HBM.
+
+The resident layouts (sharded/ring/col) hold the one-hot db tensor in
+device memory — at 60 bp that is 384 bytes/row, so a single v5e chip
+tops out around ~35M rows and even an 8-chip slice around ~280M. The
+reference, whose db is 40 bytes/row of packed u64 in host RAM
+(reference lib.rs:54-60), handles such dbs on any machine with enough
+RAM; this layout restores that capability TPU-natively:
+
+- the channel codes stay host-side (usually the native format's memmap,
+  io/native_format.py — nothing is ever fully materialized in RAM
+  either);
+- per batch, fixed-shape row slabs stream through the device: a uint8
+  code slab is uploaded (seq_len bytes/row — 6.4x less PCIe traffic
+  than one-hot), expanded to one-hot on device, scanned, and folded
+  into a small carried accumulator (packed min keys / histogram /
+  stats counts), exactly the pmin/psum merges the sharded layout does
+  over ICI (parallel/sharded.py) applied over time instead of space;
+- dispatch is async, so slab k+1's upload overlaps slab k's scan; a
+  periodic barrier bounds the number of in-flight slab buffers (the
+  whole point is a bounded device working set).
+
+Arithmetic intensity makes this fast: one uploaded db byte feeds
+2*batch int-ops of scan work (~32k ops/byte at the default 16384-query
+batch), so H2D bandwidth is nowhere near the bottleneck until batches
+get small. The layout is selected automatically when the one-hot db
+would not fit in the visible devices' HBM (parallel/select.py), or
+forced with SMAFA_TPU_LAYOUT=stream.
+
+Single-device by design (the out-of-core regime is "db exceeds ALL
+resident memory"; devices beyond the first add nothing once every slab
+must cross PCIe anyway — multi-host row partitioning via --coordinator
+is the way to put more chips on one query stream).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smafa_tpu.ops import distance as D
+from smafa_tpu.parallel.hitops import HitModesMixin
+
+BIG_KEY = 2**31 - 1
+
+# One-hot bytes a single resident slab expands to on device (the uint8
+# upload is seq_len/padded_feature_dim of this). 512 MB default: big
+# enough that the scan over a slab dwarfs its dispatch latency, small
+# enough that a few in-flight slabs plus the transient one-hot stay far
+# under any chip's HBM.
+SLAB_BYTES = 1 << 29
+
+# Dispatch at most this many slab programs ahead of execution before
+# draining: bounds in-flight uint8 slab buffers (device memory) and
+# keeps the upload pipeline ahead of the MXU by a couple of slabs.
+_INFLIGHT = 4
+
+
+def _slab_bytes() -> int:
+    return int(os.environ.get("SMAFA_TPU_SLAB_BYTES", str(SLAB_BYTES)))
+
+
+@partial(jax.jit, static_argnames=("seq_len", "shift", "chunk", "span"))
+def _min2_step(q_codes, slab_codes, n_valid, off, lo, hi,
+               seq_len, shift, chunk, span):
+    q_oh = D.expand_onehot(q_codes, seq_len)
+    slab_oh = D.expand_onehot(slab_codes, seq_len)
+    l2, h2 = D.min2_scan(q_oh, slab_oh, n_valid, off, seq_len, shift, chunk, span)
+    return jnp.minimum(lo, l2), jnp.minimum(hi, h2)
+
+
+@partial(jax.jit, static_argnames=("seq_len", "chunk"))
+def _hist_step(q_codes, slab_codes, n_valid, h, seq_len, chunk):
+    q_oh = D.expand_onehot(q_codes, seq_len)
+    slab_oh = D.expand_onehot(slab_codes, seq_len)
+    return h + D.hist_scan(q_oh, slab_oh, n_valid, seq_len, chunk)
+
+
+@partial(jax.jit, static_argnames=("seq_len", "chunk"))
+def _stats_step(q_codes, slab_codes, n_valid, t, cnt, mx, seq_len, chunk):
+    q_oh = D.expand_onehot(q_codes, seq_len)
+    slab_oh = D.expand_onehot(slab_codes, seq_len)
+    c2, m2 = D._stats_pass(q_oh, slab_oh, n_valid, t, seq_len, chunk)
+    return cnt + c2, jnp.maximum(mx, m2)
+
+
+@partial(jax.jit, static_argnames=("seq_len", "chunk", "t_cap"))
+def _compact_step(q_codes, slab_codes, n_valid, off, thresh,
+                  seq_len, chunk, t_cap):
+    q_oh = D.expand_onehot(q_codes, seq_len)
+    slab_oh = D.expand_onehot(slab_codes, seq_len)
+    rows, idx, rc, total = D.compact_scan(
+        q_oh, slab_oh, n_valid, thresh, off, seq_len, chunk, t_cap
+    )
+    return rows, idx, rc, total[None]
+
+
+class SlabStreamRunner(HitModesMixin):
+    """Every hit mode of the resident layouts (min2 / best-hit / K-mode,
+    identical results), over a db that never resides on device."""
+
+    def __init__(self, codes: np.ndarray, seq_len: int,
+                 slab_rows: int | None = None, chunk: int | None = None):
+        from smafa_tpu.utils.platform import enable_compilation_cache
+
+        enable_compilation_cache()
+        self.seq_len = max(1, seq_len)
+        self.n_windows = int(codes.shape[0])
+        self._codes_host = codes
+        lp = D.padded_feature_dim(self.seq_len)
+        self.chunk = chunk or min(2048, D.bucket(max(1, self.n_windows), 128))
+        if slab_rows is None:
+            slab_rows = max(self.chunk,
+                            _slab_bytes() // lp // self.chunk * self.chunk)
+        if slab_rows % self.chunk:
+            raise ValueError(f"slab_rows {slab_rows} not a multiple of "
+                             f"chunk {self.chunk}")
+        self.slab_rows = slab_rows
+        self.n_slabs = max(1, -(-self.n_windows // slab_rows))
+        self.wp = self.n_slabs * slab_rows
+        self.shift = D.packing_shift(self.seq_len, max(self.wp, 2))
+        if self.shift is None:
+            raise ValueError(
+                f"Slab streaming requires (seq_len={seq_len}, rows={self.wp}) "
+                "to fit packed 31-bit keys; use parallel.sharded.ScanRunner "
+                "(exact top-M fallback) instead"
+            )
+        self.db_oh = None  # never resident; programs ignore the arg
+        self.n_windows_dev = jnp.int32(self.n_windows)
+
+    # -- slab plumbing -------------------------------------------------------
+
+    def _slab_codes(self, s: int) -> np.ndarray:
+        lo = s * self.slab_rows
+        hi = min(lo + self.slab_rows, self.n_windows)
+        block = np.asarray(self._codes_host[lo:hi])
+        if hi - lo < self.slab_rows:
+            block = np.pad(block, [(0, self.slab_rows - (hi - lo)), (0, 0)])
+        return block
+
+    def _sweep(self, fold):
+        """fold(slab_dev, n_valid, off_rows) -> barrier value; dispatches
+        every slab async with a periodic drain so at most ~_INFLIGHT slab
+        uploads are ever alive on device."""
+        last = None
+        for s in range(self.n_slabs):
+            buf = jax.device_put(self._slab_codes(s))
+            off = s * self.slab_rows
+            n_valid = min(self.slab_rows, max(0, self.n_windows - off))
+            last = fold(buf, jnp.int32(n_valid), off)
+            if (s + 1) % _INFLIGHT == 0:
+                jax.block_until_ready(last)
+        return last
+
+    # -- HitModesMixin primitives --------------------------------------------
+
+    def _pad(self, q_codes: np.ndarray):
+        q_padded, nq, _b = D.pad_batch(q_codes, minimum=16)
+        return q_padded, nq
+
+    def _key_shift(self):
+        return self.shift
+
+    def _compact_span_rows(self) -> int:
+        return self.slab_rows
+
+    def _build_program(self, kind: str, b: int, shift: int | None = None,
+                       t_cap: int | None = None):
+        seq_len, chunk, span = self.seq_len, self.chunk, self.wp
+
+        if kind == "min2":
+            def run(q_codes, _db, _n):
+                q_dev = jax.device_put(np.ascontiguousarray(q_codes))
+                lo = jnp.full((b,), BIG_KEY, jnp.int32)
+                hi = jnp.full((b,), BIG_KEY, jnp.int32)
+                carry = [lo, hi]
+
+                def fold(buf, n_valid, off):
+                    carry[0], carry[1] = _min2_step(
+                        q_dev, buf, n_valid, jnp.int32(off), carry[0],
+                        carry[1], seq_len, shift, chunk, span,
+                    )
+                    return carry
+                self._sweep(fold)
+                return carry[0], carry[1]
+            return run
+
+        if kind == "hist":
+            def run(q_codes, _db, _n):
+                q_dev = jax.device_put(np.ascontiguousarray(q_codes))
+                h = [jnp.zeros((b, seq_len + 1), jnp.int32)]
+
+                def fold(buf, n_valid, off):
+                    h[0] = _hist_step(q_dev, buf, n_valid, h[0], seq_len, chunk)
+                    return h
+                self._sweep(fold)
+                return h[0]
+            return run
+
+        if kind == "kstats":
+            return self._build_kstats(b)
+
+        if kind == "compact":
+            def run(q_codes, _db, _n, thresh):
+                q_dev = jax.device_put(np.ascontiguousarray(q_codes))
+                th_dev = jax.device_put(np.ascontiguousarray(thresh))
+                out_r, out_i, totals = [], [], []
+                rc_sum = np.zeros(b, np.int64)
+
+                def fold(buf, n_valid, off):
+                    r, i, rc, t = _compact_step(
+                        q_dev, buf, n_valid, jnp.int32(off), th_dev,
+                        seq_len, chunk, t_cap,
+                    )
+                    # Per-slab host fetch is the natural drain: no extra
+                    # throttling needed, and hits concatenate in slab
+                    # (= ascending window) order.
+                    r = np.asarray(r)
+                    keep = r >= 0
+                    out_r.append(r[keep])
+                    out_i.append(np.asarray(i)[keep])
+                    rc_sum[:] += np.asarray(rc)
+                    totals.append(np.asarray(t))
+                    return None
+                self._sweep(fold)
+                return (np.concatenate(out_r), np.concatenate(out_i),
+                        rc_sum, np.concatenate(totals))
+            return run
+
+        raise KeyError(kind)
+
+    def _scan_stats(self, q_dev, b, t_vec):
+        """(count of dist <= t[row], max dist) per row over ALL slabs."""
+        cnt = jnp.zeros((b,), jnp.int32)
+        mx = jnp.full((b,), -1, jnp.int32)
+        t_dev = jax.device_put(np.ascontiguousarray(t_vec, dtype=np.int32))
+        carry = [cnt, mx]
+
+        def fold(buf, n_valid, off):
+            carry[0], carry[1] = _stats_step(
+                q_dev, buf, n_valid, t_dev, carry[0], carry[1],
+                self.seq_len, self.chunk,
+            )
+            return carry
+        self._sweep(fold)
+        return np.asarray(carry[0]), np.asarray(carry[1])
+
+    def _build_kstats(self, b: int):
+        """Host-level mirror of ops.distance.kmode_phase1 (same binary
+        search, same K > n_windows and maxdiv rules — that docstring is
+        the semantics contract), with each count pass a full slab sweep.
+        Only reached for seq_len >= HIST_MAX windows, where the histogram
+        table would be wider than it is worth."""
+        import math
+
+        seq_len, n_windows = self.seq_len, self.n_windows
+
+        def run(q_codes, _db, _n, k, maxdiv):
+            k = int(k)
+            maxdiv = int(maxdiv)
+            q_dev = jax.device_put(np.ascontiguousarray(q_codes))
+            steps = max(1, math.ceil(math.log2(seq_len + 2)))
+            _, maxd = self._scan_stats(q_dev, b, np.full(b, seq_len))
+            t_lo = np.zeros(b, np.int32)
+            t_hi = np.full(b, seq_len, np.int32)
+            for _ in range(steps):
+                mid = (t_lo + t_hi) // 2
+                cnt, _ = self._scan_stats(q_dev, b, mid)
+                ge = cnt >= k
+                t_lo = np.where(ge, t_lo, mid + 1)
+                t_hi = np.where(ge, mid, t_hi)
+            cutoff = maxd if k > n_windows else t_hi
+            eff = np.minimum(cutoff, maxdiv).astype(np.int32)
+            hits, _ = self._scan_stats(q_dev, b, eff)
+            return eff, hits
+        return run

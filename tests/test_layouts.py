@@ -61,7 +61,7 @@ def test_layouts_byte_identical(tmp_path, monkeypatch, mode):
 
     ref = _run_query(dbf, qf, "sharded", monkeypatch, **mode)
     assert ref.count("\n") > 0
-    for layout in ("ring", "col"):
+    for layout in ("ring", "col", "stream"):
         got = _run_query(dbf, qf, layout, monkeypatch, **mode)
         assert got == ref, f"layout {layout} diverged"
 
@@ -82,13 +82,14 @@ def test_tie_heavy_best_hit(tmp_path, monkeypatch):
 
     outs = {
         layout: _run_query(dbf, qf, layout, monkeypatch)
-        for layout in ("sharded", "ring", "col")
+        for layout in ("sharded", "ring", "col", "stream")
     }
     ref = outs["sharded"]
     # ~100 ties per pool query -> thousands of lines
     assert ref.count("\n") >= 3 * 90
     assert outs["ring"] == ref
     assert outs["col"] == ref
+    assert outs["stream"] == ref
 
     # literal oracle on one query: every line's subject decodes at min dist
     first_q_lines = [l for l in ref.splitlines() if l.startswith("0\t")]
@@ -137,7 +138,7 @@ def test_monster_row_host_enumeration(tmp_path, monkeypatch, mode):
     assert calls, "host enumeration path was not exercised"
 
 
-@pytest.mark.parametrize("layout", ["sharded", "ring", "col"])
+@pytest.mark.parametrize("layout", ["sharded", "ring", "col", "stream"])
 @pytest.mark.parametrize("mode", [
     {},                                        # best-hit (tie-heavy)
     {"max_num_hits": 40},                      # K-mode
@@ -205,3 +206,73 @@ def test_segmented_compaction(monkeypatch, mode):
         assert np.array_equal(x, y)
     if mode == "best":
         assert int(a[1].sum()) >= 100  # ties really enumerated
+
+
+def test_stream_multi_slab_parity():
+    # The out-of-core layout (parallel/slab.py) folds per-slab scans into
+    # carried accumulators; with several slabs the merges (packed-key
+    # min, histogram sum, compaction concat) must reproduce the resident
+    # runner exactly — best-hit with heavy ties, K-mode with cutoff
+    # ties, and the min2 cluster primitive.
+    from smafa_tpu.parallel import sharded, slab
+
+    rng = np.random.default_rng(23)
+    L = 10
+    pool = rng.integers(0, 5, size=(4, L)).astype(np.uint8)
+    codes = pool[rng.integers(0, 4, 300)]
+    q = np.concatenate([pool, rng.integers(0, 5, size=(12, L)).astype(np.uint8)])
+
+    ref = sharded.ScanRunner(codes, L, mesh=sharded.build_mesh(1, 1), chunk=16)
+    st = slab.SlabStreamRunner(codes, L, slab_rows=48, chunk=16)
+    assert st.n_slabs >= 6 and st.db_oh is None
+
+    for a, b in zip(ref.best_hit(q), st.best_hit(q)):
+        assert np.array_equal(a, b)
+    for a, b in zip(ref.best_hit(q, max_divergence=3),
+                    st.best_hit(q, max_divergence=3)):
+        assert np.array_equal(a, b)
+    for a, b in zip(ref.kmode_flat(q, 25, 4), st.kmode_flat(q, 25, 4)):
+        assert np.array_equal(a, b)
+    for a, b in zip(ref.kmode_flat(q, 1000, None), st.kmode_flat(q, 1000, None)):
+        assert np.array_equal(a, b)  # K > n_windows rule
+    for a, b in zip(ref.min2(q), st.min2(q)):
+        assert np.array_equal(a, b)
+
+
+def test_stream_kstats_long_window_parity(monkeypatch):
+    # For seq_len >= HIST_MAX the stream layout's K-mode phase A is a
+    # host-driven binary search mirroring ops.distance.kmode_phase1;
+    # force it on short windows and compare against the (unpatched)
+    # histogram result.
+    from smafa_tpu.ops import distance as D
+    from smafa_tpu.parallel import slab
+
+    rng = np.random.default_rng(29)
+    L = 9
+    pool = rng.integers(0, 5, size=(3, L)).astype(np.uint8)
+    codes = pool[rng.integers(0, 3, 150)]
+    q = np.concatenate([pool, rng.integers(0, 5, size=(5, L)).astype(np.uint8)])
+
+    st = slab.SlabStreamRunner(codes, L, slab_rows=64, chunk=32)
+    ref_out = st.kmode_flat(q, 13, 5)            # histogram phase A
+    ref_unbounded = st.kmode_flat(q, 4, None)
+    monkeypatch.setattr(D, "HIST_MAX", 1)        # force the kstats path
+    for a, b in zip(ref_out, st.kmode_flat(q, 13, 5)):
+        assert np.array_equal(a, b)
+    for a, b in zip(ref_unbounded, st.kmode_flat(q, 4, None)):
+        assert np.array_equal(a, b)
+
+
+def test_stream_auto_selection(monkeypatch):
+    # choose_layout picks the out-of-core layout exactly when the one-hot
+    # db would overflow the reported device memory.
+    from smafa_tpu.parallel import select
+
+    monkeypatch.delenv("SMAFA_TPU_LAYOUT", raising=False)
+    monkeypatch.setenv("SMAFA_TPU_HBM_BYTES", str(1 << 20))
+    assert select.choose_layout(100_000, 60) == "stream"
+    monkeypatch.setenv("SMAFA_TPU_HBM_BYTES", str(1 << 45))
+    assert select.choose_layout(100_000, 60) == "sharded"
+    # pathological key-packing regime keeps the exact top-M fallback
+    monkeypatch.setenv("SMAFA_TPU_HBM_BYTES", str(1 << 20))
+    assert select.choose_layout(2**30, 2**20) == "sharded"

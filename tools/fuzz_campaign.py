@@ -30,15 +30,31 @@ from smafa_tpu.parallel import hitops
 
 _orig_row_cap = hitops.HitModesMixin._mask_row_cap
 
+import smafa_tpu.parallel.slab as slab_mod
+
+_orig_slab_init = slab_mod.SlabStreamRunner.__init__
+
 START = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
 COUNT = int(sys.argv[2]) if len(sys.argv) > 2 else 300
 
 fails = 0
 for n in range(START, START + COUNT):
     rng = np.random.default_rng(n)
-    layout = ["auto", "sharded", "ring", "col"][n % 4]
+    layout = ["auto", "sharded", "ring", "col", "stream"][n % 5]
     os.environ["SMAFA_TPU_LAYOUT"] = layout
     os.environ["SMAFA_TPU_FORCE_SHARD"] = "1" if (n // 4) % 2 else ""
+    if layout == "stream":
+        # Toy dbs fit one slab at production sizing; force small random
+        # slab shapes so the per-slab fold merges get fuzzed too.
+        ch = 16
+        sr = ch * int(rng.integers(1, 6))
+        slab_mod.SlabStreamRunner.__init__ = (
+            lambda self, codes, seq_len, slab_rows=None, chunk=None,
+            _sr=sr, _ch=ch:
+                _orig_slab_init(self, codes, seq_len, slab_rows=_sr, chunk=_ch)
+        )
+    else:
+        slab_mod.SlabStreamRunner.__init__ = _orig_slab_init
     # Every third config forces tiny compaction row slices so the
     # mask-budget path (built for 10M-row dbs) sees toy-scale fuzzing.
     if n % 3 == 0:
