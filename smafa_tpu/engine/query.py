@@ -85,10 +85,18 @@ class _DbOnDevice:
         return s
 
 
-def _auto_batch(n_windows: int) -> int:
+def _auto_batch(db: "_DbOnDevice") -> int:
     """Bigger query batches for bigger dbs: per-batch device compute then
     dominates dispatch latency, and the scan kernel's throughput rises
-    with B (HBM reads of the db amortize over more queries)."""
+    with B (HBM reads of the db amortize over more queries). The
+    out-of-core layout goes biggest — there the whole db crosses PCIe
+    once per batch, and every doubling of B halves that traffic per
+    query."""
+    from smafa_tpu.parallel.slab import SlabStreamRunner
+
+    if isinstance(db.runner, SlabStreamRunner):
+        return 16384
+    n_windows = db.n_windows
     if n_windows >= 1 << 19:
         return 8192
     if n_windows >= 1 << 16:
@@ -124,7 +132,7 @@ def query(
     windows = load_db(db_path)
     db = _DbOnDevice(windows)
     if batch_size is None:
-        batch_size = _auto_batch(db.n_windows)
+        batch_size = _auto_batch(db)
 
     # 1 is a special case, equivalent to None (reference lib.rs:224).
     k_mode = max_num_hits if (max_num_hits is not None and max_num_hits != 1) else None
