@@ -32,7 +32,9 @@ sort-merge (ops.distance.topm_scan) remains only as the exactness
 fallback when packed 31-bit keys overflow. When more than one device is
 visible the scans shard over the selected layout (row-sharded mesh,
 ppermute ring, or column-sharded — parallel.sharded/ring/seqpar, chosen
-by db size / window length / SMAFA_TPU_LAYOUT).
+by db size / window length / SMAFA_TPU_LAYOUT); dbs whose one-hot
+exceeds HBM stream through the device as host-resident slabs
+(parallel.slab).
 """
 
 from __future__ import annotations

@@ -99,11 +99,12 @@ def test_tie_heavy_best_hit(tmp_path, monkeypatch):
     assert subjects == sorted(subjects)
 
 
+@pytest.mark.parametrize("layout", ["sharded", "stream"])
 @pytest.mark.parametrize("mode", [
     {},                                        # best-hit, every row tied
     {"max_num_hits": 200},                     # K-mode, cutoff spans db
 ])
-def test_monster_row_host_enumeration(tmp_path, monkeypatch, mode):
+def test_monster_row_host_enumeration(tmp_path, monkeypatch, mode, layout):
     # A row whose exact hit count exceeds COMPACT_MAX must never reach a
     # device compaction dispatch (an uncapped t_cap would allocate
     # buffers past the module's own bound); it is enumerated host-side.
@@ -122,7 +123,7 @@ def test_monster_row_host_enumeration(tmp_path, monkeypatch, mode):
     _write_fasta(qf, q_seqs)
     makedb(subj, dbf)
 
-    ref = _run_query(dbf, qf, "sharded", monkeypatch, **mode)
+    ref = _run_query(dbf, qf, layout, monkeypatch, **mode)
     assert ref.count("\n") >= 100
     monkeypatch.setattr(hitops, "COMPACT_MAX", 16)
     calls = []
@@ -133,7 +134,7 @@ def test_monster_row_host_enumeration(tmp_path, monkeypatch, mode):
         return orig(self, q_row, thresh)
 
     monkeypatch.setattr(hitops.HitModesMixin, "_host_enumerate_row", spy)
-    got = _run_query(dbf, qf, "sharded", monkeypatch, **mode)
+    got = _run_query(dbf, qf, layout, monkeypatch, **mode)
     assert got == ref
     assert calls, "host enumeration path was not exercised"
 

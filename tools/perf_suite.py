@@ -179,15 +179,46 @@ def main() -> None:
 
     cmp_b = B_b * W_b
     emit("min2@16384x1M", timeit(min2_b, q_b, db_oh_b), cmp_b)
-    # Compaction dispatches are row-sliced in production (the hit mask's
-    # int32 rank cumsum must stay exact even if every bit sets —
-    # hitops.mask_row_cap); bench the shipped dispatch shape.
+    # Compaction dispatches are row-sliced in production so one program's
+    # hit mask stays under the mask-memory budget (hitops.mask_row_cap;
+    # the saturating rank cumsum keeps extraction exact at any density).
+    # Bench the shipped dispatch shape.
     from smafa_tpu.parallel.hitops import mask_row_cap
 
     B_c = min(B_b, mask_row_cap(W_b))
     thresh_c = np.full(B_c, 20, np.int32)
     emit(f"compact@{B_c}x1M", timeit(compact_b, q_b[:B_c], db_oh_b, thresh_c),
          B_c * W_b)
+
+    # ---- out-of-core streaming tax: resident vs slab-streamed min2 ----
+    # Same db scanned by the resident single-device runner and by the
+    # stream layout (several 512 MB slabs re-uploaded every batch); the
+    # gap is the whole cost of going out-of-core at production batch.
+    del db_oh_b
+    from smafa_tpu.parallel import slab
+
+    W_s = 1 << 22  # 4M rows = 1.5 GB one-hot: still fits, so A/B is fair
+    db_s = rng.integers(0, N_CHANNELS, size=(W_s, seq_len), dtype=np.uint8)
+    cmp_s = B_b * W_s
+
+    def bench_runner(r):
+        for _ in range(2):
+            r.min2(q_b)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r.min2(q_b)  # min2_result fetches to host = real barrier
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    res_runner = sharded.ScanRunner(db_s, seq_len,
+                                    mesh=sharded.build_mesh(1, 1),
+                                    chunk=chunk_b)
+    emit("min2_resident@16384x4M", bench_runner(res_runner), cmp_s)
+    del res_runner
+    st_runner = slab.SlabStreamRunner(db_s, seq_len)
+    emit("min2_stream@16384x4M", bench_runner(st_runner), cmp_s,
+         n_slabs=st_runner.n_slabs)
 
 
 if __name__ == "__main__":

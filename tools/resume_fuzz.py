@@ -37,7 +37,10 @@ import numpy as np
 from smafa_tpu.engine.cluster import cluster
 from smafa_tpu.engine.query import query
 from smafa_tpu.engine.makedb import makedb
+from smafa_tpu.parallel import slab as slab_mod
 from smafa_tpu.utils.testing import CrashError, CrashyFile
+
+_orig_slab_init = slab_mod.SlabStreamRunner.__init__
 
 
 def write_fasta(path, seqs):
@@ -79,6 +82,20 @@ for n in range(START, START + COUNT):
     L = int(rng.integers(6, 50))
     bs = int(rng.integers(3, 40))
     kind = n % 2
+    # Crash-anywhere resume must hold under every db layout, including
+    # multi-slab out-of-core streaming.
+    layout = ["auto", "sharded", "ring", "col", "stream"][n % 5]
+    os.environ["SMAFA_TPU_LAYOUT"] = layout
+    if layout == "stream":
+        ch = 16
+        sr = ch * int(rng.integers(1, 5))
+        slab_mod.SlabStreamRunner.__init__ = (
+            lambda self, codes, seq_len, slab_rows=None, chunk=None,
+            _sr=sr, _ch=ch:
+                _orig_slab_init(self, codes, seq_len, slab_rows=_sr, chunk=_ch)
+        )
+    else:
+        slab_mod.SlabStreamRunner.__init__ = _orig_slab_init
     try:
         with tempfile.TemporaryDirectory() as td:
             tdp = pathlib.Path(td)
