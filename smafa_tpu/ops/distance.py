@@ -291,44 +291,51 @@ CUM_SAT = 2**30 - 1  # clamp for the hit-rank cumsum; far above any
                      # the extraction searches for sits in the exact region
 
 
+_CUM_SEG = 1 << 25  # words per flat cumsum segment (see proof below)
+
+
 def _saturating_word_cumsum(pcw):
     """Inclusive cumsum over flattened [b, w32] word popcounts, equal to
     ``min(true_cumsum, CUM_SAT)`` elementwise — monotone everywhere and
-    exact wherever the true running total is below CUM_SAT — built from
-    native int32 cumsum lowerings only. (A saturating-combine
+    exact wherever the true running total is below CUM_SAT. Built ONLY
+    from the flat 1-D ``cumsum`` lowering, the one scan shape measured
+    to compile fast on this toolchain (a saturating-combine
     ``associative_scan`` computes the same thing but OOM-killed the TPU
-    AOT compiler at production shapes; a plain flat ``cumsum`` compiles
-    fast but overflows int32 once a dispatch can carry > 2^31 hit bits,
-    which forced tiny row slices.)
+    AOT compiler at production shapes, and an unguarded flat ``cumsum``
+    overflows int32 once a dispatch can carry > 2^31 hit bits, which
+    forced tiny row slices).
 
-    Exactness (pure int32; jax x64 is disabled). Let span = w32*32.
-    Within-row cumsums are exact: row totals <= span < 2^31. Row totals
-    split into hi:lo 16-bit halves whose separate cumsums are exact for
-    b <= 2^15 rows (lo-sum <= b*(2^16-1) < 2^31; hi-sum <= b*(span>>16)
-    <= 2^30). The true row offset ``(hi_sum<<16) + lo_sum`` is
-    reconstructed only where both halves keep the shift+add below 2^31
-    and clamped to CUM_SAT otherwise; both saturation predicates are
-    monotone in the row index, and a false predicate implies the true
-    offset already exceeds CUM_SAT, so offsets == min(true, CUM_SAT).
-    Adding the (clamped) within-row cumsum stays below 2^31 and the
-    final min preserves ``min(true, CUM_SAT)`` exactly.
+    Construction: the flat word array is cut into 2^25-word segments and
+    ``lax.scan`` threads a saturating carry through per-segment flat
+    cumsums (a handful of sequential steps at the mask-budget maximum).
+
+    Exactness (pure int32; jax x64 is disabled): each word's popcount is
+    <= 32, so a segment's internal cumsum is <= 32 * 2^25 = 2^30 — exact.
+    By induction the carry equals ``min(true_prefix, CUM_SAT)``: adding
+    a clamped segment cumsum (<= 2^30) to a carry (<= CUM_SAT < 2^30)
+    stays below 2^31, the outer min restores the clamp, and once the
+    carry saturates every later true prefix exceeds CUM_SAT too.
+    ``row_counts`` is exact: a row's bits fit its span, which is int32
+    by construction.
     """
     b, w32 = pcw.shape
-    assert b <= 1 << 15 and w32 < 1 << 26, (b, w32)
+    assert b * w32 < 2**31 and w32 * 32 < 2**31, (b, w32)
     row_counts = jnp.sum(pcw, axis=1)
-    wcum = jnp.cumsum(pcw, axis=1)
-    lo = row_counts & 0xFFFF
-    hi = row_counts >> 16
-    clo = jnp.cumsum(lo) - lo  # exclusive prefixes
-    chi = jnp.cumsum(hi) - hi
-    ok = (chi < (1 << 14)) & (clo < (1 << 30))
-    off = jnp.where(
-        ok, jnp.minimum((chi << 16) + clo, jnp.int32(CUM_SAT)), jnp.int32(CUM_SAT)
-    )
-    cum = jnp.minimum(
-        off[:, None] + jnp.minimum(wcum, jnp.int32(CUM_SAT)), jnp.int32(CUM_SAT)
-    )
-    return cum.reshape(-1), row_counts
+    flat = pcw.reshape(-1)
+    n = flat.shape[0]
+    seg = min(_CUM_SEG, n)
+    pad = (-n) % seg
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+
+    def step(carry, x):
+        c = jnp.cumsum(x)
+        out = jnp.minimum(carry + jnp.minimum(c, jnp.int32(CUM_SAT)),
+                          jnp.int32(CUM_SAT))
+        return out[-1], out
+
+    _, outs = jax.lax.scan(step, jnp.int32(0), flat.reshape(-1, seg))
+    return outs.reshape(-1)[:n], row_counts
 
 
 def mask_fold_chunk(mask, dist, lidx, n_windows, thresh, chunk_index):

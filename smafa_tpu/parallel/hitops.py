@@ -50,13 +50,13 @@ MASK_WORDS_BUDGET = int(os.environ.get("SMAFA_TPU_MASK_WORDS", str(1 << 28)))
 
 
 def mask_row_cap(span_rows: int) -> int:
-    """Max rows per compaction dispatch over a ``span_rows``-row scan,
-    bounding two things: the program's [rows, span/32] mask memory
-    (MASK_WORDS_BUDGET) and the row count (2^15) under which the
-    extraction's saturating rank cumsum is provably exact below its
-    clamp for ANY hit density — see distance._saturating_word_cumsum.
-    Floored to a power of two so the bucketed sub-batch never exceeds
-    it."""
+    """Max rows per compaction dispatch over a ``span_rows``-row scan:
+    keeps the program's [rows, span/32] mask under MASK_WORDS_BUDGET
+    (the extraction's saturating rank cumsum is exact at ANY hit
+    density, so memory is the only constraint — see
+    distance._saturating_word_cumsum). Capped at 2^15 rows (larger
+    batches gain nothing per dispatch) and floored to a power of two so
+    the bucketed sub-batch never exceeds it."""
     w32 = max(1, span_rows // 32)
     cap = max(16, min(MASK_WORDS_BUDGET // w32, 1 << 15))
     return 1 << (cap.bit_length() - 1)

@@ -25,18 +25,39 @@ def _oracle(pcw: np.ndarray):
 
 @pytest.mark.parametrize("b,w32,hi", [
     (1, 1, 31),          # degenerate single word
-    (7, 33, 2**18),      # crosses CUM_SAT mid-matrix (7*33*2^17 avg ≈ 2^31.8)
-    (64, 128, 2**17),    # saturates after ~128 rows' worth of words
+    (7, 33, 2**18),      # large synthetic counts, total below the clamp
+    (64, 128, 400_000),  # expected total ~1.6e9: tail crosses CUM_SAT
     (16, 50, 32),        # realistic popcount range, no saturation
-    (1 << 12, 8, 2**18), # many rows, hi:lo row-offset split does the work
+    (1 << 12, 8, 90_000),  # many rows; total ~1.4e9 saturates mid-matrix
 ])
 def test_saturating_cumsum_matches_int64_oracle(b, w32, hi):
+    # Synthetic per-word counts stand in for popcounts; they respect the
+    # construction's only requirement (any one segment's internal cumsum
+    # stays inside int32 — guaranteed for real masks by popcount <= 32).
     rng = np.random.default_rng(b * 1000003 + w32)
     pcw = rng.integers(0, hi + 1, size=(b, w32)).astype(np.int32)
+    assert pcw.sum(dtype=np.int64) < 2**31
     got_cum, got_rc = D._saturating_word_cumsum(jnp.asarray(pcw))
     exp_cum, exp_rc = _oracle(pcw)
     np.testing.assert_array_equal(np.asarray(got_cum), exp_cum)
     np.testing.assert_array_equal(np.asarray(got_rc), exp_rc)
+
+
+def test_saturating_cumsum_multi_segment_carries(monkeypatch):
+    # Shrink the segment length so a small matrix exercises many
+    # sequential carry steps, including carries already at the clamp.
+    monkeypatch.setattr(D, "_CUM_SEG", 16)
+    rng = np.random.default_rng(99)
+    pcw = rng.integers(0, 1 << 26, size=(24, 40)).astype(np.int32)
+    got_cum, got_rc = D._saturating_word_cumsum(jnp.asarray(pcw))
+    exp_cum, exp_rc = _oracle(pcw)
+    np.testing.assert_array_equal(np.asarray(got_cum), exp_cum)
+    np.testing.assert_array_equal(np.asarray(got_rc), exp_rc)
+    assert exp_cum[-1] == D.CUM_SAT  # really crossed the clamp
+    # realistic popcounts over many tiny segments, no saturation
+    pcw = rng.integers(0, 33, size=(9, 37)).astype(np.int32)
+    got_cum, _ = D._saturating_word_cumsum(jnp.asarray(pcw))
+    np.testing.assert_array_equal(np.asarray(got_cum), _oracle(pcw)[0])
 
 
 def test_saturating_cumsum_exact_then_clamped_boundary():

@@ -78,9 +78,18 @@ def test_empty_db_runner_raises_domain_error():
 
 def test_auto_batch_scaling():
     from smafa_tpu.engine.query import DEFAULT_BATCH, _auto_batch
+    from smafa_tpu.parallel.slab import SlabStreamRunner
 
-    assert _auto_batch(100) == DEFAULT_BATCH
-    assert _auto_batch((1 << 16) - 1) == DEFAULT_BATCH
-    assert _auto_batch(1 << 16) == 4096
-    assert _auto_batch(1 << 19) == 8192
-    assert _auto_batch(10_000_000) == 8192
+    class _Db:
+        def __init__(self, n, runner=None):
+            self.n_windows = n
+            self.runner = runner
+
+    assert _auto_batch(_Db(100)) == DEFAULT_BATCH
+    assert _auto_batch(_Db((1 << 16) - 1)) == DEFAULT_BATCH
+    assert _auto_batch(_Db(1 << 16)) == 4096
+    assert _auto_batch(_Db(1 << 19)) == 8192
+    assert _auto_batch(_Db(10_000_000)) == 8192
+    # out-of-core: the whole db crosses PCIe per batch -> go biggest
+    st = SlabStreamRunner.__new__(SlabStreamRunner)
+    assert _auto_batch(_Db(100, runner=st)) == 16384
