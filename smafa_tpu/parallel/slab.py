@@ -18,14 +18,20 @@ RAM; this layout restores that capability TPU-natively:
   over ICI (parallel/sharded.py) applied over time instead of space;
 - dispatch is async, so slab k+1's upload overlaps slab k's scan; a
   periodic barrier bounds the number of in-flight slab buffers (the
-  whole point is a bounded device working set).
+  whole point is a bounded device working set);
+- **codes-resident tier**: uint8 codes are seq_len/padded_feature_dim
+  (~6.4x at 60 bp) smaller than their one-hot, so dbs whose ONE-HOT
+  overflows HBM often fit as raw codes (~224M rows on a 16 GB chip at
+  60 bp). When they do, the slabs are uploaded once and cached on
+  device — the same programs run with zero per-batch PCIe traffic;
+  only beyond that does the layout truly stream from host.
 
-Arithmetic intensity makes this fast: one uploaded db byte feeds
-2*batch int-ops of scan work (~32k ops/byte at the default 16384-query
-batch), so H2D bandwidth is nowhere near the bottleneck until batches
-get small. The layout is selected automatically when the one-hot db
-would not fit in the visible devices' HBM (parallel/select.py), or
-forced with SMAFA_TPU_LAYOUT=stream.
+Arithmetic intensity makes even true streaming fast: one uploaded db
+byte feeds 2*batch int-ops of scan work (~32k ops/byte at the default
+16384-query batch), so H2D bandwidth is nowhere near the bottleneck
+until batches get small. The layout is selected automatically when the
+one-hot db would not fit in the visible devices' HBM
+(parallel/select.py), or forced with SMAFA_TPU_LAYOUT=stream.
 
 Single-device by design (the out-of-core regime is "db exceeds ALL
 resident memory"; devices beyond the first add nothing once every slab
@@ -59,9 +65,29 @@ SLAB_BYTES = 1 << 29
 # keeps the upload pipeline ahead of the MXU by a couple of slabs.
 _INFLIGHT = 4
 
+# Cache the uint8 code slabs on device when they total at most this
+# fraction of the device's memory (leaves room for the executing slab's
+# one-hot transient, mask buffers, and accumulators).
+CODES_RESIDENT_FRACTION = 0.4
+
 
 def _slab_bytes() -> int:
     return int(os.environ.get("SMAFA_TPU_SLAB_BYTES", str(SLAB_BYTES)))
+
+
+def _device_hbm() -> int | None:
+    """Device 0's memory in bytes, or None when unreported (CPU).
+    SMAFA_TPU_HBM_BYTES overrides (tests force both tiers with it)."""
+    env = os.environ.get("SMAFA_TPU_HBM_BYTES")
+    if env:
+        return int(env)
+    try:
+        stats = jax.devices()[0].memory_stats()
+    except Exception:
+        return None
+    if not stats or "bytes_limit" not in stats:
+        return None
+    return int(stats["bytes_limit"])
 
 
 @partial(jax.jit, static_argnames=("seq_len", "shift", "chunk", "span"))
@@ -129,8 +155,20 @@ class SlabStreamRunner(HitModesMixin):
                 "to fit packed 31-bit keys; use parallel.sharded.ScanRunner "
                 "(exact top-M fallback) instead"
             )
-        self.db_oh = None  # never resident; programs ignore the arg
+        self.db_oh = None  # never one-hot resident; programs ignore the arg
         self.n_windows_dev = jnp.int32(self.n_windows)
+        # Codes-resident tier: cache the uint8 slabs on device (uploaded
+        # lazily, once) when they fit comfortably; otherwise re-stream
+        # them from host every sweep.
+        env = os.environ.get("SMAFA_TPU_SLAB_RESIDENT", "")
+        if env:
+            resident = env not in ("0", "false")
+        else:
+            cap = _device_hbm()
+            resident = (cap is not None and
+                        self.wp * int(codes.shape[1] or 1)
+                        <= CODES_RESIDENT_FRACTION * cap)
+        self._slab_cache: list | None = [None] * self.n_slabs if resident else None
 
     # -- slab plumbing -------------------------------------------------------
 
@@ -142,13 +180,23 @@ class SlabStreamRunner(HitModesMixin):
             block = np.pad(block, [(0, self.slab_rows - (hi - lo)), (0, 0)])
         return block
 
+    def _slab_dev(self, s: int):
+        if self._slab_cache is None:
+            return jax.device_put(self._slab_codes(s))
+        buf = self._slab_cache[s]
+        if buf is None:
+            buf = jax.device_put(self._slab_codes(s))
+            self._slab_cache[s] = buf
+        return buf
+
     def _sweep(self, fold):
         """fold(slab_dev, n_valid, off_rows) -> barrier value; dispatches
         every slab async with a periodic drain so at most ~_INFLIGHT slab
-        uploads are ever alive on device."""
+        uploads are ever alive on device (the drain is moot for cached
+        resident slabs, but bounding in-flight programs is still tidy)."""
         last = None
         for s in range(self.n_slabs):
-            buf = jax.device_put(self._slab_codes(s))
+            buf = self._slab_dev(s)
             off = s * self.slab_rows
             n_valid = min(self.slab_rows, max(0, self.n_windows - off))
             last = fold(buf, jnp.int32(n_valid), off)

@@ -277,3 +277,43 @@ def test_stream_auto_selection(monkeypatch):
     # pathological key-packing regime keeps the exact top-M fallback
     monkeypatch.setenv("SMAFA_TPU_HBM_BYTES", str(1 << 20))
     assert select.choose_layout(2**30, 2**20) == "sharded"
+
+
+def test_stream_codes_resident_tier(monkeypatch):
+    # When the uint8 code slabs fit on device they are uploaded once and
+    # cached (zero per-batch PCIe); results must match the re-streaming
+    # tier exactly, and repeated scans must reuse the same cached buffers.
+    from smafa_tpu.parallel import slab
+
+    rng = np.random.default_rng(31)
+    L = 10
+    pool = rng.integers(0, 5, size=(4, L)).astype(np.uint8)
+    codes = pool[rng.integers(0, 4, 200)]
+    q = np.concatenate([pool, rng.integers(0, 5, size=(8, L)).astype(np.uint8)])
+
+    monkeypatch.setenv("SMAFA_TPU_SLAB_RESIDENT", "0")
+    streaming = slab.SlabStreamRunner(codes, L, slab_rows=64, chunk=32)
+    assert streaming._slab_cache is None
+    ref = streaming.best_hit(q)
+
+    monkeypatch.setenv("SMAFA_TPU_SLAB_RESIDENT", "1")
+    resident = slab.SlabStreamRunner(codes, L, slab_rows=64, chunk=32)
+    assert resident._slab_cache is not None
+    got = resident.best_hit(q)
+    for a, b in zip(ref, got):
+        assert np.array_equal(a, b)
+    cached = list(resident._slab_cache)
+    assert all(c is not None for c in cached)
+    got2 = resident.best_hit(q)
+    assert all(c2 is c for c2, c in zip(resident._slab_cache, cached))
+    for a, b in zip(ref, got2):
+        assert np.array_equal(a, b)
+
+    # auto decision from reported device memory
+    monkeypatch.delenv("SMAFA_TPU_SLAB_RESIDENT")
+    monkeypatch.setenv("SMAFA_TPU_HBM_BYTES", str(1 << 30))
+    assert slab.SlabStreamRunner(codes, L, slab_rows=64,
+                                 chunk=32)._slab_cache is not None
+    monkeypatch.setenv("SMAFA_TPU_HBM_BYTES", str(256))
+    assert slab.SlabStreamRunner(codes, L, slab_rows=64,
+                                 chunk=32)._slab_cache is None
