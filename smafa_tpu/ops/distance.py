@@ -98,6 +98,24 @@ def pairwise_distances(q_oh: jax.Array, d_oh: jax.Array, seq_len: int) -> jax.Ar
     return seq_len - _match_dots(q_oh, d_oh)
 
 
+def block_distances(q_oh, db, off, chunk, seq_len: int):
+    """Distances of q_oh vs db rows [off, off+chunk) — the shared scan
+    step used by every kernel's chunk loop.
+
+    ``db`` is whatever form is resident: one-hot int8 [Wp, LP]
+    (LP = padded_feature_dim), or raw channel codes [Wp, L'] (any other
+    width — L' < LP always since LP pads 5x the length). Codes expand
+    to one-hot per chunk right here: O(chunk * LP) VPU work against the
+    O(B * chunk * LP) MXU contraction, in exchange for the resident db
+    costing seq_len instead of padded-one-hot bytes per row (6.4x more
+    rows per chip at 60 bp, and 6.4x less ICI per ring rotation /
+    PCIe per streamed slab)."""
+    block = jax.lax.dynamic_slice_in_dim(db, off, chunk, axis=0)
+    if db.shape[1] != padded_feature_dim(seq_len):
+        block = expand_onehot(block, seq_len)
+    return seq_len - _match_dots(q_oh, block)
+
+
 def _merge_topm(
     d_carry: jax.Array, i_carry: jax.Array, dist: jax.Array, gidx: jax.Array, m: int
 ) -> tuple[jax.Array, jax.Array]:
@@ -142,8 +160,7 @@ def topm_scan(
 
     def step(carry, off):
         d_carry, i_carry, max_carry = carry
-        block = jax.lax.dynamic_slice_in_dim(db_oh, off, chunk, axis=0)
-        dist = seq_len - _match_dots(q_oh, block)
+        dist = block_distances(q_oh, db_oh, off, chunk, seq_len)
         gidx = off + jnp.arange(chunk, dtype=jnp.int32)
         valid = gidx < n_windows
         dist_m = jnp.where(valid[None, :], dist, BIG)
@@ -239,8 +256,7 @@ def min2_scan(
     )
 
     def step(carry, off):
-        block = jax.lax.dynamic_slice_in_dim(db_oh, off, chunk, axis=0)
-        dist = seq_len - _match_dots(q_oh, block)
+        dist = block_distances(q_oh, db_oh, off, chunk, seq_len)
         lidx = off + jnp.arange(chunk, dtype=jnp.int32)
         gidx = index_offset + lidx
         return min2_chunk_update(
@@ -439,8 +455,7 @@ def compact_scan(
 
     def step(mask, ci):
         off = ci * chunk
-        block = jax.lax.dynamic_slice_in_dim(db_oh, off, chunk, axis=0)
-        dist = seq_len - _match_dots(q_oh, block)
+        dist = block_distances(q_oh, db_oh, off, chunk, seq_len)
         lidx = off + jnp.arange(chunk, dtype=jnp.int32)
         return mask_fold_chunk(mask, dist, lidx, n_windows, thresh, ci), None
 
@@ -478,8 +493,7 @@ def hist_scan(
     n_chunks = db_oh.shape[0] // chunk
 
     def step(carry, off):
-        block = jax.lax.dynamic_slice_in_dim(db_oh, off, chunk, axis=0)
-        dist = seq_len - _match_dots(q_oh, block)
+        dist = block_distances(q_oh, db_oh, off, chunk, seq_len)
         lidx = off + jnp.arange(chunk, dtype=jnp.int32)
         return hist_chunk_update(carry, dist, lidx, n_windows, seq_len), None
 
@@ -598,8 +612,7 @@ def _stats_pass(q_oh, db_oh, n_windows, t, seq_len, chunk):
     n_chunks = db_oh.shape[0] // chunk
 
     def step(carry, off):
-        block = jax.lax.dynamic_slice_in_dim(db_oh, off, chunk, axis=0)
-        dist = seq_len - _match_dots(q_oh, block)
+        dist = block_distances(q_oh, db_oh, off, chunk, seq_len)
         lidx = off + jnp.arange(chunk, dtype=jnp.int32)
         return stats_chunk_update(carry, dist, lidx, n_windows, t), None
 
@@ -667,8 +680,7 @@ def min_scan(
 
     def step(carry, off):
         d_carry, i_carry = carry
-        block = jax.lax.dynamic_slice_in_dim(db_oh, off, chunk, axis=0)
-        dist = seq_len - _match_dots(q_oh, block)
+        dist = block_distances(q_oh, db_oh, off, chunk, seq_len)
         gidx = off + jnp.arange(chunk, dtype=jnp.int32)
         dist = jnp.where((gidx < n_windows)[None, :], dist, BIG)
         blk_min = jnp.min(dist, axis=1)

@@ -99,6 +99,24 @@ class HitModesMixin:
         lo, hi = fn(q_padded, self.db_oh, self.n_windows_dev)
         return ("min2", lo, hi, nq, shift, q_padded)
 
+    def _min2_unpack(self, handle):
+        """Decode a min2 handle -> (dist, idx_lo, idx_hi, found) per row.
+
+        Sentinels for rows with no valid window: dist = 2^30,
+        idx = 2^31-1, found = False. ``idx_lo == idx_hi`` iff the
+        minimum is unique (or the row is empty). Default decodes the
+        global packed keys; layouts whose global index space exceeds
+        the 31-bit key budget (stream) override with their own handle
+        format."""
+        _, lo, hi, nq, shift, _q = handle
+        lo = np.asarray(lo)[:nq]
+        hi = np.asarray(hi)[:nq]
+        big = np.int32(2**31 - 1)
+        dist, idx_lo = D.unpack_key(lo, shift)
+        _, idx_rev = D.unpack_key(hi, shift)
+        idx_hi = np.where(hi == big, big, self.wp - 1 - idx_rev).astype(np.int32)
+        return dist, idx_lo.astype(np.int32), idx_hi, lo != big
+
     def best_hit(self, q_codes: np.ndarray, max_divergence: int | None = None,
                  handle=None):
         """Exact best-hit result, flat: (min_dist [nq], counts [nq],
@@ -110,16 +128,10 @@ class HitModesMixin:
             handle = self.min_count_async(q_codes)
         if handle is None:
             return None
-        _, lo, hi, nq, shift, q_padded = handle
-        lo = np.asarray(lo)[:nq]
-        hi = np.asarray(hi)[:nq]
-        big = np.int32(2**31 - 1)
-        dist, idx_lo = D.unpack_key(lo, shift)
-        _, idx_rev = D.unpack_key(hi, shift)
-        idx_hi = np.where(hi == big, big, self.wp - 1 - idx_rev).astype(np.int32)
-        keep = lo != big
+        nq, q_padded = handle[3], handle[5]
+        dist, idx_lo, idx_hi, keep = self._min2_unpack(handle)
         if max_divergence is not None:
-            keep &= dist <= max_divergence
+            keep = keep & (dist <= max_divergence)
         tied = keep & (idx_lo != idx_hi)
         if not tied.any():
             # Phase A fully resolved the batch: every kept row's minimum
@@ -162,11 +174,10 @@ class HitModesMixin:
 
     def min2_result(self, handle):
         """Fetch + unpack a min2_async handle -> (min dist, first argmin,
-        unique-min flag) per row."""
-        _, lo, hi, nq, shift, _ = handle
-        return D.unpack_min2(
-            np.asarray(lo)[:nq], np.asarray(hi)[:nq], shift, self.wp
-        )
+        unique-min flag) per row. Sentinels for empty rows follow
+        ops.distance.unpack_min2: dist 2^30, idx 2^31-1, unique True."""
+        dist, idx_lo, idx_hi, _found = self._min2_unpack(handle)
+        return dist, idx_lo, idx_lo == idx_hi
 
     def min2(self, q_codes: np.ndarray):
         """Per row: (min distance, first argmin, unique-min flag) — one

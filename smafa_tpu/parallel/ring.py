@@ -77,9 +77,17 @@ class RingScanRunner(HitModesMixin):
             codes_p = np.pad(codes_p, [(0, padded - codes_p.shape[0]), (0, 0)])
         db_spec = NamedSharding(self.mesh, P("d", None))
         codes_dev = jax.device_put(codes_p, db_spec)
-        self.db_oh = jax.jit(
-            partial(D.expand_onehot, seq_len=self.seq_len), out_shardings=db_spec
-        )(codes_dev)
+        from smafa_tpu.parallel.sharded import _db_codes_resident
+
+        if _db_codes_resident():
+            # Rotating uint8 codes moves 6.4x less ICI per ppermute hop
+            # than one-hot; the sweep expands per chunk.
+            self.db_oh = codes_dev
+        else:
+            self.db_oh = jax.jit(
+                partial(D.expand_onehot, seq_len=self.seq_len),
+                out_shardings=db_spec,
+            )(codes_dev)
         self.n_windows_dev = jnp.int32(self.n_windows)
         self._cache: dict[int, callable] = {}
 
@@ -127,8 +135,7 @@ class RingScanRunner(HitModesMixin):
             n_valid = jnp.clip(n_windows - off, 0, shard_rows)
 
             def step(c, coff):
-                block = jax.lax.dynamic_slice_in_dim(db_cur, coff, chunk, axis=0)
-                dist = seq_len - D._match_dots(q_oh, block)
+                dist = D.block_distances(q_oh, db_cur, coff, chunk, seq_len)
                 lidx = coff + jnp.arange(chunk, dtype=jnp.int32)
                 return fold(c, dist, lidx, n_valid, off), None
 

@@ -90,8 +90,13 @@ def choose_layout(n_windows: int, seq_len: int) -> str:
     if jax.process_count() > 1:
         return "sharded"
     if D.packing_shift(seq_len, max(2, 2 * n_windows)) is None:
-        # ring/col/stream require packed 31-bit keys; ScanRunner has the
-        # exact top-M fallback for this (pathological) regime.
+        # GLOBAL packed keys overflow 31 bits (giant row counts, or very
+        # long windows). The stream layout packs slab-locally and
+        # pair-merges across slabs, so it stays exact at packed-key
+        # speed; only when even a slab span cannot pack (astronomical
+        # window lengths) does ScanRunner's exact top-M fallback serve.
+        if D.packing_shift(seq_len, 1 << 24) is not None:
+            return "stream"
         return "sharded"
     cap = _hbm_capacity()
     if cap is not None:

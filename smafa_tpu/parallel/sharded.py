@@ -57,6 +57,18 @@ def _force_shard() -> bool:
     return os.environ.get("SMAFA_TPU_FORCE_SHARD", "") not in ("", "0")
 
 
+def _db_codes_resident() -> bool:
+    """Opt-in (SMAFA_TPU_DB_CODES=1): keep the db resident as uint8
+    channel codes instead of one-hot int8 — seq_len vs padded-one-hot
+    bytes per row (6.4x more rows per chip at 60 bp, 6.4x less ICI per
+    ring rotation). Scans expand one chunk at a time inside the loop
+    (distance.block_distances); results are byte-identical. Off by
+    default until the per-chunk expansion's cost is measured on real
+    hardware. The column-sharded layout ignores it (it shards the
+    one-hot feature axis itself)."""
+    return os.environ.get("SMAFA_TPU_DB_CODES", "") not in ("", "0")
+
+
 def _parse_mesh_env(n_devices: int) -> tuple[int, int]:
     spec = os.environ.get("SMAFA_TPU_MESH")
     if spec:
@@ -197,11 +209,14 @@ class ScanRunner(HitModesMixin):
             if codes_p.shape[0] < padded:
                 codes_p = np.pad(codes_p, [(0, padded - codes_p.shape[0]), (0, 0)])
             codes_dev = jax.device_put(codes_p, db_spec)
-        expand = jax.jit(
-            partial(D.expand_onehot, seq_len=self.seq_len),
-            out_shardings=db_spec,
-        )
-        self.db_oh = expand(codes_dev)
+        if _db_codes_resident():
+            self.db_oh = codes_dev  # scans expand per chunk
+        else:
+            expand = jax.jit(
+                partial(D.expand_onehot, seq_len=self.seq_len),
+                out_shardings=db_spec,
+            )
+            self.db_oh = expand(codes_dev)
         self.n_windows_dev = jnp.int32(self.n_windows)
         self._topm_cache: dict[tuple[int, int], callable] = {}
 

@@ -53,10 +53,10 @@ from smafa_tpu.parallel.hitops import HitModesMixin
 
 BIG_KEY = 2**31 - 1
 
-# One-hot bytes a single resident slab expands to on device (the uint8
-# upload is seq_len/padded_feature_dim of this). 512 MB default: big
-# enough that the scan over a slab dwarfs its dispatch latency, small
-# enough that a few in-flight slabs plus the transient one-hot stay far
+# uint8 code bytes per slab (the scan expands one CHUNK at a time via
+# distance.block_distances, so no slab-sized one-hot ever exists on
+# device). 512 MB default: big enough that the scan over a slab dwarfs
+# its dispatch latency, small enough that _INFLIGHT slabs stay far
 # under any chip's HBM.
 SLAB_BYTES = 1 << 29
 
@@ -90,27 +90,53 @@ def _device_hbm() -> int | None:
     return int(stats["bytes_limit"])
 
 
+# The scan kernels take the slab CODES directly: distance.block_distances
+# expands one chunk at a time inside the scan loop, so no slab-sized
+# one-hot is ever materialized — the device working set per step is the
+# uint8 slab plus a [chunk, LP] block.
+
+
+BIG_DIST = 2**30
+
+
 @partial(jax.jit, static_argnames=("seq_len", "shift", "chunk", "span"))
-def _min2_step(q_codes, slab_codes, n_valid, off, lo, hi,
+def _min2_step(q_codes, slab_codes, n_valid, slab_off, d_lo, i_lo, d_hi, i_hi,
                seq_len, shift, chunk, span):
+    """Slab-LOCAL packed-key min2, unpacked and pair-merged into global
+    (dist, index) carries on device.
+
+    Local indices always fit the 31-bit key (span = slab rows), so the
+    stream layout serves dbs beyond the GLOBAL packed-key budget (~33M
+    rows at 60 bp) — where the resident layouts drop to the top-M
+    fallback — without host round-trips. Cross-slab tie rules: slabs
+    ascend in global offset, so the lo carry keeps ties (strict <) and
+    the hi carry takes them (<=); empty rows carry dist 2^30 and index
+    2^31-1, matching ops.distance.unpack_min2's sentinels."""
     q_oh = D.expand_onehot(q_codes, seq_len)
-    slab_oh = D.expand_onehot(slab_codes, seq_len)
-    l2, h2 = D.min2_scan(q_oh, slab_oh, n_valid, off, seq_len, shift, chunk, span)
-    return jnp.minimum(lo, l2), jnp.minimum(hi, h2)
+    lo, hi = D.min2_scan(q_oh, slab_codes, n_valid, jnp.int32(0),
+                         seq_len, shift, chunk, span)
+    big = jnp.int32(2**31 - 1)
+    mask = jnp.int32((1 << shift) - 1)
+    empty = lo == big
+    d2 = jnp.where(empty, jnp.int32(BIG_DIST), lo >> shift)
+    il2 = jnp.where(empty, big, (lo & mask) + slab_off)
+    ih2 = jnp.where(empty, big, (span - 1 - (hi & mask)) + slab_off)
+    take_lo = d2 < d_lo
+    take_hi = d2 <= d_hi
+    return (jnp.where(take_lo, d2, d_lo), jnp.where(take_lo, il2, i_lo),
+            jnp.where(take_hi, d2, d_hi), jnp.where(take_hi, ih2, i_hi))
 
 
 @partial(jax.jit, static_argnames=("seq_len", "chunk"))
 def _hist_step(q_codes, slab_codes, n_valid, h, seq_len, chunk):
     q_oh = D.expand_onehot(q_codes, seq_len)
-    slab_oh = D.expand_onehot(slab_codes, seq_len)
-    return h + D.hist_scan(q_oh, slab_oh, n_valid, seq_len, chunk)
+    return h + D.hist_scan(q_oh, slab_codes, n_valid, seq_len, chunk)
 
 
 @partial(jax.jit, static_argnames=("seq_len", "chunk"))
 def _stats_step(q_codes, slab_codes, n_valid, t, cnt, mx, seq_len, chunk):
     q_oh = D.expand_onehot(q_codes, seq_len)
-    slab_oh = D.expand_onehot(slab_codes, seq_len)
-    c2, m2 = D._stats_pass(q_oh, slab_oh, n_valid, t, seq_len, chunk)
+    c2, m2 = D._stats_pass(q_oh, slab_codes, n_valid, t, seq_len, chunk)
     return cnt + c2, jnp.maximum(mx, m2)
 
 
@@ -118,9 +144,8 @@ def _stats_step(q_codes, slab_codes, n_valid, t, cnt, mx, seq_len, chunk):
 def _compact_step(q_codes, slab_codes, n_valid, off, thresh,
                   seq_len, chunk, t_cap):
     q_oh = D.expand_onehot(q_codes, seq_len)
-    slab_oh = D.expand_onehot(slab_codes, seq_len)
     rows, idx, rc, total = D.compact_scan(
-        q_oh, slab_oh, n_valid, thresh, off, seq_len, chunk, t_cap
+        q_oh, slab_codes, n_valid, thresh, off, seq_len, chunk, t_cap
     )
     return rows, idx, rc, total[None]
 
@@ -137,23 +162,34 @@ class SlabStreamRunner(HitModesMixin):
         self.seq_len = max(1, seq_len)
         self.n_windows = int(codes.shape[0])
         self._codes_host = codes
-        lp = D.padded_feature_dim(self.seq_len)
+        row_bytes = max(1, int(codes.shape[1] or 1))
         self.chunk = chunk or min(2048, D.bucket(max(1, self.n_windows), 128))
         if slab_rows is None:
-            slab_rows = max(self.chunk,
-                            _slab_bytes() // lp // self.chunk * self.chunk)
+            # Slab count from the byte budget, then balance: uniform
+            # slab shape (one compiled program) sized so the last slab
+            # carries real rows, not a budget's worth of zero padding.
+            need = max(self.chunk,
+                       -(-self.n_windows // self.chunk) * self.chunk)
+            budget_rows = max(self.chunk,
+                              _slab_bytes() // row_bytes // self.chunk
+                              * self.chunk)
+            n_slabs = -(-need // budget_rows)
+            slab_rows = -(-need // (n_slabs * self.chunk)) * self.chunk
         if slab_rows % self.chunk:
             raise ValueError(f"slab_rows {slab_rows} not a multiple of "
                              f"chunk {self.chunk}")
         self.slab_rows = slab_rows
         self.n_slabs = max(1, -(-self.n_windows // slab_rows))
         self.wp = self.n_slabs * slab_rows
-        self.shift = D.packing_shift(self.seq_len, max(self.wp, 2))
+        # Keys pack SLAB-locally (the min2 step pair-merges globally), so
+        # only the slab span must fit 31 bits — any row count works.
+        self.shift = D.packing_shift(self.seq_len, max(self.slab_rows, 2))
         if self.shift is None:
             raise ValueError(
-                f"Slab streaming requires (seq_len={seq_len}, rows={self.wp}) "
-                "to fit packed 31-bit keys; use parallel.sharded.ScanRunner "
-                "(exact top-M fallback) instead"
+                f"Slab streaming requires (seq_len={seq_len}, "
+                f"slab_rows={self.slab_rows}) to fit packed 31-bit keys; "
+                "use parallel.sharded.ScanRunner (exact top-M fallback) "
+                "instead"
             )
         self.db_oh = None  # never one-hot resident; programs ignore the arg
         self.n_windows_dev = jnp.int32(self.n_windows)
@@ -211,30 +247,40 @@ class SlabStreamRunner(HitModesMixin):
         return q_padded, nq
 
     def _key_shift(self):
-        return self.shift
+        return self.shift  # slab-local span: fits for ANY row count
+
+    def _min2_unpack(self, handle):
+        """The min2 program already pair-merged to global (dist, index)
+        carries (keys only pack slab-locally here); decode is a fetch."""
+        _, lo_pair, hi_pair, nq, _s, _q = handle
+        d = np.asarray(lo_pair[0])[:nq]
+        il = np.asarray(lo_pair[1])[:nq]
+        ih = np.asarray(hi_pair[1])[:nq]
+        return d, il, ih, d < np.int32(BIG_DIST)
 
     def _compact_span_rows(self) -> int:
         return self.slab_rows
 
     def _build_program(self, kind: str, b: int, shift: int | None = None,
                        t_cap: int | None = None):
-        seq_len, chunk, span = self.seq_len, self.chunk, self.wp
+        seq_len, chunk = self.seq_len, self.chunk
+        span = self.slab_rows  # keys pack slab-locally
 
         if kind == "min2":
             def run(q_codes, _db, _n):
                 q_dev = jax.device_put(np.ascontiguousarray(q_codes))
-                lo = jnp.full((b,), BIG_KEY, jnp.int32)
-                hi = jnp.full((b,), BIG_KEY, jnp.int32)
-                carry = [lo, hi]
+                big = jnp.full((b,), BIG_KEY, jnp.int32)
+                carry = [jnp.full((b,), BIG_DIST, jnp.int32), big,
+                         jnp.full((b,), BIG_DIST, jnp.int32), big]
 
                 def fold(buf, n_valid, off):
-                    carry[0], carry[1] = _min2_step(
-                        q_dev, buf, n_valid, jnp.int32(off), carry[0],
-                        carry[1], seq_len, shift, chunk, span,
+                    carry[:] = _min2_step(
+                        q_dev, buf, n_valid, jnp.int32(off), *carry,
+                        seq_len=seq_len, shift=shift, chunk=chunk, span=span,
                     )
                     return carry
                 self._sweep(fold)
-                return carry[0], carry[1]
+                return (carry[0], carry[1]), (carry[2], carry[3])
             return run
 
         if kind == "hist":

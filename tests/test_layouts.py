@@ -317,3 +317,58 @@ def test_stream_codes_resident_tier(monkeypatch):
     monkeypatch.setenv("SMAFA_TPU_HBM_BYTES", str(256))
     assert slab.SlabStreamRunner(codes, L, slab_rows=64,
                                  chunk=32)._slab_cache is None
+
+
+@pytest.mark.parametrize("layout", ["sharded", "ring"])
+@pytest.mark.parametrize("mode", [
+    {},                                        # best-hit (tie-heavy)
+    {"max_num_hits": 25, "max_divergence": 6},  # K-mode
+])
+def test_codes_resident_db_parity(tmp_path, monkeypatch, layout, mode):
+    # SMAFA_TPU_DB_CODES=1 keeps the db resident as uint8 channel codes
+    # (6.4x more rows per chip); scans expand per chunk
+    # (distance.block_distances) and must stay byte-identical.
+    rng = np.random.default_rng(37)
+    L = 18
+    pool = _random_seqs(rng, 5, L)
+    db_seqs = _random_seqs(rng, 240, L, pool=pool)
+    q_seqs = pool + _random_seqs(rng, 9, L)
+    subj, qf = tmp_path / "s.fa", tmp_path / "q.fa"
+    dbf = tmp_path / "d.smafadb"
+    _write_fasta(subj, db_seqs)
+    _write_fasta(qf, q_seqs)
+    makedb(subj, dbf)
+
+    monkeypatch.setenv("SMAFA_TPU_FORCE_SHARD", "1")  # real 8-device mesh
+    ref = _run_query(dbf, qf, layout, monkeypatch, **mode)
+    assert ref.count("\n") >= 100
+    monkeypatch.setenv("SMAFA_TPU_DB_CODES", "1")
+    got = _run_query(dbf, qf, layout, monkeypatch, **mode)
+    assert got == ref
+
+    # and on the single-device program path
+    monkeypatch.delenv("SMAFA_TPU_FORCE_SHARD")
+    if layout == "sharded":
+        monkeypatch.delenv("SMAFA_TPU_DB_CODES")
+        ref1 = _run_query(dbf, qf, layout, monkeypatch, **mode)
+        monkeypatch.setenv("SMAFA_TPU_DB_CODES", "1")
+        assert _run_query(dbf, qf, layout, monkeypatch, **mode) == ref1
+
+
+def test_stream_beyond_global_key_budget():
+    # At 60 bp the GLOBAL packed key tops out near 33M rows; the stream
+    # layout packs slab-locally and pair-merges, so construction must
+    # succeed beyond that and auto-selection must route there (the
+    # resident layouts would drop to the slow exact top-M fallback).
+    from smafa_tpu.ops import distance as D
+    from smafa_tpu.parallel import select, slab
+
+    n, L = 40_000_000, 60
+    base = np.zeros((1, L), np.uint8)
+    codes = np.lib.stride_tricks.as_strided(base, (n, L), (0, 1))
+    r = slab.SlabStreamRunner(codes, L)
+    assert D.packing_shift(L, r.wp) is None      # global keys overflow
+    assert r.shift is not None                   # slab-local keys fit
+    assert select.choose_layout(n, L) == "stream"
+    # astronomical window lengths can't pack even slab-locally
+    assert select.choose_layout(2**30, 2**20) == "sharded"

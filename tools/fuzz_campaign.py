@@ -43,6 +43,8 @@ for n in range(START, START + COUNT):
     layout = ["auto", "sharded", "ring", "col", "stream"][n % 5]
     os.environ["SMAFA_TPU_LAYOUT"] = layout
     os.environ["SMAFA_TPU_FORCE_SHARD"] = "1" if (n // 4) % 2 else ""
+    # Codes-resident db form (expand-per-chunk) on a rotating subset.
+    os.environ["SMAFA_TPU_DB_CODES"] = "1" if (n // 2) % 2 else ""
     if layout == "stream":
         # Toy dbs fit one slab at production sizing; force small random
         # slab shapes so the per-slab fold merges get fuzzed too.
