@@ -104,11 +104,18 @@ class HitModesMixin:
 
         Sentinels for rows with no valid window: dist = 2^30,
         idx = 2^31-1, found = False. ``idx_lo == idx_hi`` iff the
-        minimum is unique (or the row is empty). Default decodes the
-        global packed keys; layouts whose global index space exceeds
-        the 31-bit key budget (stream) override with their own handle
-        format."""
+        minimum is unique (or the row is empty). Two formats: global
+        packed keys (lo/hi int32 arrays), or pair tuples
+        ((dist, idx_lo), (dist, idx_hi)) already merged to global
+        (dist, index) on device — produced by layouts whose index space
+        exceeds the 31-bit key budget (stream always; sharded beyond
+        ~2^25 rows at 60 bp, where keys pack shard-locally)."""
         _, lo, hi, nq, shift, _q = handle
+        if isinstance(lo, tuple):
+            d = np.asarray(lo[0])[:nq]
+            il = np.asarray(lo[1])[:nq]
+            ih = np.asarray(hi[1])[:nq]
+            return d, il, ih, d < np.int32(2**30)
         lo = np.asarray(lo)[:nq]
         hi = np.asarray(hi)[:nq]
         big = np.int32(2**31 - 1)

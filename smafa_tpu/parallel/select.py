@@ -91,13 +91,25 @@ def choose_layout(n_windows: int, seq_len: int) -> str:
         return "sharded"
     if D.packing_shift(seq_len, max(2, 2 * n_windows)) is None:
         # GLOBAL packed keys overflow 31 bits (giant row counts, or very
-        # long windows). The stream layout packs slab-locally and
-        # pair-merges across slabs, so it stays exact at packed-key
-        # speed; only when even a slab span cannot pack (astronomical
-        # window lengths) does ScanRunner's exact top-M fallback serve.
-        if D.packing_shift(seq_len, 1 << 24) is not None:
-            return "stream"
-        return "sharded"
+        # long windows). Both big-db layouts keep packed-key speed by
+        # packing locally and pair-merging: sharded per SHARD (resident,
+        # preferred when the one-hot fits the devices' HBM), stream per
+        # SLAB (out-of-core). Only when even a local span cannot pack
+        # (astronomical window lengths) does ScanRunner's exact top-M
+        # fallback serve.
+        if D.packing_shift(seq_len, 1 << 24) is None:
+            return "sharded"
+        cap = _hbm_capacity()
+        import jax as _jax
+
+        n_dev = len(_jax.devices())
+        if (n_dev > 1 and cap is not None
+                and D.padded_feature_dim(seq_len) * n_windows
+                <= HBM_FRACTION * cap
+                and D.packing_shift(
+                    seq_len, max(2, 2 * (n_windows // n_dev))) is not None):
+            return "sharded"
+        return "stream"
     cap = _hbm_capacity()
     if cap is not None:
         need = D.padded_feature_dim(seq_len) * n_windows

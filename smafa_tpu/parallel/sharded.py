@@ -107,7 +107,20 @@ class ScanRunner(HitModesMixin):
         return q_padded, nq
 
     def _key_shift(self):
-        return D.packing_shift(self.seq_len, max(self.wp, 2))
+        """Global packed-key shift, or — when the global index space
+        overflows 31 bits on a multi-device mesh — the SHARD-local
+        shift: min2 then packs per shard and pair-merges across 'w'
+        with collectives (see _build_min2), so giant resident dbs keep
+        packed-key speed instead of dropping to the top-M fallback.
+        None only when even a shard span cannot pack."""
+        shift = D.packing_shift(self.seq_len, max(self.wp, 2))
+        if shift is not None or self.n_w <= 1:
+            return shift
+        return D.packing_shift(self.seq_len, max(self.shard_rows, 2))
+
+    def _min2_pair_mode(self) -> bool:
+        return (self.n_w > 1
+                and D.packing_shift(self.seq_len, max(self.wp, 2)) is None)
 
     def _build_program(self, kind: str, b: int, shift: int | None = None,
                        t_cap: int | None = None):
@@ -307,23 +320,48 @@ class ScanRunner(HitModesMixin):
 
             return run_single
 
+        pair_mode = self._min2_pair_mode()
+
         def shard_fn(q_oh, db_shard, n_windows):
             off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
             n_valid_local = jnp.clip(n_windows - off, 0, shard_rows)
+            if not pair_mode:
+                lo, hi = D.min2_scan(
+                    q_oh, db_shard, n_valid_local, off,
+                    seq_len, shift, chunk, span,
+                )
+                # Packed keys compare globally (the index fields are
+                # global), so an elementwise pmin over the db axis is the
+                # whole merge — ICI traffic of O(B) int32s per key.
+                return jax.lax.pmin(lo, "w"), jax.lax.pmin(hi, "w")
+            # Global indices overflow the 31-bit key: pack SHARD-locally
+            # (shift here is the shard-local shift from _key_shift),
+            # unpack to global (dist, index) pairs, and merge across 'w'
+            # with three collectives — pmin of dist, then lowest/highest
+            # index among shards holding that min. Same O(B) traffic.
             lo, hi = D.min2_scan(
-                q_oh, db_shard, n_valid_local, off,
-                seq_len, shift, chunk, span,
+                q_oh, db_shard, n_valid_local, jnp.int32(0),
+                seq_len, shift, chunk, shard_rows,
             )
-            # Packed keys compare globally (the index fields are global), so
-            # an elementwise pmin over the db axis is the whole merge — ICI
-            # traffic of O(B) int32s per key.
-            return jax.lax.pmin(lo, "w"), jax.lax.pmin(hi, "w")
+            big = jnp.int32(2**31 - 1)
+            mask = jnp.int32((1 << shift) - 1)
+            empty = lo == big
+            d = jnp.where(empty, jnp.int32(BIG_DIST), lo >> shift)
+            il = jnp.where(empty, big, (lo & mask) + off)
+            ih = jnp.where(empty, jnp.int32(-1),
+                           (shard_rows - 1 - (hi & mask)) + off)
+            dmin = jax.lax.pmin(d, "w")
+            il_g = jax.lax.pmin(jnp.where(d == dmin, il, big), "w")
+            ih_g = jax.lax.pmax(jnp.where(d == dmin, ih, jnp.int32(-1)), "w")
+            ih_g = jnp.where(ih_g < 0, big, ih_g)
+            return (dmin, il_g), (dmin, ih_g)
 
         mapped = jax.shard_map(
             shard_fn,
             mesh=self.mesh,
             in_specs=(P("q", None), P("w", None), P()),
-            out_specs=(P("q"), P("q")),
+            out_specs=((P("q"), P("q")), (P("q"), P("q"))) if pair_mode
+                      else (P("q"), P("q")),
             check_vma=False,
         )
 

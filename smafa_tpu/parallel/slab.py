@@ -247,16 +247,10 @@ class SlabStreamRunner(HitModesMixin):
         return q_padded, nq
 
     def _key_shift(self):
-        return self.shift  # slab-local span: fits for ANY row count
-
-    def _min2_unpack(self, handle):
-        """The min2 program already pair-merged to global (dist, index)
-        carries (keys only pack slab-locally here); decode is a fetch."""
-        _, lo_pair, hi_pair, nq, _s, _q = handle
-        d = np.asarray(lo_pair[0])[:nq]
-        il = np.asarray(lo_pair[1])[:nq]
-        ih = np.asarray(hi_pair[1])[:nq]
-        return d, il, ih, d < np.int32(BIG_DIST)
+        # Slab-local span: fits for ANY row count. (min2 handles are
+        # pair tuples; HitModesMixin._min2_unpack decodes them without
+        # this shift.)
+        return self.shift
 
     def _compact_span_rows(self) -> int:
         return self.slab_rows

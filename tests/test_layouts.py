@@ -372,3 +372,44 @@ def test_stream_beyond_global_key_budget():
     assert select.choose_layout(n, L) == "stream"
     # astronomical window lengths can't pack even slab-locally
     assert select.choose_layout(2**30, 2**20) == "sharded"
+
+
+def test_sharded_pair_mode_beyond_key_budget(monkeypatch):
+    # When GLOBAL indices overflow the 31-bit key on a multi-device
+    # mesh, ScanRunner packs shard-locally and pair-merges across 'w'
+    # with collectives. Fake the overflow threshold so a toy db trips
+    # the path, and compare every hit mode against the normal run.
+    from smafa_tpu.ops import distance as D
+    from smafa_tpu.parallel import sharded
+
+    rng = np.random.default_rng(41)
+    L = 10
+    pool = rng.integers(0, 5, size=(4, L)).astype(np.uint8)
+    codes = pool[rng.integers(0, 4, 300)]
+    q = np.concatenate([pool, rng.integers(0, 5, size=(9, L)).astype(np.uint8)])
+
+    mesh = sharded.build_mesh()
+    ref = sharded.ScanRunner(codes, L, mesh=mesh, chunk=16)
+    assert not ref._min2_pair_mode()
+    ref_best = ref.best_hit(q)
+    ref_bestd = ref.best_hit(q, max_divergence=3)
+    ref_k = ref.kmode_flat(q, 15, 4)
+    ref_min2 = ref.min2(q)
+
+    real = D.packing_shift
+
+    def fake(seq_len, wp):
+        return None if wp > 64 else real(seq_len, wp)
+
+    monkeypatch.setattr(D, "packing_shift", fake)
+    pr = sharded.ScanRunner(codes, L, mesh=mesh, chunk=16)
+    assert pr.shard_rows <= 64 < pr.wp
+    assert pr._min2_pair_mode() and pr._key_shift() is not None
+    for a, b in zip(ref_best, pr.best_hit(q)):
+        assert np.array_equal(a, b)
+    for a, b in zip(ref_bestd, pr.best_hit(q, max_divergence=3)):
+        assert np.array_equal(a, b)
+    for a, b in zip(ref_k, pr.kmode_flat(q, 15, 4)):
+        assert np.array_equal(a, b)
+    for a, b in zip(ref_min2, pr.min2(q)):
+        assert np.array_equal(a, b)
