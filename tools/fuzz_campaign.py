@@ -26,7 +26,10 @@ sys.path.insert(0, str(_ROOT / "tests"))
 import numpy as np
 from test_fuzz_parity import _run_query, _write_fasta, oracle_cluster, oracle_query
 from smafa_tpu.engine.cluster import cluster
+from smafa_tpu.ops import distance as _dist
 from smafa_tpu.parallel import hitops
+
+_real_packing_shift = _dist.packing_shift
 
 _orig_row_cap = hitops.HitModesMixin._mask_row_cap
 
@@ -45,6 +48,17 @@ for n in range(START, START + COUNT):
     os.environ["SMAFA_TPU_FORCE_SHARD"] = "1" if (n // 4) % 2 else ""
     # Codes-resident db form (expand-per-chunk) on a rotating subset.
     os.environ["SMAFA_TPU_DB_CODES"] = "1" if (n // 2) % 2 else ""
+    # Fake a 31-bit key overflow on some sharded configs so the
+    # shard-local pack + collective pair-merge path (and the top-M
+    # fallback on 1x1 meshes) gets fuzzed at toy scale. 257 keeps
+    # shard/slab-local spans packable while global padded spans (>=
+    # chunk*8 under FORCE_SHARD) overflow.
+    if n % 7 == 0 and layout in ("sharded", "auto"):
+        _dist.packing_shift = (
+            lambda s, w: None if w > 257 else _real_packing_shift(s, w)
+        )
+    else:
+        _dist.packing_shift = _real_packing_shift
     if layout == "stream":
         # Toy dbs fit one slab at production sizing; force small random
         # slab shapes so the per-slab fold merges get fuzzed too.
