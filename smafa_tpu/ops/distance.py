@@ -630,20 +630,6 @@ def unpack_key(key: np.ndarray, shift: int) -> tuple[np.ndarray, np.ndarray]:
     return dist, idx
 
 
-def unpack_min2(lo: np.ndarray, hi: np.ndarray, shift: int, span: int):
-    """Dual packed keys -> (dist, lowest idx, unique-min flag).
-
-    The single decode rule for every runner (sharded/ring/seqpar/
-    multihost): the hi key carries span-1-idx, so equal low/high indices
-    <=> exactly one window at the min; empty rows (BIG keys) count as
-    unique (nothing to enumerate).
-    """
-    dist, idx = unpack_key(lo, shift)
-    _, idx_rev = unpack_key(hi, shift)
-    unique = (idx == (span - 1 - idx_rev)) | (lo == np.int32(2**31 - 1))
-    return dist, idx, unique
-
-
 @partial(jax.jit, static_argnames=("seq_len", "chunk"))
 def min_scan(
     q_oh: jax.Array,

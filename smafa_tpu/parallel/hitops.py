@@ -181,8 +181,8 @@ class HitModesMixin:
 
     def min2_result(self, handle):
         """Fetch + unpack a min2_async handle -> (min dist, first argmin,
-        unique-min flag) per row. Sentinels for empty rows follow
-        ops.distance.unpack_min2: dist 2^30, idx 2^31-1, unique True."""
+        unique-min flag) per row. Sentinels for empty rows: dist 2^30,
+        idx 2^31-1, unique True (nothing to enumerate)."""
         dist, idx_lo, idx_hi, _found = self._min2_unpack(handle)
         return dist, idx_lo, idx_lo == idx_hi
 

@@ -111,7 +111,7 @@ def _min2_step(q_codes, slab_codes, n_valid, slab_off, d_lo, i_lo, d_hi, i_hi,
     fallback — without host round-trips. Cross-slab tie rules: slabs
     ascend in global offset, so the lo carry keeps ties (strict <) and
     the hi carry takes them (<=); empty rows carry dist 2^30 and index
-    2^31-1, matching ops.distance.unpack_min2's sentinels."""
+    2^31-1 — the sentinel convention of HitModesMixin._min2_unpack."""
     q_oh = D.expand_onehot(q_codes, seq_len)
     lo, hi = D.min2_scan(q_oh, slab_codes, n_valid, jnp.int32(0),
                          seq_len, shift, chunk, span)
