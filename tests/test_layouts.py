@@ -355,7 +355,7 @@ def test_codes_resident_db_parity(tmp_path, monkeypatch, layout, mode):
         assert _run_query(dbf, qf, layout, monkeypatch, **mode) == ref1
 
 
-def test_stream_beyond_global_key_budget():
+def test_stream_beyond_global_key_budget(monkeypatch):
     # At 60 bp the GLOBAL packed key tops out near 33M rows; the stream
     # layout packs slab-locally and pair-merges, so construction must
     # succeed beyond that and auto-selection must route there (the
@@ -363,6 +363,8 @@ def test_stream_beyond_global_key_budget():
     from smafa_tpu.ops import distance as D
     from smafa_tpu.parallel import select, slab
 
+    monkeypatch.delenv("SMAFA_TPU_LAYOUT", raising=False)
+    monkeypatch.delenv("SMAFA_TPU_HBM_BYTES", raising=False)
     n, L = 40_000_000, 60
     base = np.zeros((1, L), np.uint8)
     codes = np.lib.stride_tricks.as_strided(base, (n, L), (0, 1))
@@ -370,6 +372,11 @@ def test_stream_beyond_global_key_budget():
     assert D.packing_shift(L, r.wp) is None      # global keys overflow
     assert r.shift is not None                   # slab-local keys fit
     assert select.choose_layout(n, L) == "stream"
+    # with enough aggregate HBM on a multi-device mesh, prefer the
+    # resident sharded layout (shard-local pack + collective pair merge)
+    monkeypatch.setenv("SMAFA_TPU_HBM_BYTES", str(1 << 45))
+    assert select.choose_layout(n, L) == "sharded"
+    monkeypatch.delenv("SMAFA_TPU_HBM_BYTES")
     # astronomical window lengths can't pack even slab-locally
     assert select.choose_layout(2**30, 2**20) == "sharded"
 
