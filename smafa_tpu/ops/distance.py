@@ -578,13 +578,12 @@ def kmode_phase1(scan_stats, k, maxdiv, n_windows, seq_len):
     return eff, hits
 
 
-@partial(jax.jit, static_argnames=("seq_len", "shift", "chunk", "index_span"))
-def kmode_stats_scan(
-    q_oh, db_oh, n_windows, k, maxdiv, seq_len, shift, chunk, index_span
-):
+@partial(jax.jit, static_argnames=("seq_len", "chunk"))
+def kmode_stats_scan(q_oh, db_oh, n_windows, k, maxdiv, seq_len, chunk):
     """Phase-A program for long windows (single device): (eff cutoff,
     exact hit count) via binary-search count scans. Short windows use
-    ``hist_scan`` instead (one pass)."""
+    ``hist_scan`` instead (one pass). No packed keys anywhere, so this
+    path is row-count-unbounded."""
     def scan_stats(t):
         t = jnp.broadcast_to(t, (q_oh.shape[0],))
         return _stats_pass(q_oh, db_oh, n_windows, t, seq_len, chunk)

@@ -531,16 +531,14 @@ class ScanRunner(HitModesMixin):
         return run
 
     def _build_kstats(self, b: int, shift: int):
-        seq_len, chunk, shard_rows, span = (
-            self.seq_len, self.chunk, self.shard_rows, self.wp
-        )
+        seq_len, chunk, shard_rows = self.seq_len, self.chunk, self.shard_rows
 
         if self.n_q == 1 and self.n_w == 1:
             @jax.jit
             def run_single(q_codes, db_oh, n_windows, k, maxdiv):
                 q_oh = D.expand_onehot(q_codes, seq_len)
                 return D.kmode_stats_scan(
-                    q_oh, db_oh, n_windows, k, maxdiv, seq_len, shift, chunk, span
+                    q_oh, db_oh, n_windows, k, maxdiv, seq_len, chunk
                 )
 
             return run_single
