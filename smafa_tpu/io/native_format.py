@@ -42,7 +42,9 @@ def save(ws: WindowSet, path: str | Path) -> None:
         f.write(len(header).to_bytes(4, "little"))
         f.write(header)
         f.write(b"\x00" * pad)
-        f.write(np.ascontiguousarray(ws.codes, dtype=np.uint8).tobytes())
+        # tofile writes straight from the array buffer — tobytes() would
+        # duplicate the whole payload in RAM (6 GB at 100M x 60 bp).
+        np.ascontiguousarray(ws.codes, dtype=np.uint8).tofile(f)
 
 
 def read_header(path: str | Path) -> dict:
