@@ -143,3 +143,20 @@ def test_mask_row_cap_bounds():
             assert cap * (span // 32) <= MASK_WORDS_BUDGET
         # (spans so huge that even the 16-row floor exceeds the budget
         # are segmented along the db axis by the runner instead)
+
+
+def test_block_distances_codes_equals_onehot():
+    # The shared scan step accepts the db as one-hot or raw codes
+    # (expanded per chunk); both forms must produce identical distances.
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    L, W, chunk = 13, 64, 16
+    codes = rng.integers(0, 5, size=(W, L)).astype(np.uint8)
+    q = rng.integers(0, 5, size=(6, L)).astype(np.uint8)
+    q_oh = D.expand_onehot(q, L)
+    db_oh = D.expand_onehot(codes, L)
+    for off in (0, 16, 48):
+        a = D.block_distances(q_oh, db_oh, jnp.int32(off), chunk, L)
+        b = D.block_distances(q_oh, jnp.asarray(codes), jnp.int32(off), chunk, L)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
