@@ -65,11 +65,22 @@ class RingScanRunner(HitModesMixin):
         padded = max(stride, ((self.n_windows + stride - 1) // stride) * stride)
         self.wp = padded
         self.shard_rows = padded // self.n_d
+        # Global packed keys when they fit; beyond ~2^25 rows at 60 bp
+        # the min2 sweep folds explicit (dist, index) pair carries
+        # instead (distance.min2_pair_chunk_update) — same results, no
+        # row-count ceiling. _key_shift still reports a (shard-local)
+        # shift so the hit-mode mixin proceeds; only astronomical window
+        # lengths (no packing at any span) are rejected.
         self.shift = D.packing_shift(self.seq_len, padded)
+        self._min2_pairs = self.shift is None
+        if self._min2_pairs:
+            self.shift = D.packing_shift(self.seq_len, max(2, self.shard_rows))
         if self.shift is None:
             raise ValueError(
-                f"Ring scan requires (seq_len={seq_len}, rows={padded}) to fit "
-                "packed 31-bit keys; use parallel.sharded.ScanRunner instead"
+                f"Ring scan requires (seq_len={seq_len}, "
+                f"shard_rows={self.shard_rows}) to fit packed 31-bit keys; "
+                "use parallel.sharded.ScanRunner (exact top-M fallback) "
+                "instead"
             )
 
         codes_p = codes
@@ -168,6 +179,24 @@ class RingScanRunner(HitModesMixin):
 
     def _build(self, b: int):
         shift, span = self.shift, self.wp
+
+        if self._min2_pairs:
+            def shard_fn(q_oh, db_shard, n_windows):
+                carry = self._ring_sweep(
+                    q_oh, db_shard, n_windows,
+                    D.min2_pair_init(q_oh.shape[0]),
+                    lambda c, dist, lidx, n_valid, off:
+                        D.min2_pair_chunk_update(
+                            c, dist, lidx, n_valid, off + lidx
+                        ),
+                )
+                return D.min2_pair_finish(carry)
+
+            p = P("d")
+            return self._jit_mapped(
+                shard_fn, (P("d", None), P("d", None), P()),
+                ((p, p), (p, p)),
+            )
 
         def shard_fn(q_oh, db_shard, n_windows):
             b_loc = q_oh.shape[0]

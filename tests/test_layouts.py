@@ -420,3 +420,38 @@ def test_sharded_pair_mode_beyond_key_budget(monkeypatch):
         assert np.array_equal(a, b)
     for a, b in zip(ref_min2, pr.min2(q)):
         assert np.array_equal(a, b)
+
+
+def test_ring_pair_mode_beyond_key_budget(monkeypatch):
+    # The ring min2 sweep folds explicit (dist, index) pair carries when
+    # global keys overflow — owners are visited in rotation (non-
+    # monotonic global order), so the lexicographic tie rules matter.
+    from smafa_tpu.ops import distance as D
+    from smafa_tpu.parallel import ring, sharded
+
+    rng = np.random.default_rng(43)
+    L = 10
+    pool = rng.integers(0, 5, size=(4, L)).astype(np.uint8)
+    codes = pool[rng.integers(0, 4, 300)]
+    q = np.concatenate([pool, rng.integers(0, 5, size=(12, L)).astype(np.uint8)])
+
+    oracle = sharded.ScanRunner(codes, L, mesh=sharded.build_mesh(1, 1),
+                                chunk=16)
+    ref_best = oracle.best_hit(q)
+    ref_k = oracle.kmode_flat(q, 15, 4)
+    ref_min2 = oracle.min2(q)
+
+    real = D.packing_shift
+
+    def fake(seq_len, wp):
+        return None if wp > 64 else real(seq_len, wp)
+
+    monkeypatch.setattr(D, "packing_shift", fake)
+    rr = ring.RingScanRunner(codes, L, mesh=ring.build_ring_mesh(8), chunk=16)
+    assert rr._min2_pairs and rr.shard_rows <= 64 < rr.wp
+    for a, b in zip(ref_best, rr.best_hit(q)):
+        assert np.array_equal(a, b)
+    for a, b in zip(ref_k, rr.kmode_flat(q, 15, 4)):
+        assert np.array_equal(a, b)
+    for a, b in zip(ref_min2, rr.min2(q)):
+        assert np.array_equal(a, b)
