@@ -52,9 +52,21 @@ class ColumnShardedScanRunner(HitModesMixin):
 
         padded = max(self.chunk, ((self.n_windows + self.chunk - 1) // self.chunk) * self.chunk)
         self.wp = padded
+        # Long windows shrink the packed key's index budget (more dist
+        # bits), so overflow is LIKELIER here than anywhere; the min2
+        # sweep then folds explicit (dist, index) pair carries instead
+        # of keys — no row-count ceiling. _key_shift still reports a
+        # chunk-local shift so the hit-mode mixin proceeds.
         self.shift = D.packing_shift(self.seq_len, padded)
+        self._min2_pairs = self.shift is None
+        if self._min2_pairs:
+            self.shift = D.packing_shift(self.seq_len, max(2, self.chunk))
         if self.shift is None:
-            raise ValueError("seq_len x rows overflow packed 31-bit keys")
+            raise ValueError(
+                f"seq_len {seq_len} overflows packed 31-bit keys at any "
+                "span; use parallel.sharded.ScanRunner (exact top-M "
+                "fallback) instead"
+            )
 
         codes_p = codes
         if codes_p.shape[0] < padded:
@@ -142,6 +154,18 @@ class ColumnShardedScanRunner(HitModesMixin):
 
     def _build_min2(self, b: int):
         shift, span = self.shift, self.wp
+
+        if self._min2_pairs:
+            def shard_fn(q_oh, db_sh, n_windows):
+                carry = self._col_sweep(
+                    q_oh, db_sh, n_windows,
+                    D.min2_pair_init(q_oh.shape[0]),
+                    lambda c, dist, lidx, n_valid, off:
+                        D.min2_pair_chunk_update(c, dist, lidx, n_valid, lidx),
+                )
+                return D.min2_pair_finish(carry)
+
+            return self._jit_mapped(shard_fn, 0, ((P(), P()), (P(), P())))
 
         def shard_fn(q_oh, db_sh, n_windows):
             b_loc = q_oh.shape[0]

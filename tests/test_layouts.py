@@ -455,3 +455,39 @@ def test_ring_pair_mode_beyond_key_budget(monkeypatch):
         assert np.array_equal(a, b)
     for a, b in zip(ref_min2, rr.min2(q)):
         assert np.array_equal(a, b)
+
+
+def test_col_pair_mode_beyond_key_budget(monkeypatch):
+    # Long windows shrink the key's index budget; the column-sharded
+    # min2 sweep must fold pair carries past it, byte-equal.
+    from smafa_tpu.ops import distance as D
+    from smafa_tpu.parallel import seqpar, sharded
+
+    rng = np.random.default_rng(47)
+    L = 10
+    pool = rng.integers(0, 5, size=(4, L)).astype(np.uint8)
+    codes = pool[rng.integers(0, 4, 300)]
+    q = np.concatenate([pool, rng.integers(0, 5, size=(12, L)).astype(np.uint8)])
+
+    oracle = sharded.ScanRunner(codes, L, mesh=sharded.build_mesh(1, 1),
+                                chunk=16)
+    ref_best = oracle.best_hit(q)
+    ref_k = oracle.kmode_flat(q, 15, 4)
+    ref_min2 = oracle.min2(q)
+
+    real = D.packing_shift
+
+    def fake(seq_len, wp):
+        return None if wp > 64 else real(seq_len, wp)
+
+    monkeypatch.setattr(D, "packing_shift", fake)
+    cr = seqpar.ColumnShardedScanRunner(
+        codes, L, mesh=seqpar.build_col_mesh(8), chunk=16
+    )
+    assert cr._min2_pairs and cr.wp > 64
+    for a, b in zip(ref_best, cr.best_hit(q)):
+        assert np.array_equal(a, b)
+    for a, b in zip(ref_k, cr.kmode_flat(q, 15, 4)):
+        assert np.array_equal(a, b)
+    for a, b in zip(ref_min2, cr.min2(q)):
+        assert np.array_equal(a, b)
