@@ -48,14 +48,16 @@ for n in range(START, START + COUNT):
     os.environ["SMAFA_TPU_FORCE_SHARD"] = "1" if (n // 4) % 2 else ""
     # Codes-resident db form (expand-per-chunk) on a rotating subset.
     os.environ["SMAFA_TPU_DB_CODES"] = "1" if (n // 2) % 2 else ""
-    # Fake a 31-bit key overflow on some sharded configs so the
-    # shard-local pack + collective pair-merge path (and the top-M
-    # fallback on 1x1 meshes) gets fuzzed at toy scale. 257 keeps
-    # shard/slab-local spans packable while global padded spans (>=
-    # chunk*8 under FORCE_SHARD) overflow.
-    if n % 7 == 0 and layout in ("sharded", "auto"):
+    # Fake a 31-bit key overflow on some configs so the local-pack +
+    # pair-merge paths (and the top-M fallback on 1x1 meshes) get
+    # fuzzed at toy scale. The threshold sits between the layout's
+    # local span (shard rows / ring shard) and its global padded span:
+    # 257 for sharded (global >= chunk*8 under FORCE_SHARD), 2048 for
+    # ring (shard 1024, global 8192).
+    if n % 7 == 0 and layout in ("sharded", "auto", "ring"):
+        lim = 2048 if layout == "ring" else 257
         _dist.packing_shift = (
-            lambda s, w: None if w > 257 else _real_packing_shift(s, w)
+            lambda s, w, _l=lim: None if w > _l else _real_packing_shift(s, w)
         )
     else:
         _dist.packing_shift = _real_packing_shift
