@@ -216,6 +216,19 @@ def main() -> None:
                                     chunk=chunk_b)
     emit("min2_resident@16384x4M", bench_runner(res_runner), cmp_s)
     del res_runner
+    # Codes-resident form: same scan with per-chunk one-hot expansion —
+    # this number decides whether SMAFA_TPU_DB_CODES can become the
+    # default (6.4x rows/chip if it measures ~equal).
+    os.environ["SMAFA_TPU_DB_CODES"] = "1"
+    try:
+        codes_runner = sharded.ScanRunner(db_s, seq_len,
+                                          mesh=sharded.build_mesh(1, 1),
+                                          chunk=chunk_b)
+        emit("min2_codes_resident@16384x4M", bench_runner(codes_runner),
+             cmp_s)
+        del codes_runner
+    finally:
+        os.environ.pop("SMAFA_TPU_DB_CODES", None)
     st_runner = slab.SlabStreamRunner(db_s, seq_len)
     emit("min2_stream@16384x4M", bench_runner(st_runner), cmp_s,
          n_slabs=st_runner.n_slabs)
