@@ -224,11 +224,11 @@ def min2_chunk_update(carry, dist, lidx, n_windows, gidx, shift, index_span):
 def min2_pair_chunk_update(carry, dist, lidx, n_windows, gidx):
     """Keyless twin of min2_chunk_update for index spaces beyond the
     31-bit packed-key budget: fold one distance chunk into explicit
-    (d_lo, i_lo, d_hi, i_hi) carries with lexicographic tie rules, so
-    chunks may arrive in ANY global order (the ring sweep visits owners
+    (d, i_lo, i_hi) carries with lexicographic tie rules, so chunks may
+    arrive in ANY global order (the ring sweep visits owners
     non-monotonically). Sentinels during the sweep: dist BIG (2^30),
     i_lo 2^31-1, i_hi -1 — finish with ``min2_pair_finish``."""
-    d_lo, i_lo, d_hi, i_hi = carry
+    d, i_lo, i_hi = carry
     big = jnp.int32(2**31 - 1)
     valid = (lidx < n_windows)[None, :]
     dist_m = jnp.where(valid, dist, BIG)
@@ -237,20 +237,18 @@ def min2_pair_chunk_update(carry, dist, lidx, n_windows, gidx):
     gb = jnp.broadcast_to(gidx[None, :], dist.shape)
     il_c = jnp.min(jnp.where(at & valid, gb, big), axis=1)
     ih_c = jnp.max(jnp.where(at & valid, gb, jnp.int32(-1)), axis=1)
-    better = dmin_c < d_lo
-    tie = dmin_c == d_lo
+    better = dmin_c < d
+    tie = dmin_c == d
     i_lo = jnp.where(better, il_c,
                      jnp.where(tie, jnp.minimum(i_lo, il_c), i_lo))
     i_hi = jnp.where(better, ih_c,
                      jnp.where(tie, jnp.maximum(i_hi, ih_c), i_hi))
-    d = jnp.minimum(d_lo, dmin_c)
-    return d, i_lo, d, i_hi
+    return jnp.minimum(d, dmin_c), i_lo, i_hi
 
 
 def min2_pair_init(b: int):
     return (jnp.full((b,), BIG, jnp.int32),
             jnp.full((b,), jnp.int32(2**31 - 1), jnp.int32),
-            jnp.full((b,), BIG, jnp.int32),
             jnp.full((b,), jnp.int32(-1), jnp.int32))
 
 
@@ -258,11 +256,11 @@ def min2_pair_finish(carry):
     """Sweep carries -> the pair-handle convention of
     HitModesMixin._min2_unpack (empty rows: dist 2^30, idx 2^31-1 on
     BOTH sides, so they read as unique)."""
-    d_lo, i_lo, d_hi, i_hi = carry
+    d, i_lo, i_hi = carry
     big = jnp.int32(2**31 - 1)
-    empty = d_lo >= BIG
-    return ((jnp.where(empty, BIG, d_lo), jnp.where(empty, big, i_lo)),
-            (jnp.where(empty, BIG, d_hi), jnp.where(empty, big, i_hi)))
+    empty = d >= BIG
+    return ((jnp.where(empty, BIG, d), jnp.where(empty, big, i_lo)),
+            (jnp.where(empty, BIG, d), jnp.where(empty, big, i_hi)))
 
 
 @partial(jax.jit, static_argnames=("seq_len", "chunk", "shift", "index_span"))

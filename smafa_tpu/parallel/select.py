@@ -55,25 +55,30 @@ COL_SEQ_THRESHOLD = 8192
 HBM_FRACTION = 0.75
 
 
-def _hbm_capacity() -> int | None:
-    """Total device memory across visible devices, or None when the
+def _hbm_capacity(per_device: bool = False) -> int | None:
+    """Device memory in bytes — TOTAL across visible devices by default,
+    or one device's share with ``per_device=True`` — or None when the
     backend does not report it (CPU meshes). SMAFA_TPU_HBM_BYTES
-    overrides (also how tests force the out-of-core decision)."""
+    overrides and ALWAYS means the total across visible devices (also
+    how tests force the out-of-core decisions)."""
     import jax
 
     env = os.environ.get("SMAFA_TPU_HBM_BYTES")
     if env:
-        return int(env)
-    total = 0
-    for d in jax.devices():
-        try:
-            stats = d.memory_stats()
-        except Exception:
-            return None
-        if not stats or "bytes_limit" not in stats:
-            return None
-        total += int(stats["bytes_limit"])
-    return total or None
+        total = int(env)
+    else:
+        total = 0
+        for d in jax.devices():
+            try:
+                stats = d.memory_stats()
+            except Exception:
+                return None
+            if not stats or "bytes_limit" not in stats:
+                return None
+            total += int(stats["bytes_limit"])
+    if not total:
+        return None
+    return total // len(jax.devices()) if per_device else total
 
 
 def choose_layout(n_windows: int, seq_len: int) -> str:
@@ -99,13 +104,17 @@ def choose_layout(n_windows: int, seq_len: int) -> str:
         # fallback serve.
         if D.packing_shift(seq_len, 1 << 24) is None:
             return "sharded"
+        n_dev = len(jax.devices())
         cap = _hbm_capacity()
-        import jax as _jax
-
-        n_dev = len(_jax.devices())
-        if (n_dev > 1 and cap is not None
-                and D.padded_feature_dim(seq_len) * n_windows
-                <= HBM_FRACTION * cap
+        # Multi-device meshes keep the resident sharded layout (pair
+        # mode) when the one-hot fits — and when capacity is unreported,
+        # assume it fits, exactly as the non-overflow default does. A
+        # single device has no pair-merge axis, so stream (slab-local
+        # keys) is the exact fast path there.
+        if (n_dev > 1
+                and (cap is None
+                     or D.padded_feature_dim(seq_len) * n_windows
+                     <= HBM_FRACTION * cap)
                 and D.packing_shift(
                     seq_len, max(2, 2 * (n_windows // n_dev))) is not None):
             return "sharded"

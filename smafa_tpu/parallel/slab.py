@@ -75,32 +75,23 @@ def _slab_bytes() -> int:
     return int(os.environ.get("SMAFA_TPU_SLAB_BYTES", str(SLAB_BYTES)))
 
 
-def _device_hbm() -> int | None:
-    """Device 0's memory in bytes, or None when unreported (CPU).
-    SMAFA_TPU_HBM_BYTES overrides (tests force both tiers with it)."""
-    env = os.environ.get("SMAFA_TPU_HBM_BYTES")
-    if env:
-        return int(env)
-    try:
-        stats = jax.devices()[0].memory_stats()
-    except Exception:
-        return None
-    if not stats or "bytes_limit" not in stats:
-        return None
-    return int(stats["bytes_limit"])
-
-
 # The scan kernels take the slab CODES directly: distance.block_distances
 # expands one chunk at a time inside the scan loop, so no slab-sized
 # one-hot is ever materialized — the device working set per step is the
-# uint8 slab plus a [chunk, LP] block.
+# uint8 slab plus a [chunk, LP] block. The query batch expands ONCE per
+# sweep (_expand_q) and the one-hot rides through every slab step.
 
 
 BIG_DIST = 2**30
 
 
+@partial(jax.jit, static_argnames=("seq_len",))
+def _expand_q(q_codes, seq_len):
+    return D.expand_onehot(q_codes, seq_len)
+
+
 @partial(jax.jit, static_argnames=("seq_len", "shift", "chunk", "span"))
-def _min2_step(q_codes, slab_codes, n_valid, slab_off, d_lo, i_lo, d_hi, i_hi,
+def _min2_step(q_oh, slab_codes, n_valid, slab_off, d, i_lo, i_hi,
                seq_len, shift, chunk, span):
     """Slab-LOCAL packed-key min2, unpacked and pair-merged into global
     (dist, index) carries on device.
@@ -109,10 +100,10 @@ def _min2_step(q_codes, slab_codes, n_valid, slab_off, d_lo, i_lo, d_hi, i_hi,
     stream layout serves dbs beyond the GLOBAL packed-key budget (~33M
     rows at 60 bp) — where the resident layouts drop to the top-M
     fallback — without host round-trips. Cross-slab tie rules: slabs
-    ascend in global offset, so the lo carry keeps ties (strict <) and
-    the hi carry takes them (<=); empty rows carry dist 2^30 and index
-    2^31-1 — the sentinel convention of HitModesMixin._min2_unpack."""
-    q_oh = D.expand_onehot(q_codes, seq_len)
+    ascend in global offset, so the lowest-index side keeps ties
+    (strict <) and the highest-index side takes them (<=); empty rows
+    carry dist 2^30 and index 2^31-1 — the sentinel convention of
+    HitModesMixin._min2_unpack."""
     lo, hi = D.min2_scan(q_oh, slab_codes, n_valid, jnp.int32(0),
                          seq_len, shift, chunk, span)
     big = jnp.int32(2**31 - 1)
@@ -121,29 +112,26 @@ def _min2_step(q_codes, slab_codes, n_valid, slab_off, d_lo, i_lo, d_hi, i_hi,
     d2 = jnp.where(empty, jnp.int32(BIG_DIST), lo >> shift)
     il2 = jnp.where(empty, big, (lo & mask) + slab_off)
     ih2 = jnp.where(empty, big, (span - 1 - (hi & mask)) + slab_off)
-    take_lo = d2 < d_lo
-    take_hi = d2 <= d_hi
-    return (jnp.where(take_lo, d2, d_lo), jnp.where(take_lo, il2, i_lo),
-            jnp.where(take_hi, d2, d_hi), jnp.where(take_hi, ih2, i_hi))
+    take_lo = d2 < d
+    take_hi = d2 <= d
+    return (jnp.minimum(d, d2), jnp.where(take_lo, il2, i_lo),
+            jnp.where(take_hi, ih2, i_hi))
 
 
 @partial(jax.jit, static_argnames=("seq_len", "chunk"))
-def _hist_step(q_codes, slab_codes, n_valid, h, seq_len, chunk):
-    q_oh = D.expand_onehot(q_codes, seq_len)
+def _hist_step(q_oh, slab_codes, n_valid, h, seq_len, chunk):
     return h + D.hist_scan(q_oh, slab_codes, n_valid, seq_len, chunk)
 
 
 @partial(jax.jit, static_argnames=("seq_len", "chunk"))
-def _stats_step(q_codes, slab_codes, n_valid, t, cnt, mx, seq_len, chunk):
-    q_oh = D.expand_onehot(q_codes, seq_len)
+def _stats_step(q_oh, slab_codes, n_valid, t, cnt, mx, seq_len, chunk):
     c2, m2 = D._stats_pass(q_oh, slab_codes, n_valid, t, seq_len, chunk)
     return cnt + c2, jnp.maximum(mx, m2)
 
 
 @partial(jax.jit, static_argnames=("seq_len", "chunk", "t_cap"))
-def _compact_step(q_codes, slab_codes, n_valid, off, thresh,
+def _compact_step(q_oh, slab_codes, n_valid, off, thresh,
                   seq_len, chunk, t_cap):
-    q_oh = D.expand_onehot(q_codes, seq_len)
     rows, idx, rc, total = D.compact_scan(
         q_oh, slab_codes, n_valid, thresh, off, seq_len, chunk, t_cap
     )
@@ -200,9 +188,14 @@ class SlabStreamRunner(HitModesMixin):
         if env:
             resident = env not in ("0", "false")
         else:
-            cap = _device_hbm()
+            # Everything lands on ONE device here, so gate on device
+            # 0's share of the (env-overridable, total-across-devices)
+            # capacity — select._hbm_capacity is the single HBM probe.
+            from smafa_tpu.parallel.select import _hbm_capacity
+
+            cap = _hbm_capacity(per_device=True)
             resident = (cap is not None and
-                        self.wp * int(codes.shape[1] or 1)
+                        self.wp * row_bytes
                         <= CODES_RESIDENT_FRACTION * cap)
         self._slab_cache: list | None = [None] * self.n_slabs if resident else None
 
@@ -262,28 +255,27 @@ class SlabStreamRunner(HitModesMixin):
 
         if kind == "min2":
             def run(q_codes, _db, _n):
-                q_dev = jax.device_put(np.ascontiguousarray(q_codes))
+                q_oh = _expand_q(np.ascontiguousarray(q_codes), seq_len)
                 big = jnp.full((b,), BIG_KEY, jnp.int32)
-                carry = [jnp.full((b,), BIG_DIST, jnp.int32), big,
-                         jnp.full((b,), BIG_DIST, jnp.int32), big]
+                carry = [jnp.full((b,), BIG_DIST, jnp.int32), big, big]
 
                 def fold(buf, n_valid, off):
                     carry[:] = _min2_step(
-                        q_dev, buf, n_valid, jnp.int32(off), *carry,
+                        q_oh, buf, n_valid, jnp.int32(off), *carry,
                         seq_len=seq_len, shift=shift, chunk=chunk, span=span,
                     )
                     return carry
                 self._sweep(fold)
-                return (carry[0], carry[1]), (carry[2], carry[3])
+                return (carry[0], carry[1]), (carry[0], carry[2])
             return run
 
         if kind == "hist":
             def run(q_codes, _db, _n):
-                q_dev = jax.device_put(np.ascontiguousarray(q_codes))
+                q_oh = _expand_q(np.ascontiguousarray(q_codes), seq_len)
                 h = [jnp.zeros((b, seq_len + 1), jnp.int32)]
 
                 def fold(buf, n_valid, off):
-                    h[0] = _hist_step(q_dev, buf, n_valid, h[0], seq_len, chunk)
+                    h[0] = _hist_step(q_oh, buf, n_valid, h[0], seq_len, chunk)
                     return h
                 self._sweep(fold)
                 return h[0]
@@ -294,14 +286,14 @@ class SlabStreamRunner(HitModesMixin):
 
         if kind == "compact":
             def run(q_codes, _db, _n, thresh):
-                q_dev = jax.device_put(np.ascontiguousarray(q_codes))
+                q_oh = _expand_q(np.ascontiguousarray(q_codes), seq_len)
                 th_dev = jax.device_put(np.ascontiguousarray(thresh))
                 out_r, out_i, totals = [], [], []
                 rc_sum = np.zeros(b, np.int64)
 
                 def fold(buf, n_valid, off):
                     r, i, rc, t = _compact_step(
-                        q_dev, buf, n_valid, jnp.int32(off), th_dev,
+                        q_oh, buf, n_valid, jnp.int32(off), th_dev,
                         seq_len, chunk, t_cap,
                     )
                     # Per-slab host fetch is the natural drain: no extra
@@ -321,7 +313,7 @@ class SlabStreamRunner(HitModesMixin):
 
         raise KeyError(kind)
 
-    def _scan_stats(self, q_dev, b, t_vec):
+    def _scan_stats(self, q_oh, b, t_vec):
         """(count of dist <= t[row], max dist) per row over ALL slabs."""
         cnt = jnp.zeros((b,), jnp.int32)
         mx = jnp.full((b,), -1, jnp.int32)
@@ -330,7 +322,7 @@ class SlabStreamRunner(HitModesMixin):
 
         def fold(buf, n_valid, off):
             carry[0], carry[1] = _stats_step(
-                q_dev, buf, n_valid, t_dev, carry[0], carry[1],
+                q_oh, buf, n_valid, t_dev, carry[0], carry[1],
                 self.seq_len, self.chunk,
             )
             return carry
@@ -350,19 +342,19 @@ class SlabStreamRunner(HitModesMixin):
         def run(q_codes, _db, _n, k, maxdiv):
             k = int(k)
             maxdiv = int(maxdiv)
-            q_dev = jax.device_put(np.ascontiguousarray(q_codes))
+            q_oh = _expand_q(np.ascontiguousarray(q_codes), seq_len)
             steps = max(1, math.ceil(math.log2(seq_len + 2)))
-            _, maxd = self._scan_stats(q_dev, b, np.full(b, seq_len))
+            _, maxd = self._scan_stats(q_oh, b, np.full(b, seq_len))
             t_lo = np.zeros(b, np.int32)
             t_hi = np.full(b, seq_len, np.int32)
             for _ in range(steps):
                 mid = (t_lo + t_hi) // 2
-                cnt, _ = self._scan_stats(q_dev, b, mid)
+                cnt, _ = self._scan_stats(q_oh, b, mid)
                 ge = cnt >= k
                 t_lo = np.where(ge, t_lo, mid + 1)
                 t_hi = np.where(ge, mid, t_hi)
             cutoff = maxd if k > n_windows else t_hi
             eff = np.minimum(cutoff, maxdiv).astype(np.int32)
-            hits, _ = self._scan_stats(q_dev, b, eff)
+            hits, _ = self._scan_stats(q_oh, b, eff)
             return eff, hits
         return run

@@ -371,11 +371,13 @@ def test_stream_beyond_global_key_budget(monkeypatch):
     r = slab.SlabStreamRunner(codes, L)
     assert D.packing_shift(L, r.wp) is None      # global keys overflow
     assert r.shift is not None                   # slab-local keys fit
-    assert select.choose_layout(n, L) == "stream"
-    # with enough aggregate HBM on a multi-device mesh, prefer the
-    # resident sharded layout (shard-local pack + collective pair merge)
+    # multi-device + unknown/ample capacity -> resident sharded pair
+    # mode (all devices scan); one-hot past reported HBM -> stream.
+    assert select.choose_layout(n, L) == "sharded"
     monkeypatch.setenv("SMAFA_TPU_HBM_BYTES", str(1 << 45))
     assert select.choose_layout(n, L) == "sharded"
+    monkeypatch.setenv("SMAFA_TPU_HBM_BYTES", str(1 << 30))
+    assert select.choose_layout(n, L) == "stream"
     monkeypatch.delenv("SMAFA_TPU_HBM_BYTES")
     # astronomical window lengths can't pack even slab-locally
     assert select.choose_layout(2**30, 2**20) == "sharded"
