@@ -25,9 +25,11 @@ A fourth layout handles dbs the resident three cannot:
 - ``stream`` — SlabStreamRunner (parallel/slab.py): the db never
   resides on device; fixed-shape row slabs stream through HBM per
   batch and fold into carried accumulators. Auto-selected when the
-  one-hot db would overflow the visible devices' HBM (the reference,
-  at 40 packed bytes/row in host RAM, handles such dbs on any big-RAM
-  box — reference lib.rs:54-60 — so the TPU build must too).
+  resident db form (uint8 codes by default, one-hot under
+  SMAFA_TPU_DB_CODES=0) would overflow the visible devices' HBM (the
+  reference, at 40 packed bytes/row in host RAM, handles such dbs on
+  any big-RAM box — reference lib.rs:54-60 — so the TPU build must
+  too).
 
 ``SMAFA_TPU_LAYOUT`` ∈ {auto, sharded, ring, col, stream} overrides the
 choice (the forced values are exercised by the golden/fuzz suites).
@@ -55,12 +57,37 @@ COL_SEQ_THRESHOLD = 8192
 HBM_FRACTION = 0.75
 
 
+# Per-chip HBM for TPU generations whose runtime does not report
+# memory_stats (tunneled/plugin backends): first matching substring of
+# device_kind wins; unknown TPUs get the smallest current-generation
+# chip so capacity decisions stay conservative.
+_TPU_HBM_GIB = (
+    ("v5 lite", 16), ("v5e", 16), ("v6 lite", 32), ("v6e", 32),
+    ("v5p", 95), ("v4", 32), ("v3", 16), ("v2", 8),
+)
+_FALLBACK_TPU_GIB = 16
+
+
+def _kind_capacity(d) -> int | None:
+    """Estimated HBM for a device whose backend reports no memory stats:
+    known TPU generations by device_kind; None for anything else (no
+    guessing on CPU meshes or unknown accelerators)."""
+    if d.platform != "tpu" and "TPU" not in d.device_kind:
+        return None
+    kind = d.device_kind.lower()
+    for pat, gib in _TPU_HBM_GIB:
+        if pat in kind:
+            return gib << 30
+    return _FALLBACK_TPU_GIB << 30
+
+
 def _hbm_capacity(per_device: bool = False) -> int | None:
     """Device memory in bytes — TOTAL across visible devices by default,
     or one device's share with ``per_device=True`` — or None when the
-    backend does not report it (CPU meshes). SMAFA_TPU_HBM_BYTES
-    overrides and ALWAYS means the total across visible devices (also
-    how tests force the out-of-core decisions)."""
+    backend does not report it and no TPU-generation estimate applies
+    (CPU meshes). SMAFA_TPU_HBM_BYTES overrides and ALWAYS means the
+    total across visible devices (also how tests force the out-of-core
+    decisions)."""
     import jax
 
     env = os.environ.get("SMAFA_TPU_HBM_BYTES")
@@ -69,16 +96,30 @@ def _hbm_capacity(per_device: bool = False) -> int | None:
     else:
         total = 0
         for d in jax.devices():
+            stats = None
             try:
                 stats = d.memory_stats()
             except Exception:
+                pass
+            if stats and "bytes_limit" in stats:
+                total += int(stats["bytes_limit"])
+                continue
+            est = _kind_capacity(d)
+            if est is None:
                 return None
-            if not stats or "bytes_limit" not in stats:
-                return None
-            total += int(stats["bytes_limit"])
+            total += est
     if not total:
         return None
     return total // len(jax.devices()) if per_device else total
+
+
+def _resident_row_bytes(seq_len: int) -> int:
+    """Bytes per db row in the form the resident layouts would hold: raw
+    uint8 codes by default (sharded/ring expand per chunk), padded
+    one-hot when SMAFA_TPU_DB_CODES=0 forces the one-hot form."""
+    from smafa_tpu.parallel.sharded import _db_codes_resident
+
+    return seq_len if _db_codes_resident() else D.padded_feature_dim(seq_len)
 
 
 def choose_layout(n_windows: int, seq_len: int) -> str:
@@ -113,7 +154,7 @@ def choose_layout(n_windows: int, seq_len: int) -> str:
         # keys) is the exact fast path there.
         if (n_dev > 1
                 and (cap is None
-                     or D.padded_feature_dim(seq_len) * n_windows
+                     or _resident_row_bytes(seq_len) * n_windows
                      <= HBM_FRACTION * cap)
                 and D.packing_shift(
                     seq_len, max(2, 2 * (n_windows // n_dev))) is not None):
@@ -121,7 +162,7 @@ def choose_layout(n_windows: int, seq_len: int) -> str:
         return "stream"
     cap = _hbm_capacity()
     if cap is not None:
-        need = D.padded_feature_dim(seq_len) * n_windows
+        need = _resident_row_bytes(seq_len) * n_windows
         if need > HBM_FRACTION * cap:
             return "stream"
     if len(jax.devices()) <= 1:

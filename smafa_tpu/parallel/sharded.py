@@ -58,15 +58,18 @@ def _force_shard() -> bool:
 
 
 def _db_codes_resident() -> bool:
-    """Opt-in (SMAFA_TPU_DB_CODES=1): keep the db resident as uint8
-    channel codes instead of one-hot int8 — seq_len vs padded-one-hot
-    bytes per row (6.4x more rows per chip at 60 bp, 6.4x less ICI per
-    ring rotation). Scans expand one chunk at a time inside the loop
-    (distance.block_distances); results are byte-identical. Off by
-    default until the per-chunk expansion's cost is measured on real
-    hardware. The column-sharded layout ignores it (it shards the
-    one-hot feature axis itself)."""
-    return os.environ.get("SMAFA_TPU_DB_CODES", "") not in ("", "0")
+    """Default ON (opt out with SMAFA_TPU_DB_CODES=0): keep the db
+    resident as uint8 channel codes instead of one-hot int8 — seq_len vs
+    padded-one-hot bytes per row (6.4x more rows per chip at 60 bp, 6.4x
+    less ICI per ring rotation). Scans expand one chunk at a time inside
+    the loop (distance.block_distances); results are byte-identical.
+    Measured FASTER than the one-hot-resident form on the v5e chip
+    (min2 at 16384x4M/60bp, back-to-back: 244e9 vs 230e9 cmp/s —
+    docs/PERFORMANCE.md): the 6.4x HBM-read saving outweighs the VPU
+    expansion, which XLA overlaps with the MXU contraction. The
+    column-sharded layout ignores it (it shards the one-hot feature
+    axis itself)."""
+    return os.environ.get("SMAFA_TPU_DB_CODES", "") != "0"
 
 
 def _parse_mesh_env(n_devices: int) -> tuple[int, int]:

@@ -1,8 +1,9 @@
 """Out-of-core db layout: slab-streamed scans for dbs larger than HBM.
 
-The resident layouts (sharded/ring/col) hold the one-hot db tensor in
-device memory — at 60 bp that is 384 bytes/row, so a single v5e chip
-tops out around ~35M rows and even an 8-chip slice around ~280M. The
+The resident layouts (sharded/ring/col) hold the db tensor in device
+memory — uint8 codes by default (60 bytes/row at 60 bp, ~200M rows per
+16 GB chip at the 0.75 HBM fraction), one-hot when forced
+(SMAFA_TPU_DB_CODES=0: 384 bytes/row, ~35M rows). The
 reference, whose db is 40 bytes/row of packed u64 in host RAM
 (reference lib.rs:54-60), handles such dbs on any machine with enough
 RAM; this layout restores that capability TPU-natively:

@@ -325,9 +325,10 @@ def test_stream_codes_resident_tier(monkeypatch):
     {"max_num_hits": 25, "max_divergence": 6},  # K-mode
 ])
 def test_codes_resident_db_parity(tmp_path, monkeypatch, layout, mode):
-    # SMAFA_TPU_DB_CODES=1 keeps the db resident as uint8 channel codes
-    # (6.4x more rows per chip); scans expand per chunk
-    # (distance.block_distances) and must stay byte-identical.
+    # The db is resident as uint8 channel codes by default (6.4x more
+    # rows per chip, measured faster); scans expand per chunk
+    # (distance.block_distances) and must stay byte-identical to the
+    # one-hot-resident form (SMAFA_TPU_DB_CODES=0).
     rng = np.random.default_rng(37)
     L = 18
     pool = _random_seqs(rng, 5, L)
@@ -340,16 +341,17 @@ def test_codes_resident_db_parity(tmp_path, monkeypatch, layout, mode):
     makedb(subj, dbf)
 
     monkeypatch.setenv("SMAFA_TPU_FORCE_SHARD", "1")  # real 8-device mesh
+    monkeypatch.setenv("SMAFA_TPU_DB_CODES", "0")     # one-hot form
     ref = _run_query(dbf, qf, layout, monkeypatch, **mode)
     assert ref.count("\n") >= 100
-    monkeypatch.setenv("SMAFA_TPU_DB_CODES", "1")
+    monkeypatch.delenv("SMAFA_TPU_DB_CODES")          # default = codes
     got = _run_query(dbf, qf, layout, monkeypatch, **mode)
     assert got == ref
 
     # and on the single-device program path
     monkeypatch.delenv("SMAFA_TPU_FORCE_SHARD")
     if layout == "sharded":
-        monkeypatch.delenv("SMAFA_TPU_DB_CODES")
+        monkeypatch.setenv("SMAFA_TPU_DB_CODES", "0")
         ref1 = _run_query(dbf, qf, layout, monkeypatch, **mode)
         monkeypatch.setenv("SMAFA_TPU_DB_CODES", "1")
         assert _run_query(dbf, qf, layout, monkeypatch, **mode) == ref1

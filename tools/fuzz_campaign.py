@@ -47,7 +47,8 @@ for n in range(START, START + COUNT):
     os.environ["SMAFA_TPU_LAYOUT"] = layout
     os.environ["SMAFA_TPU_FORCE_SHARD"] = "1" if (n // 4) % 2 else ""
     # Codes-resident db form (expand-per-chunk) on a rotating subset.
-    os.environ["SMAFA_TPU_DB_CODES"] = "1" if (n // 2) % 2 else ""
+    # Cycle both resident forms (default is now codes; "0" = one-hot).
+    os.environ["SMAFA_TPU_DB_CODES"] = "1" if (n // 2) % 2 else "0"
     # Fake a 31-bit key overflow on some configs so the local-pack +
     # pair-merge paths (and the top-M fallback on 1x1 meshes) get
     # fuzzed at toy scale. The threshold sits between the layout's
