@@ -211,27 +211,41 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    res_runner = sharded.ScanRunner(db_s, seq_len,
-                                    mesh=sharded.build_mesh(1, 1),
-                                    chunk=chunk_b)
-    emit("min2_resident@16384x4M", bench_runner(res_runner), cmp_s)
-    del res_runner
-    # Codes-resident form: same scan with per-chunk one-hot expansion —
-    # this number decides whether SMAFA_TPU_DB_CODES can become the
-    # default (6.4x rows/chip if it measures ~equal).
-    os.environ["SMAFA_TPU_DB_CODES"] = "1"
+    # One-hot-resident baseline (codes-resident is the production
+    # default since the A/B below settled it: 244 vs 230 e9 cmp/s).
+    os.environ["SMAFA_TPU_DB_CODES"] = "0"
     try:
-        codes_runner = sharded.ScanRunner(db_s, seq_len,
-                                          mesh=sharded.build_mesh(1, 1),
-                                          chunk=chunk_b)
-        emit("min2_codes_resident@16384x4M", bench_runner(codes_runner),
-             cmp_s)
-        del codes_runner
+        res_runner = sharded.ScanRunner(db_s, seq_len,
+                                        mesh=sharded.build_mesh(1, 1),
+                                        chunk=chunk_b)
+        emit("min2_onehot_resident@16384x4M", bench_runner(res_runner), cmp_s)
+        del res_runner
     finally:
         os.environ.pop("SMAFA_TPU_DB_CODES", None)
+    # Codes-resident form (the default): same scan with per-chunk
+    # one-hot expansion.
+    codes_runner = sharded.ScanRunner(db_s, seq_len,
+                                      mesh=sharded.build_mesh(1, 1),
+                                      chunk=chunk_b)
+    emit("min2_codes_resident@16384x4M", bench_runner(codes_runner),
+         cmp_s)
+    del codes_runner
+    # Stream layout, both tiers: the slab cache auto-activates when the
+    # codes fit on device (zero per-batch PCIe after sweep 1); forcing
+    # it off measures the true re-streaming tax (tunnel-H2D-bound in
+    # this environment; PCIe-trivial on a real TPU VM).
     st_runner = slab.SlabStreamRunner(db_s, seq_len)
     emit("min2_stream@16384x4M", bench_runner(st_runner), cmp_s,
-         n_slabs=st_runner.n_slabs)
+         n_slabs=st_runner.n_slabs,
+         slab_cache=st_runner._slab_cache is not None)
+    del st_runner
+    os.environ["SMAFA_TPU_SLAB_RESIDENT"] = "0"
+    try:
+        st_cold = slab.SlabStreamRunner(db_s, seq_len)
+        emit("min2_stream_nocache@16384x4M", bench_runner(st_cold), cmp_s,
+             n_slabs=st_cold.n_slabs)
+    finally:
+        os.environ.pop("SMAFA_TPU_SLAB_RESIDENT", None)
 
 
 if __name__ == "__main__":
