@@ -85,7 +85,9 @@ def main() -> None:
 
     seq_len = 60
     if on_accel:
-        n_windows, batch, chunk = 1 << 22, 16384, 8192
+        # chunk matches D.default_chunk at this shape (the measured knee:
+        # 276/293/300/297 e9 cmp/s at 4096/8192/16384/32768).
+        n_windows, batch, chunk = 1 << 22, 16384, 16384
         iters, warmup = 5, 2
     else:  # CPU smoke sizing — keeps CI runs short
         n_windows, batch, chunk = 1 << 14, 512, 2048

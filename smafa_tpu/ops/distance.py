@@ -729,6 +729,26 @@ def bucket(n: int, minimum: int = 16) -> int:
     return max(minimum, 1 << math.ceil(math.log2(max(1, n))))
 
 
+# Ceiling of the auto chunk size (db rows per scan step). Bigger chunks
+# mean fewer lax.scan steps and better XLA scheduling: the codes-resident
+# min2 sweep at 16384x4M/60bp measured 276/293/300/297 e9 cmp/s at chunk
+# 4096/8192/16384/32768 (docs/PERFORMANCE.md), so 16384 is the knee.
+CHUNK_MAX = 16384
+
+
+def default_chunk(n_windows: int, n_shards: int = 1) -> int:
+    """Auto chunk: db rows per scan step on one shard.
+
+    Two regimes, take the max: the small-db rule (one step for anything
+    up to 2048 rows — a tiny db should not pay multi-step scan overhead)
+    and the big-db rule (grow toward CHUNK_MAX but keep at least ~8 scan
+    steps per shard, so rounding the shard up to a chunk multiple wastes
+    at most ~1/8 of its rows on padding)."""
+    small = min(2048, bucket(n_windows, 128))
+    big = min(CHUNK_MAX, bucket(max(1, n_windows // (8 * max(1, n_shards))), 128))
+    return max(small, big)
+
+
 def pad_batch(
     q_codes: np.ndarray, multiple: int = 1, minimum: int = 16
 ) -> tuple[np.ndarray, int, int]:

@@ -59,7 +59,7 @@ class RingScanRunner(HitModesMixin):
         self._codes_host = codes  # K-mode host distance recompute
         self.mesh = mesh if mesh is not None else build_ring_mesh()
         self.n_d = self.mesh.devices.shape[0]
-        self.chunk = chunk or 1024
+        self.chunk = chunk or D.default_chunk(self.n_windows, self.n_d)
 
         stride = self.chunk * self.n_d
         padded = max(stride, ((self.n_windows + stride - 1) // stride) * stride)

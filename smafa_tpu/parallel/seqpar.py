@@ -48,7 +48,7 @@ class ColumnShardedScanRunner(HitModesMixin):
         self._codes_host = codes  # K-mode host distance recompute
         self.mesh = mesh if mesh is not None else build_col_mesh()
         self.n_c = self.mesh.devices.shape[0]
-        self.chunk = chunk or 1024
+        self.chunk = chunk or D.default_chunk(self.n_windows)
 
         padded = max(self.chunk, ((self.n_windows + self.chunk - 1) // self.chunk) * self.chunk)
         self.wp = padded

@@ -168,9 +168,10 @@ class ScanRunner(HitModesMixin):
                 "batch is replicated and the db shards over 'w' "
                 f"(got SMAFA_TPU_MESH={self.n_q},{self.n_w})"
             )
-        # chunk: db rows per scan step; large enough to keep the MXU busy,
-        # small enough that the per-chunk [B, chunk] block stays in VMEM.
-        self.chunk = chunk or min(2048, _bucket(max(1, self.n_windows), 128))
+        # chunk: db rows per scan step (D.default_chunk: toward 16384 at
+        # scale — measured fastest — while keeping >=8 steps per shard so
+        # chunk-multiple padding stays bounded).
+        self.chunk = chunk or D.default_chunk(self.n_windows, self.n_w)
         if self.n_windows == 0:
             # Empty dbs never reach the device (callers guard); keep the
             # runner constructible so load-then-error paths still work.

@@ -152,7 +152,7 @@ class SlabStreamRunner(HitModesMixin):
         self.n_windows = int(codes.shape[0])
         self._codes_host = codes
         row_bytes = max(1, int(codes.shape[1] or 1))
-        self.chunk = chunk or min(2048, D.bucket(max(1, self.n_windows), 128))
+        self.chunk = chunk or D.default_chunk(self.n_windows)
         if slab_rows is None:
             # Slab count from the byte budget, then balance: uniform
             # slab shape (one compiled program) sized so the last slab
