@@ -48,7 +48,7 @@ def build_kernel(name: str, seq_len: int, n_windows: int, chunk: int):
         @jax.jit
         def scan(q, db):
             return D.min2_scan(
-                D.expand_onehot(q, seq_len), db, nw, zero,
+                D.expand_query(q, seq_len, db.shape[1]), db, nw, zero,
                 seq_len, shift, chunk, n_windows,
             )
     elif name == "compact":
@@ -56,14 +56,14 @@ def build_kernel(name: str, seq_len: int, n_windows: int, chunk: int):
         def scan(q, db):
             thresh = jnp.full((q.shape[0],), seq_len // 8, jnp.int32)
             return D.compact_scan(
-                D.expand_onehot(q, seq_len), db, nw, thresh, zero,
+                D.expand_query(q, seq_len, db.shape[1]), db, nw, thresh, zero,
                 seq_len, chunk, 4096,
             )
     elif name == "hist":
         @jax.jit
         def scan(q, db):
             return D.hist_scan(
-                D.expand_onehot(q, seq_len), db, nw, seq_len, chunk
+                D.expand_query(q, seq_len, db.shape[1]), db, nw, seq_len, chunk
             )
     else:
         raise SystemExit(f"unknown kernel {name}")

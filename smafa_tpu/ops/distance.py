@@ -92,6 +92,94 @@ def _match_dots(q_oh: jax.Array, d_oh: jax.Array) -> jax.Array:
     )
 
 
+# ---------------------------------------------------------------------------
+# Rank-4 match embedding: the same match counts from a 4-channel (not
+# 5-channel) contraction, cutting the MXU work per comparison by the lane
+# padding ratio (384 -> 256 at 60 bp, i.e. 1.5x).
+#
+# A symmetric integer embedding below 5 dims/base provably does not exist
+# (the Gram matrix family alpha*I + f*1^T + 1*f^T needs (alpha+sum f)^2 =
+# 5*|f|^2, and every PSD rank-4 member fails the square-determinant
+# condition on its 4x4 minors — exhaustively checked for |f| <= 6). But
+# the two sides of the contraction may use DIFFERENT embeddings, and then
+# a one-line construction works — drop channel 0:
+#
+#   query side   q_l = onehot_{1..4}(code)          (code 0 -> zero vector)
+#   db side      d_l = onehot_{1..4}(code)           for code != 0
+#                d_l = (-1,-1,-1,-1)                  for code == 0
+#
+#   <q_l, d_l> = delta(q,d) - [q==0][d==0] - [q!=0][d==0] = delta - [d==0]
+#
+# so   matches = dot + #(db positions with code 0)   — exact in integers,
+# with the per-db-row zero count added in the (already fused) epilogue.
+# Entries are {-1, 0, 1} int8; |dot| <= L so int32 accumulation is exact.
+#
+# Active only where the padded contraction width actually shrinks
+# (padded_embed_dim < padded_feature_dim — at 60 bp: 256 < 384), which
+# also makes the query form unambiguous from its width alone, so
+# ``block_distances`` can infer the right per-chunk db expansion.
+
+EMBED_CHANNELS = N_CHANNELS - 1  # channels 1..4; channel 0 is implicit
+
+
+def padded_embed_dim(seq_len: int) -> int:
+    le = seq_len * EMBED_CHANNELS
+    return ((le + LANE - 1) // LANE) * LANE
+
+
+def _embed_enabled() -> bool:
+    import os
+
+    return os.environ.get("SMAFA_TPU_EMBED", "") != "0"
+
+
+def embed_active(seq_len: int) -> bool:
+    """True when codes-resident scans should use the rank-4 embedding:
+    it must be enabled AND actually shrink the padded contraction."""
+    return _embed_enabled() and padded_embed_dim(seq_len) < padded_feature_dim(seq_len)
+
+
+def expand_embed_query(codes: np.ndarray | jax.Array, seq_len: int) -> jax.Array:
+    """Channel indices uint8 [..., L] -> int8 [..., EP] query-side embedding
+    (one-hot over channels 1..4; channel 0 maps to the zero vector)."""
+    codes = jnp.asarray(codes)
+    oh = (codes[..., :, None]
+          == jnp.arange(1, N_CHANNELS, dtype=codes.dtype)).astype(jnp.int8)
+    flat = oh.reshape(codes.shape[:-1] + (seq_len * EMBED_CHANNELS,))
+    ep = padded_embed_dim(seq_len)
+    if ep != seq_len * EMBED_CHANNELS:
+        pad = [(0, 0)] * (flat.ndim - 1) + [(0, ep - seq_len * EMBED_CHANNELS)]
+        flat = jnp.pad(flat, pad)
+    return flat
+
+
+def expand_embed_db(codes: jax.Array, seq_len: int) -> tuple[jax.Array, jax.Array]:
+    """Db-side embedding: int8 [..., EP] (channel 0 -> all -1) plus the
+    per-row int32 count of channel-0 positions (the epilogue correction)."""
+    codes = jnp.asarray(codes)
+    is0 = (codes[..., :, None] == 0).astype(jnp.int8)
+    oh = (codes[..., :, None]
+          == jnp.arange(1, N_CHANNELS, dtype=codes.dtype)).astype(jnp.int8)
+    emb = oh - is0  # code 0 row: (-1,-1,-1,-1); else one-hot
+    flat = emb.reshape(codes.shape[:-1] + (seq_len * EMBED_CHANNELS,))
+    ep = padded_embed_dim(seq_len)
+    if ep != seq_len * EMBED_CHANNELS:
+        pad = [(0, 0)] * (flat.ndim - 1) + [(0, ep - seq_len * EMBED_CHANNELS)]
+        flat = jnp.pad(flat, pad)
+    zc = jnp.sum((codes == 0).astype(jnp.int32), axis=-1)
+    return flat, zc
+
+
+def expand_query(codes: np.ndarray | jax.Array, seq_len: int,
+                 db_width: int) -> jax.Array:
+    """The query-side expansion matching a resident db of width ``db_width``
+    (static at trace time): the rank-4 embedding when the db is
+    codes-resident and the embedding is active, else one-hot."""
+    if db_width != padded_feature_dim(seq_len) and embed_active(seq_len):
+        return expand_embed_query(codes, seq_len)
+    return expand_onehot(codes, seq_len)
+
+
 @partial(jax.jit, static_argnames=("seq_len",))
 def pairwise_distances(q_oh: jax.Array, d_oh: jax.Array, seq_len: int) -> jax.Array:
     """Full [B, W] distance matrix (small-problem path and test oracle)."""
@@ -111,9 +199,16 @@ def block_distances(q_oh, db, off, chunk, seq_len: int):
     rows per chip at 60 bp, and 6.4x less ICI per ring rotation /
     PCIe per streamed slab)."""
     block = jax.lax.dynamic_slice_in_dim(db, off, chunk, axis=0)
-    if db.shape[1] != padded_feature_dim(seq_len):
-        block = expand_onehot(block, seq_len)
-    return seq_len - _match_dots(q_oh, block)
+    lp = padded_feature_dim(seq_len)
+    if db.shape[1] == lp:
+        return seq_len - _match_dots(q_oh, block)
+    ep = padded_embed_dim(seq_len)
+    if q_oh.shape[1] == ep and ep < lp:
+        # Rank-4 embedding (the query's width commits the form — see the
+        # embedding notes above): matches = dot + per-row zero count.
+        d_emb, zc = expand_embed_db(block, seq_len)
+        return seq_len - _match_dots(q_oh, d_emb) - zc[None, :]
+    return seq_len - _match_dots(q_oh, expand_onehot(block, seq_len))
 
 
 def _merge_topm(

@@ -170,7 +170,7 @@ class RingScanRunner(HitModesMixin):
 
         @jax.jit
         def run(q_codes, db_oh, n_windows, *extra):
-            q_oh = D.expand_onehot(q_codes, seq_len)
+            q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
             return mapped(q_oh, db_oh, n_windows, *extra)
 
         return run

@@ -251,7 +251,7 @@ class ScanRunner(HitModesMixin):
             # compile, identical semantics).
             @jax.jit
             def run_single(q_codes, db_oh, n_windows):
-                q_oh = D.expand_onehot(q_codes, seq_len)
+                q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
                 return D.topm_scan(q_oh, db_oh, n_windows, seq_len, m, chunk)
 
             return run_single
@@ -280,7 +280,7 @@ class ScanRunner(HitModesMixin):
 
         @jax.jit
         def run(q_codes, db_oh, n_windows):
-            q_oh = D.expand_onehot(q_codes, seq_len)
+            q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
             return mapped(q_oh, db_oh, n_windows)
 
         return run
@@ -316,7 +316,7 @@ class ScanRunner(HitModesMixin):
         if self.n_q == 1 and self.n_w == 1:
             @jax.jit
             def run_single(q_codes, db_oh, n_windows):
-                q_oh = D.expand_onehot(q_codes, seq_len)
+                q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
                 return D.min2_scan(
                     q_oh, db_oh, n_windows, jnp.int32(0),
                     seq_len, shift, chunk, span,
@@ -371,7 +371,7 @@ class ScanRunner(HitModesMixin):
 
         @jax.jit
         def run(q_codes, db_oh, n_windows):
-            q_oh = D.expand_onehot(q_codes, seq_len)
+            q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
             return mapped(q_oh, db_oh, n_windows)
 
         return run
@@ -407,7 +407,7 @@ class ScanRunner(HitModesMixin):
             if seg is None:
                 @jax.jit
                 def run_single(q_codes, db_oh, n_windows, thresh):
-                    q_oh = D.expand_onehot(q_codes, seq_len)
+                    q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
                     rows, idx, rc, total = D.compact_scan(
                         q_oh, db_oh, n_windows, thresh, jnp.int32(0),
                         seq_len, chunk, t_cap,
@@ -421,7 +421,7 @@ class ScanRunner(HitModesMixin):
             # compile-time and runtime — independent of db size.
             @jax.jit
             def run_seg(q_codes, db_oh, n_windows, thresh, seg_off):
-                q_oh = D.expand_onehot(q_codes, seq_len)
+                q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
                 block = jax.lax.dynamic_slice_in_dim(db_oh, seg_off, seg, 0)
                 n_valid = jnp.clip(n_windows - seg_off, 0, seg)
                 rows, idx, rc, total = D.compact_scan(
@@ -485,7 +485,7 @@ class ScanRunner(HitModesMixin):
 
         @jax.jit
         def run(q_codes, db_oh, n_windows, thresh):
-            q_oh = D.expand_onehot(q_codes, seq_len)
+            q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
             return mapped(q_oh, db_oh, n_windows, thresh)
 
         return run
@@ -508,7 +508,7 @@ class ScanRunner(HitModesMixin):
         if self.n_q == 1 and self.n_w == 1:
             @jax.jit
             def run_single(q_codes, db_oh, n_windows):
-                q_oh = D.expand_onehot(q_codes, seq_len)
+                q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
                 return D.hist_scan(q_oh, db_oh, n_windows, seq_len, chunk)
 
             return run_single
@@ -529,7 +529,7 @@ class ScanRunner(HitModesMixin):
 
         @jax.jit
         def run(q_codes, db_oh, n_windows):
-            q_oh = D.expand_onehot(q_codes, seq_len)
+            q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
             return mapped(q_oh, db_oh, n_windows)
 
         return run
@@ -540,7 +540,7 @@ class ScanRunner(HitModesMixin):
         if self.n_q == 1 and self.n_w == 1:
             @jax.jit
             def run_single(q_codes, db_oh, n_windows, k, maxdiv):
-                q_oh = D.expand_onehot(q_codes, seq_len)
+                q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
                 return D.kmode_stats_scan(
                     q_oh, db_oh, n_windows, k, maxdiv, seq_len, chunk
                 )
@@ -568,7 +568,7 @@ class ScanRunner(HitModesMixin):
 
         @jax.jit
         def run(q_codes, db_oh, n_windows, k, maxdiv):
-            q_oh = D.expand_onehot(q_codes, seq_len)
+            q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
             return mapped(q_oh, db_oh, n_windows, k, maxdiv)
 
         return run

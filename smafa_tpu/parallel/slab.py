@@ -86,8 +86,14 @@ def _slab_bytes() -> int:
 BIG_DIST = 2**30
 
 
-@partial(jax.jit, static_argnames=("seq_len",))
-def _expand_q(q_codes, seq_len):
+@partial(jax.jit, static_argnames=("seq_len", "embed"))
+def _expand_q(q_codes, seq_len, embed):
+    # Slabs are always codes-resident, so the query pairs with whatever
+    # form embed_active selects for codes dbs. The form is an explicit
+    # static arg: this jit cache is module-global and the env-derived
+    # choice must not be baked into a shape-keyed entry.
+    if embed:
+        return D.expand_embed_query(q_codes, seq_len)
     return D.expand_onehot(q_codes, seq_len)
 
 
@@ -256,7 +262,7 @@ class SlabStreamRunner(HitModesMixin):
 
         if kind == "min2":
             def run(q_codes, _db, _n):
-                q_oh = _expand_q(np.ascontiguousarray(q_codes), seq_len)
+                q_oh = _expand_q(np.ascontiguousarray(q_codes), seq_len, D.embed_active(seq_len))
                 big = jnp.full((b,), BIG_KEY, jnp.int32)
                 carry = [jnp.full((b,), BIG_DIST, jnp.int32), big, big]
 
@@ -272,7 +278,7 @@ class SlabStreamRunner(HitModesMixin):
 
         if kind == "hist":
             def run(q_codes, _db, _n):
-                q_oh = _expand_q(np.ascontiguousarray(q_codes), seq_len)
+                q_oh = _expand_q(np.ascontiguousarray(q_codes), seq_len, D.embed_active(seq_len))
                 h = [jnp.zeros((b, seq_len + 1), jnp.int32)]
 
                 def fold(buf, n_valid, off):
@@ -287,7 +293,7 @@ class SlabStreamRunner(HitModesMixin):
 
         if kind == "compact":
             def run(q_codes, _db, _n, thresh):
-                q_oh = _expand_q(np.ascontiguousarray(q_codes), seq_len)
+                q_oh = _expand_q(np.ascontiguousarray(q_codes), seq_len, D.embed_active(seq_len))
                 th_dev = jax.device_put(np.ascontiguousarray(thresh))
                 out_r, out_i, totals = [], [], []
                 rc_sum = np.zeros(b, np.int64)
@@ -343,7 +349,7 @@ class SlabStreamRunner(HitModesMixin):
         def run(q_codes, _db, _n, k, maxdiv):
             k = int(k)
             maxdiv = int(maxdiv)
-            q_oh = _expand_q(np.ascontiguousarray(q_codes), seq_len)
+            q_oh = _expand_q(np.ascontiguousarray(q_codes), seq_len, D.embed_active(seq_len))
             steps = max(1, math.ceil(math.log2(seq_len + 2)))
             _, maxd = self._scan_stats(q_oh, b, np.full(b, seq_len))
             t_lo = np.zeros(b, np.int32)
