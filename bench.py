@@ -87,10 +87,10 @@ def main() -> None:
     if on_accel:
         # chunk matches D.default_chunk at this shape (the measured knee:
         # 276/293/300/297 e9 cmp/s at chunk 4096/8192/16384/32768) and
-        # batch matches engine._auto_batch for a >=1M-row resident db
-        # (throughput rises with B as db HBM reads amortize: 293/319/333
-        # e9 at B=16k/32k/64k).
-        n_windows, batch, chunk = 1 << 22, 32768, 16384
+        # batch matches engine._auto_batch for a >=4M-row resident db
+        # (throughput rises with B as db HBM reads amortize; with the
+        # rank-4 embedding the 32k->64k step measured 355->381 e9).
+        n_windows, batch, chunk = 1 << 22, 65536, 16384
         iters, warmup = 5, 2
     else:  # CPU smoke sizing — keeps CI runs short
         n_windows, batch, chunk = 1 << 14, 512, 2048

@@ -69,10 +69,10 @@ _bucket = D.bucket  # single bucketing policy (ops.distance)
 
 
 @partial(jax.jit, static_argnames=("seq_len", "chunk"))
-def _scan_min(q_codes, cent_oh, n_centroids, seq_len, chunk):
+def _scan_min(q_codes, cent_buf, n_centroids, seq_len, chunk):
     """One program per batch: (min dist, first argmin) vs centroids."""
-    q_oh = D.expand_onehot(q_codes, seq_len)
-    return D.min_scan(q_oh, cent_oh, n_centroids, seq_len, chunk)
+    q_oh = D.expand_query(q_codes, seq_len, cent_buf.shape[1])
+    return D.min_scan(q_oh, cent_buf, n_centroids, seq_len, chunk)
 
 
 def _build_sharded_scan(mesh, seq_len: int, chunk: int, shard_rows: int, span: int):
@@ -106,9 +106,9 @@ def _build_sharded_scan(mesh, seq_len: int, chunk: int, shard_rows: int, span: i
     )
 
     @jax.jit
-    def run(q_codes, cent_oh, n_centroids):
-        q_oh = D.expand_onehot(q_codes, seq_len)
-        return mapped(q_oh, cent_oh, n_centroids)
+    def run(q_codes, cent_buf, n_centroids):
+        q_oh = D.expand_query(q_codes, seq_len, cent_buf.shape[1])
+        return mapped(q_oh, cent_buf, n_centroids)
 
     return run
 
@@ -131,7 +131,12 @@ def _host_hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 class _CentroidStore:
-    """Host WindowSet mirror + growable device one-hot buffer."""
+    """Host WindowSet mirror + growable device buffer.
+
+    The device buffer holds uint8 channel codes (the shipped resident
+    form — seq_len bytes/row vs padded one-hot, and the scans use the
+    rank-4 query embedding on it when active, like the query db), unless
+    SMAFA_TPU_DB_CODES=0 forces one-hot residency."""
 
     def __init__(self, seq_len: int):
         from smafa_tpu.parallel import sharded
@@ -143,9 +148,10 @@ class _CentroidStore:
         self.decoded: list[str] = []
         # Generous initial capacity: each doubling changes the device
         # buffer shape and forces a recompile, which costs far more than
-        # the few MB of one-hot int8 it saves.
+        # the few MB it saves.
         self.cap = 16384
         self.chunk = 1024
+        self._codes_form = sharded._db_codes_resident()
         # Shard the centroid tensor over the 'w' mesh axis in multi-host
         # runs, or when tests force sharding; single-process runs keep
         # the simpler single-device program. The packed-key scan merges
@@ -156,7 +162,6 @@ class _CentroidStore:
             if self.mesh.devices.size == 1:
                 self.mesh = None
         self._scan_cache: dict[tuple, callable] = {}
-        lp = D.padded_feature_dim(seq_len)
         if self.mesh is not None and D.packing_shift(seq_len, self.cap * 64) is None:
             # The sharded scan needs packed 31-bit keys with growth
             # headroom; absurdly long sequences fall back to the
@@ -171,13 +176,16 @@ class _CentroidStore:
             self._stride = self.chunk * n_w
             self.cap = ((self.cap + self._stride - 1) // self._stride) * self._stride
             self._buf_sharding = NamedSharding(self.mesh, P("w", None))
-            self.buf = jax.device_put(
-                np.zeros((self.cap, lp), dtype=np.int8), self._buf_sharding
-            )
+            self.buf = jax.device_put(self._empty_buf(self.cap), self._buf_sharding)
         else:
             self._stride = 1
             self._buf_sharding = None
-            self.buf = jnp.zeros((self.cap, lp), dtype=jnp.int8)
+            self.buf = jnp.asarray(self._empty_buf(self.cap))
+
+    def _empty_buf(self, cap: int) -> np.ndarray:
+        if self._codes_form:
+            return np.zeros((cap, self.seq_len), dtype=np.uint8)
+        return np.zeros((cap, D.padded_feature_dim(self.seq_len)), dtype=np.int8)
 
     def __len__(self) -> int:
         return len(self.ws)
@@ -199,11 +207,14 @@ class _CentroidStore:
             all_codes = np.zeros((self.cap, self.seq_len), dtype=np.uint8)
             all_codes[:n0] = self.ws.codes
             all_codes[n0 : n0 + k] = codes_rows
-            expand = jax.jit(
-                partial(D.expand_onehot, seq_len=self.seq_len),
-                out_shardings=self._buf_sharding,
-            )
-            self.buf = expand(all_codes)
+            if self._codes_form:
+                self.buf = jax.device_put(all_codes, self._buf_sharding)
+            else:
+                expand = jax.jit(
+                    partial(D.expand_onehot, seq_len=self.seq_len),
+                    out_shardings=self._buf_sharding,
+                )
+                self.buf = expand(all_codes)
         else:
             # Pad the appended block to a power-of-two row bucket: the
             # number of promotions varies per batch, and an exact-shape
@@ -255,9 +266,14 @@ class _CentroidStore:
 
 
 @partial(jax.jit, static_argnames=("seq_len",))
-def _append_rows(cent_oh, new_codes, at, seq_len):
+def _append_rows(cent_buf, new_codes, at, seq_len):
+    if cent_buf.shape[1] != D.padded_feature_dim(seq_len):
+        # codes-resident buffer: the rows land as-is
+        return jax.lax.dynamic_update_slice_in_dim(
+            cent_buf, new_codes, at, axis=0
+        )
     new_oh = D.expand_onehot(new_codes, seq_len)
-    return jax.lax.dynamic_update_slice_in_dim(cent_oh, new_oh, at, axis=0)
+    return jax.lax.dynamic_update_slice_in_dim(cent_buf, new_oh, at, axis=0)
 
 
 class _Dedup:

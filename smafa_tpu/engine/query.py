@@ -99,13 +99,18 @@ def _auto_batch(db: "_DbOnDevice") -> int:
     if isinstance(db.runner, SlabStreamRunner):
         return 65536
     n_windows = db.n_windows
+    if n_windows >= 1 << 22:
+        # With the rank-4 embedding the matmul is 1.5x cheaper and the
+        # scan is even more read-amortization-bound: measured 355 ->
+        # 381 e9 cmp/s going 32k -> 64k at 4M rows (embed,
+        # codes-resident, same session). Per-batch latency there is
+        # ~0.7 s — fine at multi-million-row scale.
+        return 65536
     if n_windows >= 1 << 20:
         # Scan throughput keeps rising with B as db HBM reads amortize:
         # measured 293/319/333 e9 cmp/s at B=16k/32k/64k (4M rows,
         # codes-resident, chunk 16384) — 32k trades a 0.4 s per-batch
-        # latency for +9% over 16k; 64k's further +4% is not worth
-        # doubling the latency/resume granularity again for resident
-        # dbs (stream takes it: there B also divides per-sweep PCIe).
+        # latency for +9% over 16k.
         return 32768
     if n_windows >= 1 << 19:
         return 16384

@@ -89,7 +89,8 @@ def test_auto_batch_scaling():
     assert _auto_batch(_Db((1 << 16) - 1)) == DEFAULT_BATCH
     assert _auto_batch(_Db(1 << 16)) == 4096
     assert _auto_batch(_Db(1 << 19)) == 16384
-    assert _auto_batch(_Db(10_000_000)) == 32768
+    assert _auto_batch(_Db(1 << 21)) == 32768
+    assert _auto_batch(_Db(10_000_000)) == 65536
     # out-of-core: the whole db crosses PCIe per batch -> go biggest
     st = SlabStreamRunner.__new__(SlabStreamRunner)
     assert _auto_batch(_Db(100, runner=st)) == 65536
