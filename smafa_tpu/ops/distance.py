@@ -491,6 +491,72 @@ def _saturating_word_cumsum(pcw):
     return outs.reshape(-1)[:n], row_counts
 
 
+def _pack_mode() -> str:
+    import os
+
+    # default stays the round-2 baseline until the alternates are
+    # measured on the chip (flip here when they win)
+    return os.environ.get("SMAFA_TPU_PACK", "reduce")
+
+
+_PACK_GROUP = 512  # hit bits per matmul-pack group: 16 words x 5 planes
+                   # = 80 output columns <= one 128-lane N tile
+
+
+def _pack_weights(group: int) -> np.ndarray:
+    """[group, 5*group/32] int8 block-diagonal powers-of-two: bit j of
+    the group lands in word j//32, plane (j%32)//7, weight 1<<(j%32%7).
+    Plane sums stay <= 127, so int8 x int8 -> int32 is exact."""
+    w = np.zeros((group, 5 * (group // 32)), np.int8)
+    for j in range(group):
+        word, bit = divmod(j, 32)
+        plane, pos = divmod(bit, 7)
+        w[j, 5 * word + plane] = np.int8(1 << pos)
+    return w
+
+
+def _pack_bits(hit, b: int, wpc: int):
+    """[B, wpc*32] bool hit matrix -> [B, wpc] uint32 words (bit j of
+    word w = hit[:, 32w+j]). Three lowerings, selected by
+    SMAFA_TPU_PACK — the pack epilogue dominated round 2's compaction
+    cost (XLA lowers the naive 32-wide word reduction at ~4.7x the scan
+    matmul; docs/PERFORMANCE.md "Compaction cost anatomy"):
+
+    - ``matmul``: contract 512-bit groups with a block-diagonal
+      powers-of-two int8 matrix on the MXU (16 words x 5 seven-bit
+      planes = 80 output columns per group), then 5 shift-or combines.
+      MXU cost = 128 MACs/hit-bit (the N-tile floor) = 0.5x the scan
+      matmul at K=256.
+    - ``tree``: 5 pairwise doubling steps (x[0::2] | x[1::2] << s) —
+      pure VPU, O(2*B*chunk) elementwise ops.
+    - ``reduce``: the naive shift-and-sum over the 32 lanes (round-2
+      baseline).
+    """
+    mode = _pack_mode()
+    if mode == "matmul" and (wpc * 32) % _PACK_GROUP == 0:
+        g = _PACK_GROUP
+        wpg = g // 32  # words per group
+        planes = jax.lax.dot_general(
+            hit.reshape(b * (wpc * 32) // g, g).astype(jnp.int8),
+            jnp.asarray(_pack_weights(g)),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).reshape(b, wpc // wpg, wpg, 5).astype(jnp.uint32)
+        shifts = (jnp.arange(5, dtype=jnp.uint32) * 7)[None, None, None, :]
+        return jnp.sum(planes << shifts, axis=3, dtype=jnp.uint32).reshape(b, wpc)
+    if mode == "tree" or mode == "matmul":
+        # (matmul falls back here when the chunk is under one group)
+        x = hit.astype(jnp.uint32)
+        for s in (1, 2, 4, 8, 16):
+            x = x[:, 0::2] | (x[:, 1::2] << jnp.uint32(s))
+        return x
+    bits = hit.reshape(b, wpc, 32).astype(jnp.uint32)
+    return jnp.sum(
+        bits << jnp.arange(32, dtype=jnp.uint32)[None, None, :],
+        axis=2, dtype=jnp.uint32,
+    )
+
+
 def mask_fold_chunk(mask, dist, lidx, n_windows, thresh, chunk_index):
     """Pack one chunk's hit bits (dist <= thresh[row]; thresh -1 disables
     a row) into the carried [B, n_chunks*wpc] uint32 mask at word column
@@ -504,11 +570,7 @@ def mask_fold_chunk(mask, dist, lidx, n_windows, thresh, chunk_index):
     hit = valid & (dist <= thresh[:, None])
     if wpc * 32 != chunk:
         hit = jnp.pad(hit, [(0, 0), (0, wpc * 32 - chunk)])
-    bits = hit.reshape(b, wpc, 32).astype(jnp.uint32)
-    words = jnp.sum(
-        bits << jnp.arange(32, dtype=jnp.uint32)[None, None, :],
-        axis=2, dtype=jnp.uint32,
-    )
+    words = _pack_bits(hit, b, wpc)
     return jax.lax.dynamic_update_slice(
         mask, words, (jnp.int32(0), chunk_index * wpc)
     )
