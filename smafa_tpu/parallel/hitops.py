@@ -146,6 +146,33 @@ class HitModesMixin:
             counts = keep.astype(np.int32)
             return (dist, counts, np.nonzero(keep)[0].astype(np.int32),
                     idx_lo[keep].astype(np.int32))
+        if self._pair_count_enabled():
+            # Tie-count pass first (count at <= min == count at == min):
+            # rows with exactly 2 ties are COMPLETE from the dual min2
+            # keys (lowest + highest tied index), so only >2-tie rows pay
+            # the compaction pass — and with exact counts, exactly sized.
+            tied_ids = np.nonzero(tied)[0].astype(np.int32)
+            tie_cnt = self._tie_counts(q_padded, tied_ids, dist[tied_ids])
+            counts = keep.astype(np.int64)
+            counts[tied_ids] = tie_cnt
+            p_rows = tied_ids[tie_cnt == 2]
+            multi = tie_cnt > 2
+            if multi.any():
+                m_rows, m_idx = self._compact_grouped_rows(
+                    q_padded, tied_ids[multi], dist[tied_ids[multi]],
+                    tie_cnt[multi],
+                )
+            else:
+                m_rows = m_idx = np.empty(0, np.int32)
+            u_rows = np.nonzero(keep & ~tied)[0].astype(np.int32)
+            all_rows = np.concatenate([u_rows, p_rows, p_rows, m_rows])
+            all_idx = np.concatenate(
+                [idx_lo[u_rows], idx_lo[p_rows], idx_hi[p_rows], m_idx]
+            )
+            order = np.lexsort((all_idx, all_rows))
+            return (dist, counts.astype(np.int32),
+                    all_rows[order].astype(np.int32),
+                    all_idx[order].astype(np.int32))
         thresh = np.full(q_padded.shape[0], -1, np.int32)
         thresh[:nq][tied] = dist[tied]
         t_rows, t_idx, row_counts = self._compact_adaptive(
@@ -295,6 +322,42 @@ class HitModesMixin:
         q = q_padded[rows, :L]
         d = np.asarray(self._codes_host[idx])[:, :L]
         return (L - (q == d).sum(axis=1)).astype(np.int32)
+
+    # -- best-hit tie-count fast path ---------------------------------------
+
+    # Use the tie-count pass when the compaction span is at least this
+    # many rows: below it, compaction is a single cheap dispatch and the
+    # extra tcount dispatch's latency dominates; above it, the pack
+    # epilogue makes compaction several scan-equivalents, and most tied
+    # rows (exactly 2 ties on random data) skip it entirely.
+    PAIR_COUNT_MIN_SPAN = 1 << 18
+
+    def _pair_count_enabled(self) -> bool:
+        import os
+
+        v = os.environ.get("SMAFA_TPU_PAIR_COUNT", "")
+        if v == "0":
+            return False
+        if v == "1":
+            return True
+        return self._compact_span_rows() >= self.PAIR_COUNT_MIN_SPAN
+
+    def _tie_counts(self, q_padded: np.ndarray, row_ids: np.ndarray,
+                    dist_vals: np.ndarray) -> np.ndarray:
+        """Exact tie count per selected row: one tcount pass (count of
+        windows at dist <= row minimum — nothing sits below the minimum,
+        so this IS the tie count) over a bucketed gather of exactly the
+        tied rows."""
+        nsel = int(row_ids.shape[0])
+        b = D.bucket(nsel, minimum=16)
+        q_sub = np.zeros((b, q_padded.shape[1]), q_padded.dtype)
+        q_sub[:nsel] = q_padded[row_ids]
+        q_sub_p, _ = self._pad(q_sub)
+        t = np.full(q_sub_p.shape[0], -1, np.int32)
+        t[:nsel] = dist_vals
+        fn = self._program("tcount", q_sub_p.shape[0])
+        cnt = np.asarray(fn(q_sub_p, self.db_oh, self.n_windows_dev, t))
+        return cnt[:nsel].astype(np.int64)
 
     def _compact_span_rows(self) -> int:
         """Db rows one compact program instance's mask spans (overridden

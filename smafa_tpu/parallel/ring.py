@@ -120,6 +120,8 @@ class RingScanRunner(HitModesMixin):
             return self._build_hist(b)
         if kind == "kstats":
             return self._build_kstats(b)
+        if kind == "tcount":
+            return self._build_tcount(b)
         if kind == "compact":
             return self._build_compact(b, t_cap)
         raise KeyError(kind)
@@ -229,6 +231,26 @@ class RingScanRunner(HitModesMixin):
 
         return self._jit_mapped(
             shard_fn, (P("d", None), P("d", None), P()), P("d", None)
+        )
+
+    def _build_tcount(self, b: int):
+        """Per-row count at dist <= t[row] over one ring rotation — the
+        best-hit tie-count pass (t = row minimum; -1 disables)."""
+        def shard_fn(q_oh, db_shard, n_windows, t):
+            b_loc = q_oh.shape[0]
+            init = (
+                jnp.zeros((b_loc,), jnp.int32),
+                jnp.full((b_loc,), -1, jnp.int32),
+            )
+
+            def fold(carry, dist, lidx, n_valid, off):
+                return D.stats_chunk_update(carry, dist, lidx, n_valid, t)
+
+            cnt, _ = self._ring_sweep(q_oh, db_shard, n_windows, init, fold)
+            return cnt
+
+        return self._jit_mapped(
+            shard_fn, (P("d", None), P("d", None), P(), P("d")), P("d")
         )
 
     def _build_kstats(self, b: int):

@@ -107,6 +107,8 @@ class ColumnShardedScanRunner(HitModesMixin):
             return self._build_hist(b)
         if kind == "kstats":
             return self._build_kstats(b)
+        if kind == "tcount":
+            return self._build_tcount(b)
         if kind == "compact":
             return self._build_compact(b, t_cap)
         raise KeyError(kind)
@@ -220,6 +222,24 @@ class ColumnShardedScanRunner(HitModesMixin):
             return D.kmode_phase1(scan_stats, k, maxdiv, n_windows, seq_len)
 
         return self._jit_mapped(shard_fn, 2, (P(), P()))
+
+    def _build_tcount(self, b: int):
+        """Per-row count at dist <= t[row] (t = -1 disables) — the
+        best-hit tie-count pass on the column-sharded layout."""
+        def shard_fn(q_oh, db_sh, n_windows, t):
+            b_loc = q_oh.shape[0]
+            init = (
+                jnp.zeros((b_loc,), jnp.int32),
+                jnp.full((b_loc,), -1, jnp.int32),
+            )
+
+            def fold(carry, dist, lidx, n_valid, off):
+                return D.stats_chunk_update(carry, dist, lidx, n_valid, t)
+
+            cnt, _ = self._col_sweep(q_oh, db_sh, n_windows, init, fold)
+            return cnt
+
+        return self._jit_mapped(shard_fn, 1, P())
 
     def _build_compact(self, b: int, t_cap: int):
         chunk, wp = self.chunk, self.wp

@@ -133,6 +133,8 @@ class ScanRunner(HitModesMixin):
             return self._build_hist(b)
         if kind == "kstats":
             return self._build_kstats(b, shift)
+        if kind == "tcount":
+            return self._build_tcount(b)
         if kind == "compact":
             return self._build_compact(b, t_cap)
         raise KeyError(kind)
@@ -570,6 +572,43 @@ class ScanRunner(HitModesMixin):
         def run(q_codes, db_oh, n_windows, k, maxdiv):
             q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
             return mapped(q_oh, db_oh, n_windows, k, maxdiv)
+
+        return run
+
+    def _build_tcount(self, b: int):
+        """Per-row count of windows at dist <= t[row] (t = -1 disables a
+        row) — one cheap epilogue pass. Best-hit uses it with t = the
+        row minimum, where count(<= min) == count(== min): the exact tie
+        count, so 2-tie rows resolve from the dual min2 keys alone."""
+        seq_len, chunk, shard_rows = self.seq_len, self.chunk, self.shard_rows
+
+        if self.n_q == 1 and self.n_w == 1:
+            @jax.jit
+            def run_single(q_codes, db_oh, n_windows, t):
+                q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
+                cnt, _ = D._stats_pass(q_oh, db_oh, n_windows, t, seq_len, chunk)
+                return cnt
+
+            return run_single
+
+        def shard_fn(q_oh, db_shard, n_windows, t):
+            off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
+            n_valid = jnp.clip(n_windows - off, 0, shard_rows)
+            cnt, _ = D._stats_pass(q_oh, db_shard, n_valid, t, seq_len, chunk)
+            return jax.lax.psum(cnt, "w")
+
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(P("q", None), P("w", None), P(), P("q")),
+            out_specs=P("q"),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run(q_codes, db_oh, n_windows, t):
+            q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
+            return mapped(q_oh, db_oh, n_windows, t)
 
         return run
 

@@ -291,6 +291,14 @@ class SlabStreamRunner(HitModesMixin):
         if kind == "kstats":
             return self._build_kstats(b)
 
+        if kind == "tcount":
+            def run(q_codes, _db, _n, t):
+                q_oh = _expand_q(np.ascontiguousarray(q_codes), seq_len,
+                                 D.embed_active(seq_len))
+                cnt, _ = self._scan_stats(q_oh, b, np.asarray(t))
+                return cnt
+            return run
+
         if kind == "compact":
             def run(q_codes, _db, _n, thresh):
                 q_oh = _expand_q(np.ascontiguousarray(q_codes), seq_len, D.embed_active(seq_len))

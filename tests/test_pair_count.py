@@ -1,0 +1,156 @@
+"""Best-hit tie-count fast path (SMAFA_TPU_PAIR_COUNT).
+
+When enabled, best_hit resolves 2-tie rows straight from the dual min2
+keys after one tcount pass (count at <= min == tie count) and compacts
+only >2-tie rows, exactly sized. Results must be identical to the
+compaction-only path on every layout and every tie shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from smafa_tpu.core.alphabet import N_CHANNELS
+from smafa_tpu.ops import distance as D
+
+
+def _mk_db(rng, n, L, dup_spec):
+    """db with planted tie structure: dup_spec = list of (row, copies)."""
+    db = rng.integers(0, N_CHANNELS, size=(n, L), dtype=np.uint8)
+    for src, copies in dup_spec:
+        pos = rng.choice(n, size=copies, replace=False)
+        db[pos] = db[src]
+    return db
+
+
+def _best_hit(runner_cls, codes, L, q, maxdiv, env, **kw):
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        r = runner_cls(codes, L, **kw)
+        res = r.best_hit(q, maxdiv)
+        ties = r.collect_ties(q)
+        return res, ties
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+LAYOUT_ENVS = [
+    ("sharded-1x1", {}),
+    ("sharded-mesh", {"SMAFA_TPU_FORCE_SHARD": "1"}),
+]
+
+
+@pytest.mark.parametrize("layout,extra_env", LAYOUT_ENVS)
+@pytest.mark.parametrize("maxdiv", [None, 10])
+def test_pair_count_parity_sharded(layout, extra_env, maxdiv):
+    from smafa_tpu.parallel import sharded
+
+    rng = np.random.default_rng(42)
+    L, n = 60, 700
+    # tie shapes: exactly-2, exactly-3, and a 40-wide clump
+    db = _mk_db(rng, n, L, [(5, 2), (9, 3), (11, 40)])
+    q = rng.integers(0, N_CHANNELS, size=(33, L), dtype=np.uint8)
+    q[0] = db[5]   # 2-tie exact hit
+    q[1] = db[9]   # 3-tie exact hit
+    q[2] = db[11]  # 40-tie exact hit
+    a = _best_hit(sharded.ScanRunner, db, L, q, maxdiv,
+                  {"SMAFA_TPU_PAIR_COUNT": "1", **extra_env})
+    b = _best_hit(sharded.ScanRunner, db, L, q, maxdiv,
+                  {"SMAFA_TPU_PAIR_COUNT": "0", **extra_env})
+    for x, y in zip(a[0], b[0]):
+        np.testing.assert_array_equal(x, y)
+    assert a[1][1] == b[1][1]  # collect_ties lists
+
+
+@pytest.mark.parametrize("runner", ["ring", "stream", "col"])
+def test_pair_count_parity_other_layouts(runner):
+    rng = np.random.default_rng(7)
+    L, n = 60, 400
+    db = _mk_db(rng, n, L, [(3, 2), (4, 5)])
+    q = rng.integers(0, N_CHANNELS, size=(17, L), dtype=np.uint8)
+    q[0] = db[3]
+    q[1] = db[4]
+
+    if runner == "ring":
+        from smafa_tpu.parallel import ring
+
+        cls = ring.RingScanRunner
+        kw = {"mesh": ring.build_ring_mesh(4), "chunk": 32}
+    elif runner == "stream":
+        from smafa_tpu.parallel.slab import SlabStreamRunner
+
+        cls = SlabStreamRunner
+        kw = {"slab_rows": 128, "chunk": 32}
+    else:
+        from smafa_tpu.parallel import seqpar
+
+        cls = seqpar.ColumnShardedScanRunner
+        kw = {"chunk": 32}
+
+    a = _best_hit(cls, db, L, q, None, {"SMAFA_TPU_PAIR_COUNT": "1"}, **kw)
+    b = _best_hit(cls, db, L, q, None, {"SMAFA_TPU_PAIR_COUNT": "0"}, **kw)
+    for x, y in zip(a[0], b[0]):
+        np.testing.assert_array_equal(x, y)
+    assert a[1][1] == b[1][1]
+
+
+def test_pair_count_gate():
+    """Auto mode enables by span; env forces both ways."""
+    from smafa_tpu.parallel import sharded
+
+    rng = np.random.default_rng(0)
+    db = rng.integers(0, N_CHANNELS, size=(64, 60), dtype=np.uint8)
+    r = sharded.ScanRunner(db, 60)
+    assert r._compact_span_rows() < r.PAIR_COUNT_MIN_SPAN
+    old = os.environ.pop("SMAFA_TPU_PAIR_COUNT", None)
+    try:
+        assert not r._pair_count_enabled()  # small span -> off
+        os.environ["SMAFA_TPU_PAIR_COUNT"] = "1"
+        assert r._pair_count_enabled()
+        os.environ["SMAFA_TPU_PAIR_COUNT"] = "0"
+        assert not r._pair_count_enabled()
+    finally:
+        if old is None:
+            os.environ.pop("SMAFA_TPU_PAIR_COUNT", None)
+        else:
+            os.environ["SMAFA_TPU_PAIR_COUNT"] = old
+
+
+def test_pair_count_fuzz_vs_oracle():
+    """Randomized parity against the literal distance oracle."""
+    from smafa_tpu.parallel import sharded
+
+    rng = np.random.default_rng(123)
+    for trial in range(6):
+        L = int(rng.integers(3, 20))
+        n = int(rng.integers(5, 120))
+        nq = int(rng.integers(1, 24))
+        db = rng.integers(0, 3, size=(n, L), dtype=np.uint8)  # small alphabet -> many ties
+        q = rng.integers(0, 3, size=(nq, L), dtype=np.uint8)
+        maxdiv = int(rng.integers(0, L + 1)) if rng.random() < 0.5 else None
+
+        os.environ["SMAFA_TPU_PAIR_COUNT"] = "1"
+        try:
+            r = sharded.ScanRunner(db, L)
+            dist, counts, rows, idx = r.best_hit(q, maxdiv)
+        finally:
+            os.environ.pop("SMAFA_TPU_PAIR_COUNT", None)
+
+        # literal oracle
+        dmat = (q[:, None, :] != db[None, :, :]).sum(axis=2)
+        for b in range(nq):
+            dmin = dmat[b].min()
+            want = np.nonzero(dmat[b] == dmin)[0]
+            if maxdiv is not None and dmin > maxdiv:
+                want = np.empty(0, np.int64)
+            got = idx[rows == b]
+            np.testing.assert_array_equal(got, want, err_msg=f"trial {trial} row {b}")
+            assert counts[b] == want.size
