@@ -494,9 +494,10 @@ def _saturating_word_cumsum(pcw):
 def _pack_mode() -> str:
     import os
 
-    # default stays the round-2 baseline until the alternates are
-    # measured on the chip (flip here when they win)
-    return os.environ.get("SMAFA_TPU_PACK", "reduce")
+    # Measured on the v5e chip at the production compact shape
+    # (bench.py --kernel compact, 4M rows, same session back-to-back):
+    # matmul 36.1e9 / reduce 22.5e9 / tree 14.5e9 cmp/s -> matmul ships.
+    return os.environ.get("SMAFA_TPU_PACK", "matmul")
 
 
 _PACK_GROUP = 512  # hit bits per matmul-pack group: 16 words x 5 planes

@@ -49,6 +49,11 @@ for n in range(START, START + COUNT):
     # Codes-resident db form (expand-per-chunk) on a rotating subset.
     # Cycle both resident forms (default is now codes; "0" = one-hot).
     os.environ["SMAFA_TPU_DB_CODES"] = "1" if (n // 2) % 2 else "0"
+    # Round-3 surfaces: the rank-4 embedding, the pack lowerings, and
+    # the best-hit tie-count fast path all cycle through the campaign.
+    os.environ["SMAFA_TPU_EMBED"] = "1" if (n // 5) % 2 else "0"
+    os.environ["SMAFA_TPU_PACK"] = ["reduce", "tree", "matmul"][(n // 11) % 3]
+    os.environ["SMAFA_TPU_PAIR_COUNT"] = ["", "0", "1"][(n // 13) % 3]
     # Fake a 31-bit key overflow on some configs so the local-pack +
     # pair-merge paths (and the top-M fallback on 1x1 meshes) get
     # fuzzed at toy scale. The threshold sits between the layout's

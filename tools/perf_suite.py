@@ -69,29 +69,31 @@ def main() -> None:
     db_a = rng.integers(0, N_CHANNELS, size=(W_a, seq_len), dtype=np.uint8)
     q_a = rng.integers(0, N_CHANNELS, size=(B_a, seq_len), dtype=np.uint8)
     shift_a = D.packing_shift(seq_len, W_a)
-    db_oh_a = jax.jit(lambda c: D.expand_onehot(c, seq_len))(db_a)
+    # shipped resident form: uint8 codes (expand per chunk in-loop; the
+    # query side picks the rank-4 embedding when active)
+    db_oh_a = jax.device_put(db_a)
     fetch(db_oh_a)
     nw_a = jnp.int32(W_a)
     zero = jnp.int32(0)
 
     @jax.jit
     def min2_a(q, db):
-        return D.min2_scan(D.expand_onehot(q, seq_len), db, nw_a, zero,
+        return D.min2_scan(D.expand_query(q, seq_len, db.shape[1]), db, nw_a, zero,
                            seq_len, shift_a, chunk, W_a)
 
     @jax.jit
     def hist_a(q, db):
-        return D.hist_scan(D.expand_onehot(q, seq_len), db, nw_a, seq_len, chunk)
+        return D.hist_scan(D.expand_query(q, seq_len, db.shape[1]), db, nw_a, seq_len, chunk)
 
     @jax.jit
     def stats_a(q, db):
         t = jnp.full((q.shape[0],), seq_len // 2, jnp.int32)
-        return D._stats_pass(D.expand_onehot(q, seq_len), db, nw_a, t,
+        return D._stats_pass(D.expand_query(q, seq_len, db.shape[1]), db, nw_a, t,
                              seq_len, chunk)
 
     @jax.jit
     def compact_a(q, db, thresh):
-        return D.compact_scan(D.expand_onehot(q, seq_len), db, nw_a, thresh,
+        return D.compact_scan(D.expand_query(q, seq_len, db.shape[1]), db, nw_a, thresh,
                               zero, seq_len, chunk, 1 << 14)
 
     cmp_a = B_a * W_a
@@ -163,18 +165,18 @@ def main() -> None:
     db_b = rng.integers(0, N_CHANNELS, size=(W_b, seq_len), dtype=np.uint8)
     q_b = rng.integers(0, N_CHANNELS, size=(B_b, seq_len), dtype=np.uint8)
     shift_b = D.packing_shift(seq_len, W_b)
-    db_oh_b = jax.jit(lambda c: D.expand_onehot(c, seq_len))(db_b)
+    db_oh_b = jax.device_put(db_b)  # shipped codes-resident form
     fetch(db_oh_b)
     nw_b = jnp.int32(W_b)
 
     @jax.jit
     def min2_b(q, db):
-        return D.min2_scan(D.expand_onehot(q, seq_len), db, nw_b, zero,
+        return D.min2_scan(D.expand_query(q, seq_len, db.shape[1]), db, nw_b, zero,
                            seq_len, shift_b, chunk_b, W_b)
 
     @jax.jit
     def compact_b(q, db, thresh):
-        return D.compact_scan(D.expand_onehot(q, seq_len), db, nw_b, thresh,
+        return D.compact_scan(D.expand_query(q, seq_len, db.shape[1]), db, nw_b, thresh,
                               zero, seq_len, chunk_b, 1 << 14)
 
     cmp_b = B_b * W_b
