@@ -87,9 +87,8 @@ def _build_sharded_scan(mesh, seq_len: int, chunk: int, shard_rows: int, span: i
     def shard_fn(q_oh, cent_shard, n_centroids):
         off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
         n_valid = jnp.clip(n_centroids - off, 0, shard_rows)
-        lo, _ = D.min2_scan(
-            q_oh, cent_shard, n_valid, off,
-            seq_len, shift, chunk, span,
+        lo = D.min1_scan(
+            q_oh, cent_shard, n_valid, off, seq_len, shift, chunk
         )
         lo = jax.lax.pmin(lo, "w")
         big = jnp.int32(2**31 - 1)

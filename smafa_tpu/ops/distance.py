@@ -358,6 +358,38 @@ def min2_pair_finish(carry):
             (jnp.where(empty, BIG, d), jnp.where(empty, big, i_hi)))
 
 
+@partial(jax.jit, static_argnames=("seq_len", "chunk", "shift"))
+def min1_scan(
+    q_oh: jax.Array,       # int8 [B, LP]
+    db_oh: jax.Array,      # int8 [Wp, LP]
+    n_windows: jax.Array,  # int32 scalar: valid rows of this db block
+    index_offset: jax.Array,  # int32 scalar: global index of db row 0
+    seq_len: int,
+    shift: int,
+    chunk: int,
+) -> jax.Array:
+    """Single packed min key per row: min over windows of
+    (dist << shift) | global_index. The ascending-index half of
+    ``min2_scan`` alone — ~20% faster (one min reduce and key pack
+    instead of two) for callers that only need the lowest-index best
+    hit (the cluster op; reference cluster.rs:62-68 tie rule)."""
+    n_chunks = db_oh.shape[0] // chunk
+    b = q_oh.shape[0]
+    big_key = jnp.int32(2**31 - 1)
+
+    def step(carry, off):
+        dist = block_distances(q_oh, db_oh, off, chunk, seq_len)
+        lidx = off + jnp.arange(chunk, dtype=jnp.int32)
+        gidx = index_offset + lidx
+        valid = (lidx < n_windows)[None, :]
+        key = jnp.where(valid, (dist << shift) | gidx[None, :], big_key)
+        return jnp.minimum(carry, jnp.min(key, axis=1)), None
+
+    offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    key, _ = jax.lax.scan(step, jnp.full((b,), big_key, jnp.int32), offsets)
+    return key
+
+
 @partial(jax.jit, static_argnames=("seq_len", "chunk", "shift", "index_span"))
 def min2_scan(
     q_oh: jax.Array,       # int8 [B, LP]
@@ -847,9 +879,11 @@ def min_scan(
     wp = db_oh.shape[0]
     shift = packing_shift(seq_len, wp)
     if shift is not None:
-        key, _ = min2_scan(
-            q_oh, db_oh, n_windows, jnp.int32(0),
-            seq_len, shift, chunk, wp,
+        # Single-key reduction: the dual (ascending+descending) pass
+        # pays ~20% for the second key (round-1 measurement) and this
+        # caller discards it — cluster only needs the lowest-index min.
+        key = min1_scan(
+            q_oh, db_oh, n_windows, jnp.int32(0), seq_len, shift, chunk
         )
         big = key == jnp.int32(2**31 - 1)
         return (
