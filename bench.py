@@ -57,7 +57,7 @@ def build_kernel(name: str, seq_len: int, n_windows: int, chunk: int):
             thresh = jnp.full((q.shape[0],), seq_len // 8, jnp.int32)
             return D.compact_scan(
                 D.expand_query(q, seq_len, db.shape[1]), db, nw, thresh, zero,
-                seq_len, chunk, 4096,
+                seq_len, chunk, 4096, D._pack_mode(),
             )
     elif name == "hist":
         @jax.jit

@@ -68,10 +68,16 @@ DEFAULT_BATCH = 2048
 _bucket = D.bucket  # single bucketing policy (ops.distance)
 
 
-@partial(jax.jit, static_argnames=("seq_len", "chunk"))
-def _scan_min(q_codes, cent_buf, n_centroids, seq_len, chunk):
-    """One program per batch: (min dist, first argmin) vs centroids."""
-    q_oh = D.expand_query(q_codes, seq_len, cent_buf.shape[1])
+@partial(jax.jit, static_argnames=("seq_len", "chunk", "embed"))
+def _scan_min(q_codes, cent_buf, n_centroids, seq_len, chunk, embed):
+    """One program per batch: (min dist, first argmin) vs centroids.
+    ``embed`` is an explicit static arg — this jit cache is
+    module-global, so the env-derived query form must not be baked into
+    a shape-keyed entry (same reason as slab._expand_q)."""
+    if embed and cent_buf.shape[1] != D.padded_feature_dim(seq_len):
+        q_oh = D.expand_embed_query(q_codes, seq_len)
+    else:
+        q_oh = D.expand_onehot(q_codes, seq_len)
     return D.min_scan(q_oh, cent_buf, n_centroids, seq_len, chunk)
 
 
@@ -255,7 +261,7 @@ class _CentroidStore:
         else:
             d, i = _scan_min(
                 q_codes, self.buf, jnp.int32(len(self.ws)), self.seq_len,
-                min(self.chunk, self.cap),
+                min(self.chunk, self.cap), D.embed_active(self.seq_len),
             )
         return (d, i, nq)
 

@@ -66,21 +66,23 @@ def padded_feature_dim(seq_len: int) -> int:
     return ((l5 + LANE - 1) // LANE) * LANE
 
 
-def expand_onehot(codes: np.ndarray | jax.Array, seq_len: int) -> jax.Array:
-    """Channel indices uint8 [..., L] -> one-hot int8 [..., LP] (lane-padded).
+def _lane_pad(flat: jax.Array, width: int) -> jax.Array:
+    """Zero-pad the last axis to ``width`` (a lane multiple). Pad columns
+    are all-zero on both contraction sides, so they contribute nothing to
+    the dot product — the same trick as the reference's zero-padded
+    trailing u64 chunk (lib.rs:32-46)."""
+    if width != flat.shape[-1]:
+        pad = [(0, 0)] * (flat.ndim - 1) + [(0, width - flat.shape[-1])]
+        flat = jnp.pad(flat, pad)
+    return flat
 
-    Pad columns are all-zero on both query and db sides, so they contribute
-    nothing to the dot product — the same trick as the reference's
-    zero-padded trailing u64 chunk (lib.rs:32-46).
-    """
+
+def expand_onehot(codes: np.ndarray | jax.Array, seq_len: int) -> jax.Array:
+    """Channel indices uint8 [..., L] -> one-hot int8 [..., LP] (lane-padded)."""
     codes = jnp.asarray(codes)
     oh = (codes[..., :, None] == jnp.arange(N_CHANNELS, dtype=codes.dtype)).astype(jnp.int8)
     flat = oh.reshape(codes.shape[:-1] + (seq_len * N_CHANNELS,))
-    lp = padded_feature_dim(seq_len)
-    if lp != seq_len * N_CHANNELS:
-        pad = [(0, 0)] * (flat.ndim - 1) + [(0, lp - seq_len * N_CHANNELS)]
-        flat = jnp.pad(flat, pad)
-    return flat
+    return _lane_pad(flat, padded_feature_dim(seq_len))
 
 
 def _match_dots(q_oh: jax.Array, d_oh: jax.Array) -> jax.Array:
@@ -146,11 +148,7 @@ def expand_embed_query(codes: np.ndarray | jax.Array, seq_len: int) -> jax.Array
     oh = (codes[..., :, None]
           == jnp.arange(1, N_CHANNELS, dtype=codes.dtype)).astype(jnp.int8)
     flat = oh.reshape(codes.shape[:-1] + (seq_len * EMBED_CHANNELS,))
-    ep = padded_embed_dim(seq_len)
-    if ep != seq_len * EMBED_CHANNELS:
-        pad = [(0, 0)] * (flat.ndim - 1) + [(0, ep - seq_len * EMBED_CHANNELS)]
-        flat = jnp.pad(flat, pad)
-    return flat
+    return _lane_pad(flat, padded_embed_dim(seq_len))
 
 
 def expand_embed_db(codes: jax.Array, seq_len: int) -> tuple[jax.Array, jax.Array]:
@@ -162,12 +160,8 @@ def expand_embed_db(codes: jax.Array, seq_len: int) -> tuple[jax.Array, jax.Arra
           == jnp.arange(1, N_CHANNELS, dtype=codes.dtype)).astype(jnp.int8)
     emb = oh - is0  # code 0 row: (-1,-1,-1,-1); else one-hot
     flat = emb.reshape(codes.shape[:-1] + (seq_len * EMBED_CHANNELS,))
-    ep = padded_embed_dim(seq_len)
-    if ep != seq_len * EMBED_CHANNELS:
-        pad = [(0, 0)] * (flat.ndim - 1) + [(0, ep - seq_len * EMBED_CHANNELS)]
-        flat = jnp.pad(flat, pad)
     zc = jnp.sum((codes == 0).astype(jnp.int32), axis=-1)
-    return flat, zc
+    return _lane_pad(flat, padded_embed_dim(seq_len)), zc
 
 
 def expand_query(codes: np.ndarray | jax.Array, seq_len: int,
@@ -548,12 +542,14 @@ def _pack_weights(group: int) -> np.ndarray:
     return w
 
 
-def _pack_bits(hit, b: int, wpc: int):
+def _pack_bits(hit, b: int, wpc: int, mode: str):
     """[B, wpc*32] bool hit matrix -> [B, wpc] uint32 words (bit j of
-    word w = hit[:, 32w+j]). Three lowerings, selected by
-    SMAFA_TPU_PACK — the pack epilogue dominated round 2's compaction
-    cost (XLA lowers the naive 32-wide word reduction at ~4.7x the scan
-    matmul; docs/PERFORMANCE.md "Compaction cost anatomy"):
+    word w = hit[:, 32w+j]). Three lowerings — the pack epilogue
+    dominated round 2's compaction cost (XLA lowers the naive 32-wide
+    word reduction at ~4.7x the scan matmul; docs/PERFORMANCE.md
+    "Compaction cost anatomy"). ``mode`` is passed explicitly (resolved
+    from SMAFA_TPU_PACK OUTSIDE any jit trace — an env read in here
+    would bake the first-seen choice into shape-keyed jit caches):
 
     - ``matmul``: contract 512-bit groups with a block-diagonal
       powers-of-two int8 matrix on the MXU (16 words x 5 seven-bit
@@ -565,7 +561,6 @@ def _pack_bits(hit, b: int, wpc: int):
     - ``reduce``: the naive shift-and-sum over the 32 lanes (round-2
       baseline).
     """
-    mode = _pack_mode()
     if mode == "matmul" and (wpc * 32) % _PACK_GROUP == 0:
         g = _PACK_GROUP
         wpg = g // 32  # words per group
@@ -590,20 +585,22 @@ def _pack_bits(hit, b: int, wpc: int):
     )
 
 
-def mask_fold_chunk(mask, dist, lidx, n_windows, thresh, chunk_index):
+def mask_fold_chunk(mask, dist, lidx, n_windows, thresh, chunk_index,
+                    pack: str):
     """Pack one chunk's hit bits (dist <= thresh[row]; thresh -1 disables
     a row) into the carried [B, n_chunks*wpc] uint32 mask at word column
     ``chunk_index * wpc``. Bit j of word (c*wpc + w) of row r encodes
     window c*chunk + w*32 + j (local to the scanned span). Shared by the
     single-device/row-sharded scan, the ring sweep, and the
-    column-sharded sweep."""
+    column-sharded sweep. ``pack`` (the SMAFA_TPU_PACK lowering) must be
+    resolved by the caller outside its jit trace."""
     b, chunk = dist.shape
     wpc = mask_words_per_chunk(chunk)
     valid = (lidx < n_windows)[None, :]
     hit = valid & (dist <= thresh[:, None])
     if wpc * 32 != chunk:
         hit = jnp.pad(hit, [(0, 0), (0, wpc * 32 - chunk)])
-    words = _pack_bits(hit, b, wpc)
+    words = _pack_bits(hit, b, wpc, pack)
     return jax.lax.dynamic_update_slice(
         mask, words, (jnp.int32(0), chunk_index * wpc)
     )
@@ -659,7 +656,7 @@ def extract_mask_hits(mask, index_offset, chunk, t_cap):
     )
 
 
-@partial(jax.jit, static_argnames=("seq_len", "chunk", "t_cap"))
+@partial(jax.jit, static_argnames=("seq_len", "chunk", "t_cap", "pack"))
 def compact_scan(
     q_oh: jax.Array,       # int8 [B, LP]
     db_oh: jax.Array,      # int8 [Wp, LP]
@@ -669,6 +666,7 @@ def compact_scan(
     seq_len: int,
     chunk: int,
     t_cap: int,
+    pack: str,             # static: bit-pack lowering (resolve env at call site)
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One pass: every (row, window) with dist <= thresh[row], flattened.
 
@@ -689,7 +687,8 @@ def compact_scan(
         off = ci * chunk
         dist = block_distances(q_oh, db_oh, off, chunk, seq_len)
         lidx = off + jnp.arange(chunk, dtype=jnp.int32)
-        return mask_fold_chunk(mask, dist, lidx, n_windows, thresh, ci), None
+        return mask_fold_chunk(mask, dist, lidx, n_windows, thresh, ci,
+                               pack), None
 
     cis = jnp.arange(n_chunks, dtype=jnp.int32)
     mask, _ = jax.lax.scan(step, init, cis)

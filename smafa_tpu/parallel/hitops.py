@@ -78,6 +78,11 @@ class HitModesMixin:
     def _program(self, kind: str, b: int, **kw):
         cache = self.__dict__.setdefault("_prog_cache", {})
         key = (kind, b, tuple(sorted(kw.items())))
+        if kind == "compact":
+            # The compact builders capture the bit-pack lowering at build
+            # time; keying on it keeps SMAFA_TPU_PACK live across flips
+            # (an env read inside a cached trace would be inert).
+            key = key + (D._pack_mode(),)
         fn = cache.get(key)
         if fn is None:
             fn = self._build_program(kind, b, **kw)
@@ -333,8 +338,6 @@ class HitModesMixin:
     PAIR_COUNT_MIN_SPAN = 1 << 18
 
     def _pair_count_enabled(self) -> bool:
-        import os
-
         v = os.environ.get("SMAFA_TPU_PAIR_COUNT", "")
         if v == "0":
             return False

@@ -282,6 +282,7 @@ class RingScanRunner(HitModesMixin):
 
     def _build_compact(self, b: int, t_cap: int):
         chunk, wp = self.chunk, self.wp
+        pack = D._pack_mode()  # program cache keys on this (hitops._program)
 
         def shard_fn(q_oh, db_shard, n_windows, thresh):
             b_loc = q_oh.shape[0]
@@ -294,7 +295,8 @@ class RingScanRunner(HitModesMixin):
                 # extracted hits come out in (row, global index) order
                 # regardless of rotation phase.
                 gci = (off + lidx[0]) // chunk
-                return D.mask_fold_chunk(mask, dist, lidx, n_valid, thresh, gci)
+                return D.mask_fold_chunk(mask, dist, lidx, n_valid, thresh,
+                                         gci, pack)
 
             mask = self._ring_sweep(q_oh, db_shard, n_windows, init, fold)
             rows, idx, rc, total = D.extract_mask_hits(

@@ -243,6 +243,7 @@ class ColumnShardedScanRunner(HitModesMixin):
 
     def _build_compact(self, b: int, t_cap: int):
         chunk, wp = self.chunk, self.wp
+        pack = D._pack_mode()  # program cache keys on this (hitops._program)
 
         def shard_fn(q_oh, db_sh, n_windows, thresh):
             b_loc = q_oh.shape[0]
@@ -251,7 +252,8 @@ class ColumnShardedScanRunner(HitModesMixin):
 
             def fold(mask, dist, lidx, n_valid, off):
                 gci = lidx[0] // chunk
-                return D.mask_fold_chunk(mask, dist, lidx, n_valid, thresh, gci)
+                return D.mask_fold_chunk(mask, dist, lidx, n_valid, thresh,
+                                         gci, pack)
 
             mask = self._col_sweep(q_oh, db_sh, n_windows, init, fold)
             rows, idx, rc, total = D.extract_mask_hits(

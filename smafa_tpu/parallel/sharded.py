@@ -400,6 +400,7 @@ class ScanRunner(HitModesMixin):
         return self.shard_rows if self.n_w > 1 else self.wp
 
     def _build_compact(self, b: int, t_cap: int):
+        pack = D._pack_mode()  # program cache keys on this (hitops._program)
         seq_len = self.seq_len
         chunk = self.chunk
         shard_rows = self.shard_rows
@@ -412,7 +413,7 @@ class ScanRunner(HitModesMixin):
                     q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
                     rows, idx, rc, total = D.compact_scan(
                         q_oh, db_oh, n_windows, thresh, jnp.int32(0),
-                        seq_len, chunk, t_cap,
+                        seq_len, chunk, t_cap, pack,
                     )
                     return rows, idx, rc, total[None]
 
@@ -428,7 +429,7 @@ class ScanRunner(HitModesMixin):
                 n_valid = jnp.clip(n_windows - seg_off, 0, seg)
                 rows, idx, rc, total = D.compact_scan(
                     q_oh, block, n_valid, thresh, seg_off,
-                    seq_len, chunk, t_cap,
+                    seq_len, chunk, t_cap, pack,
                 )
                 return rows, idx, rc, total[None]
 
@@ -459,7 +460,8 @@ class ScanRunner(HitModesMixin):
             off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
             n_valid = jnp.clip(n_windows - off, 0, shard_rows)
             rows, idx, rc, total = D.compact_scan(
-                q_oh, db_shard, n_valid, thresh, off, seq_len, chunk, t_cap
+                q_oh, db_shard, n_valid, thresh, off, seq_len, chunk, t_cap,
+                pack,
             )
             # Global batch-row ids so the host merge is one lexsort.
             q_off = jax.lax.axis_index("q").astype(jnp.int32) * q_oh.shape[0]

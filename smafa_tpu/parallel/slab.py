@@ -136,11 +136,11 @@ def _stats_step(q_oh, slab_codes, n_valid, t, cnt, mx, seq_len, chunk):
     return cnt + c2, jnp.maximum(mx, m2)
 
 
-@partial(jax.jit, static_argnames=("seq_len", "chunk", "t_cap"))
+@partial(jax.jit, static_argnames=("seq_len", "chunk", "t_cap", "pack"))
 def _compact_step(q_oh, slab_codes, n_valid, off, thresh,
-                  seq_len, chunk, t_cap):
+                  seq_len, chunk, t_cap, pack):
     rows, idx, rc, total = D.compact_scan(
-        q_oh, slab_codes, n_valid, thresh, off, seq_len, chunk, t_cap
+        q_oh, slab_codes, n_valid, thresh, off, seq_len, chunk, t_cap, pack
     )
     return rows, idx, rc, total[None]
 
@@ -309,7 +309,7 @@ class SlabStreamRunner(HitModesMixin):
                 def fold(buf, n_valid, off):
                     r, i, rc, t = _compact_step(
                         q_oh, buf, n_valid, jnp.int32(off), th_dev,
-                        seq_len, chunk, t_cap,
+                        seq_len, chunk, t_cap, D._pack_mode(),
                     )
                     # Per-slab host fetch is the natural drain: no extra
                     # throttling needed, and hits concatenate in slab

@@ -9,8 +9,6 @@ must return identical hit sets under each.
 
 from __future__ import annotations
 
-import os
-
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -19,18 +17,6 @@ from smafa_tpu.core.alphabet import N_CHANNELS
 from smafa_tpu.ops import distance as D
 
 MODES = ("reduce", "tree", "matmul")
-
-
-def _with_mode(mode, fn):
-    old = os.environ.get("SMAFA_TPU_PACK")
-    os.environ["SMAFA_TPU_PACK"] = mode
-    try:
-        return fn()
-    finally:
-        if old is None:
-            os.environ.pop("SMAFA_TPU_PACK", None)
-        else:
-            os.environ["SMAFA_TPU_PACK"] = old
 
 
 @pytest.mark.parametrize("chunk", [32, 64, 512, 1024, 2048])
@@ -43,9 +29,7 @@ def test_pack_bits_exact(chunk):
         for j in range(32):
             want[:, w] |= hit[:, 32 * w + j].astype(np.uint32) << j
     for mode in MODES:
-        got = _with_mode(
-            mode, lambda: np.asarray(D._pack_bits(jnp.asarray(hit), b, chunk // 32))
-        )
+        got = np.asarray(D._pack_bits(jnp.asarray(hit), b, chunk // 32, mode))
         assert got.dtype == np.uint32
         np.testing.assert_array_equal(got, want, err_msg=mode)
 
@@ -69,13 +53,13 @@ def test_compact_scan_mode_parity(mode):
     thresh = np.full(8, 25, np.int32)
     thresh[0] = -1  # disabled row
 
-    def run():
+    def run(pack):
         return [np.asarray(x) for x in D.compact_scan(
             D.expand_onehot(q, L), jnp.asarray(db), jnp.int32(wp - 13),
-            jnp.asarray(thresh), jnp.int32(0), L, chunk, 1 << 12,
+            jnp.asarray(thresh), jnp.int32(0), L, chunk, 1 << 12, pack,
         )]
 
-    got = _with_mode(mode, run)
-    want = _with_mode("reduce", run)
+    got = run(mode)
+    want = run("reduce")
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w, err_msg=mode)

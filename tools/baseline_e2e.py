@@ -85,7 +85,8 @@ def run_config(name: str, rows: int, queries: int, sweep, seq_len: int,
             query(d / "db.smafadb.native", d / "queries.fna",
                   max_divergence=div, out=f)
         wall = time.time() - t0
-        n_hits = sum(1 for _ in open(out, "rb"))
+        with open(out, "rb") as f:
+            n_hits = sum(1 for _ in f)
         print(json.dumps({
             "config": name, "max_divergence": div,
             "wall_s": round(wall, 1),

@@ -94,7 +94,7 @@ def main() -> None:
     @jax.jit
     def compact_a(q, db, thresh):
         return D.compact_scan(D.expand_query(q, seq_len, db.shape[1]), db, nw_a, thresh,
-                              zero, seq_len, chunk, 1 << 14)
+                              zero, seq_len, chunk, 1 << 14, D._pack_mode())
 
     cmp_a = B_a * W_a
     emit("min2@2048x200k", timeit(min2_a, q_a, db_oh_a), cmp_a)
@@ -177,7 +177,7 @@ def main() -> None:
     @jax.jit
     def compact_b(q, db, thresh):
         return D.compact_scan(D.expand_query(q, seq_len, db.shape[1]), db, nw_b, thresh,
-                              zero, seq_len, chunk_b, 1 << 14)
+                              zero, seq_len, chunk_b, 1 << 14, D._pack_mode())
 
     cmp_b = B_b * W_b
     emit("min2@16384x1M", timeit(min2_b, q_b, db_oh_b), cmp_b)
