@@ -102,6 +102,9 @@ def test_two_process_cli_query_golden(tmp_path):
     env["PYTHONPATH"] = os.getcwd()
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    # Force the tie-count fast path (auto-gated off at toy spans) so its
+    # multi-device tcount program + SPMD gather run under real processes.
+    env["SMAFA_TPU_PAIR_COUNT"] = "1"
 
     single = subprocess.run(
         [sys.executable, "-m", "smafa_tpu", "query", "-d", str(db_path),
