@@ -294,16 +294,25 @@ def packing_shift(seq_len: int, wp: int) -> int | None:
     return bits_idx
 
 
-def min2_chunk_update(carry, dist, lidx, n_windows, gidx, shift, index_span):
+def min2_chunk_update(carry, dist, lidx, n_windows, gidx, shift, index_span,
+                      sentinel):
     """Fold one distance chunk into the running dual packed-key minima.
     Shared by the single-device/row-sharded scans and the ring/column-
-    sharded sweeps."""
+    sharded sweeps.
+
+    Padding-row exclusion costs ONE select on the distance (sentinel =
+    seq_len + 1, which always fits the key's distance field —
+    ``packing_shift`` budgets seq_len + 2 values) instead of one select
+    per key: a sentinel distance strictly exceeds every real distance,
+    so pad keys lose in BOTH index directions regardless of their index
+    bits. The VPU epilogue is the min2 pass's cost gap vs the raw
+    contraction (measured 600 vs 361 e9 cmp/s at 64k x 4M), so every
+    elementwise op here is ~6-8% of the pass."""
     lo_carry, hi_carry = carry
-    big_key = jnp.int32(2**31 - 1)
     valid = (lidx < n_windows)[None, :]
-    shifted = dist << shift
-    key_lo = jnp.where(valid, shifted | gidx[None, :], big_key)
-    key_hi = jnp.where(valid, shifted | (index_span - 1 - gidx)[None, :], big_key)
+    shifted = jnp.where(valid, dist, sentinel) << shift
+    key_lo = shifted | gidx[None, :]
+    key_hi = shifted | (index_span - 1 - gidx)[None, :]
     return (
         jnp.minimum(lo_carry, jnp.min(key_lo, axis=1)),
         jnp.minimum(hi_carry, jnp.min(key_hi, axis=1)),
@@ -376,7 +385,7 @@ def min1_scan(
         lidx = off + jnp.arange(chunk, dtype=jnp.int32)
         gidx = index_offset + lidx
         valid = (lidx < n_windows)[None, :]
-        key = jnp.where(valid, (dist << shift) | gidx[None, :], big_key)
+        key = (jnp.where(valid, dist, seq_len + 1) << shift) | gidx[None, :]
         return jnp.minimum(carry, jnp.min(key, axis=1)), None
 
     offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
@@ -423,7 +432,8 @@ def min2_scan(
         lidx = off + jnp.arange(chunk, dtype=jnp.int32)
         gidx = index_offset + lidx
         return min2_chunk_update(
-            carry, dist, lidx, n_windows, gidx, shift, index_span
+            carry, dist, lidx, n_windows, gidx, shift, index_span,
+            seq_len + 1,
         ), None
 
     offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk

@@ -209,7 +209,8 @@ class RingScanRunner(HitModesMixin):
 
             def fold(carry, dist, lidx, n_valid, off):
                 return D.min2_chunk_update(
-                    carry, dist, lidx, n_valid, off + lidx, shift, span
+                    carry, dist, lidx, n_valid, off + lidx, shift, span,
+                    self.seq_len + 1,
                 )
 
             return self._ring_sweep(q_oh, db_shard, n_windows, init, fold)

@@ -178,7 +178,8 @@ class ColumnShardedScanRunner(HitModesMixin):
 
             def fold(carry, dist, lidx, n_valid, off):
                 return D.min2_chunk_update(
-                    carry, dist, lidx, n_valid, lidx, shift, span
+                    carry, dist, lidx, n_valid, lidx, shift, span,
+                    self.seq_len + 1,
                 )
 
             return self._col_sweep(q_oh, db_sh, n_windows, init, fold)
