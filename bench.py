@@ -45,12 +45,26 @@ def build_kernel(name: str, seq_len: int, n_windows: int, chunk: int):
     zero = jnp.int32(0)
 
     if name == "min2":
-        @jax.jit
-        def scan(q, db):
-            return D.min2_scan(
-                D.expand_query(q, seq_len, db.shape[1]), db, nw, zero,
-                seq_len, shift, chunk, n_windows,
-            )
+        # The SHIPPED phase-A program, built exactly as `smafa_tpu query`
+        # builds it (ScanRunner._build_min2): the Mosaic dual-key kernel
+        # over the embedded db twin where eligible (big single-device
+        # dbs on TPU — measured 430 vs 408 e9 for the XLA lowering),
+        # the XLA min2_scan elsewhere (CPU smoke included).
+        def scan(q, db, _runner_box=[]):
+            if not _runner_box:
+                from smafa_tpu.parallel import sharded
+
+                runner = sharded.ScanRunner(
+                    np.asarray(db), seq_len,
+                    mesh=sharded.build_mesh(1, 1), chunk=chunk,
+                )
+                _runner_box.append(
+                    (runner,
+                     runner._program("min2", q.shape[0],
+                                     shift=runner._key_shift()))
+                )
+            runner, fn = _runner_box[0]
+            return fn(q, runner.db_oh, runner.n_windows_dev)
     elif name == "compact":
         @jax.jit
         def scan(q, db):

@@ -158,3 +158,136 @@ def min_count_scan(
     dist = jnp.where(key == BIG_KEY, jnp.int32(2**30), key >> shift)
     idx = jnp.where(key == BIG_KEY, jnp.int32(2**31 - 1), key & ((1 << shift) - 1))
     return dist, idx, cnt
+
+
+# ---------------------------------------------------------------------------
+# Round-3 dual-key kernel over the rank-4 embedding.
+#
+# The round-1 kernel above streamed the ONE-HOT db per query tile —
+# 1.6 GB re-read B/TB times, which is why it measured 88-143e9. This
+# variant fixes the data movement: the db is pre-expanded ONCE per batch
+# into the rank-4 embedding with the per-row channel-0 count folded into
+# a spare int8 column (K = 240 -> 241 pads to 256 anyway, so the column
+# is free and dist = L - dot exactly — no epilogue correction), and the
+# kernel streams it per query tile at 256 int8 bytes/row (4x less than
+# one-hot). The dual packed-key min then runs entirely in VMEM on each
+# [TB, TW] distance tile — the pipeline XLA runs at 408e9 with the
+# epilogue ~40% of the pass (docs/PERFORMANCE.md round-3 anatomy); the
+# experiment is whether Mosaic overlaps that epilogue with the MXU
+# better than XLA's fused emitters.
+
+
+def embed_db_with_zc(codes: jax.Array, seq_len: int) -> jax.Array:
+    """uint8 [Wp, L] -> int8 [Wp, EP] rank-4 db embedding with the
+    channel-0 count in column 4L (requires 4L+1 <= padded width and
+    count <= 127, i.e. seq_len <= 127); dist = seq_len - q_emb @ this."""
+    from smafa_tpu.ops import distance as D
+
+    emb, zc = D.expand_embed_db(codes, seq_len)
+    assert emb.shape[1] > 4 * seq_len and seq_len <= 127
+    return emb.at[:, 4 * seq_len].set(zc.astype(jnp.int8))
+
+
+def embed_query_with_one(codes: jax.Array, seq_len: int) -> jax.Array:
+    """uint8 [B, L] -> int8 [B, EP] rank-4 query embedding with a
+    constant 1 in column 4L (pairs with embed_db_with_zc's zc column so
+    dot = matches exactly)."""
+    from smafa_tpu.ops import distance as D
+
+    emb = D.expand_embed_query(codes, seq_len)
+    assert emb.shape[1] > 4 * seq_len
+    return emb.at[:, 4 * seq_len].set(jnp.int8(1))
+
+
+def _min2_kernel(nw_ref, q_ref, db_ref, lo_ref, hi_ref, lo_acc, hi_acc, *,
+                 seq_len: int, shift: int, tile_w: int, span: int):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    dot = jax.lax.dot_general(
+        q_ref[...], db_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    dist = seq_len - dot  # zc column folded into the contraction
+
+    gidx = j * tile_w + jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    valid = gidx < nw_ref[0]
+    # one select on the distance: sentinel seq_len+1 loses both key
+    # directions by the distance bits alone (distance.min2_chunk_update)
+    shifted = jnp.where(valid, dist, seq_len + 1) << shift
+    blo = jnp.min(shifted | gidx, axis=1, keepdims=True)
+    bhi = jnp.min(shifted | (span - 1 - gidx), axis=1, keepdims=True)
+
+    @pl.when(j == 0)
+    def _():
+        lo_acc[...] = blo
+        hi_acc[...] = bhi
+
+    @pl.when(j > 0)
+    def _():
+        lo_acc[...] = jnp.minimum(lo_acc[...], blo)
+        hi_acc[...] = jnp.minimum(hi_acc[...], bhi)
+
+    @pl.when(j == nj - 1)
+    def _():
+        lo_ref[...] = lo_acc[...]
+        hi_ref[...] = hi_acc[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("seq_len", "shift", "tile_b", "tile_w", "interpret"),
+)
+def min2_scan_pallas(
+    q_emb: jax.Array,      # int8 [Bp, EP] (expand_embed_query + 1-column at 4L)
+    db_emb: jax.Array,     # int8 [Wp, EP] (embed_db_with_zc)
+    n_windows: jax.Array,  # int32 [1]
+    seq_len: int,
+    shift: int,
+    tile_b: int = 1024,
+    tile_w: int = 512,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Dual packed min keys per row — drop-in twin of
+    ops.distance.min2_scan (index_offset 0, span = Wp) over the
+    pre-embedded db form."""
+    bp, ep = q_emb.shape
+    wp = db_emb.shape[0]
+    grid = (bp // tile_b, wp // tile_w)
+
+    kernel = functools.partial(
+        _min2_kernel, seq_len=seq_len, shift=shift, tile_w=tile_w, span=wp
+    )
+    lo, hi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_b, ep), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_w, ep), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((bp, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_b, 1), jnp.int32),
+            pltpu.VMEM((tile_b, 1), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * wp * ep,
+            bytes_accessed=bp * ep + wp * ep * grid[0] + 8 * bp,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(n_windows, q_emb, db_emb)
+
+    return lo[:, 0], hi[:, 0]

@@ -309,6 +309,55 @@ class ScanRunner(HitModesMixin):
 
     # -- fused min/count path (best-hit + cluster hot path) ----------------
 
+    PALLAS_TILE_B = 1024
+    PALLAS_TILE_W = 2048
+
+    def _pallas_min2_eligible(self, b: int) -> bool:
+        """Ship the Mosaic dual-key kernel (ops.pallas_scan.min2_scan_pallas)
+        when it measured faster than the XLA path AND the embedded db
+        twin is affordable: single device, rank-4 embedding active,
+        zc-column fits (seq_len <= 127), wp a tile multiple (true at the
+        eligible sizes: chunk >= 2048), batch a tile divisor multiple.
+        Auto additionally requires >= 2^20 rows (where the kernel
+        measured 430 vs XLA 408 e9 cmp/s — docs/PERFORMANCE.md) and the
+        [wp, 256] int8 embed twin within a quarter of device memory.
+        SMAFA_TPU_PALLAS_MIN2=0/1 overrides the auto gate."""
+        v = os.environ.get("SMAFA_TPU_PALLAS_MIN2", "")
+        if v == "0":
+            return False
+        if not (self.n_q == 1 and self.n_w == 1
+                and jax.devices()[0].platform not in ("cpu",)
+                and self.db_oh is not None
+                and self.db_oh.shape[1] == self.seq_len  # codes-resident
+                and D.embed_active(self.seq_len) and self.seq_len <= 127
+                and self.wp % self.PALLAS_TILE_W == 0):
+            return False
+        if v == "1":
+            return True
+        if self.n_windows < (1 << 20) or b < self.PALLAS_TILE_B:
+            return False
+        from smafa_tpu.parallel import select
+
+        cap = select._hbm_capacity()
+        ep = D.padded_embed_dim(self.seq_len)
+        return cap is not None and self.wp * ep <= cap // 4
+
+    def _db_emb(self):
+        """Lazily-built embedded db twin for the Mosaic phase A: rank-4
+        embedding with the channel-0 count folded into column 4L
+        (ops.pallas_scan.embed_db_with_zc) — the codes stay resident for
+        every other program."""
+        emb = getattr(self, "_db_emb_cache", None)
+        if emb is None:
+            from smafa_tpu.ops import pallas_scan as PS
+
+            emb = jax.jit(
+                PS.embed_db_with_zc, static_argnames="seq_len"
+            )(self.db_oh, self.seq_len)
+            emb.block_until_ready()
+            self._db_emb_cache = emb
+        return emb
+
     def _build_min2(self, b: int, shift: int):
         seq_len = self.seq_len
         chunk = self.chunk
@@ -316,6 +365,26 @@ class ScanRunner(HitModesMixin):
         span = self.wp
 
         if self.n_q == 1 and self.n_w == 1:
+            if self._pallas_min2_eligible(b):
+                from smafa_tpu.ops import pallas_scan as PS
+
+                tile_b = min(self.PALLAS_TILE_B, b)
+                q_embed = jax.jit(
+                    PS.embed_query_with_one, static_argnames="seq_len"
+                )
+                runner = self
+
+                def run_pallas(q_codes, _db_oh, n_windows):
+                    return PS.min2_scan_pallas(
+                        q_embed(jnp.asarray(q_codes), seq_len),
+                        runner._db_emb(),
+                        jnp.reshape(n_windows, (1,)),
+                        seq_len, shift,
+                        tile_b=tile_b, tile_w=runner.PALLAS_TILE_W,
+                    )
+
+                return run_pallas
+
             @jax.jit
             def run_single(q_codes, db_oh, n_windows):
                 q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])

@@ -61,3 +61,32 @@ def test_packing_shift_limits():
     assert P.packing_shift(60, 1 << 20) is not None
     assert P.packing_shift(60, 16 << 20) is not None  # 10M+ windows
     assert P.packing_shift(2**26, 1 << 20) is None  # absurd length overflows
+
+
+def test_min2_scan_pallas_parity():
+    """Round-3 dual-key Mosaic kernel (interpret mode) equals the XLA
+    min2_scan keys exactly, padding rows included."""
+    import jax.numpy as jnp
+    from smafa_tpu.ops import pallas_scan as PS
+
+    rng = np.random.default_rng(5)
+    L, wp, b = 60, 1024, 64
+    nw = 1000  # 24 padding rows in the last tile
+    db = rng.integers(0, 5, size=(wp, L), dtype=np.uint8)
+    db[:nw][rng.integers(0, nw, 30)] = db[7]  # tie material
+    q = rng.integers(0, 5, size=(b, L), dtype=np.uint8)
+    q[:3] = db[7]
+    shift = D.packing_shift(L, wp)
+
+    lo_x, hi_x = D.min2_scan(
+        D.expand_query(q, L, L), jnp.asarray(db), jnp.int32(nw),
+        jnp.int32(0), L, shift, 256, wp,
+    )
+    lo_p, hi_p = PS.min2_scan_pallas(
+        PS.embed_query_with_one(jnp.asarray(q), L),
+        PS.embed_db_with_zc(jnp.asarray(db), L),
+        jnp.asarray([nw], np.int32), L, shift,
+        tile_b=32, tile_w=256, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(lo_p), np.asarray(lo_x))
+    np.testing.assert_array_equal(np.asarray(hi_p), np.asarray(hi_x))
