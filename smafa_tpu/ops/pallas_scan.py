@@ -24,16 +24,18 @@ to the XLA path beyond that (10M x 60 bp is 24 + 6 bits — comfortably in).
 Grid: (B/TB, W/TW), db-chunk axis innermost so the per-row carry lives in
 VMEM scratch across chunks; outputs are written at the last chunk step.
 
-STATUS — measured, not shipped (SURVEY.md §7 step 3 closed as retired):
-on the v5e chip this kernel reaches 88-143e9 comparisons/s at production
-shapes while XLA's fused emitters for ops.distance.min2_scan reach
-~210e9 == the chip's measured 163-TOPS int8 matmul ceiling
-(docs/PERFORMANCE.md "Pallas decision"). XLA already fuses the
-matmul+mask+min pipeline here, so Mosaic has no fusion left to win; the
-kernel is kept (and parity-tested, tests/test_pallas_scan.py) as the
-Mosaic reference implementation should a future chip/toolchain change
-the balance. The sibling dual-key variant (pallas_min2) was deleted as
-the dead twin.
+STATUS: two generations live here.
+
+- ``min_count_scan`` (round 1, below) — measured 88-143e9 vs XLA's
+  ~210e9 and retired from the hot path: it streams the ONE-HOT db per
+  query tile (1.6 GB re-read B/TB times). Kept parity-tested as the
+  historical Mosaic reference.
+- ``min2_scan_pallas`` (round 3, bottom of file) — the SHIPPED phase-A
+  program for big single-device dbs: fixed data movement (pre-embedded
+  rank-4 db streamed once per query tile at 256 B/row, zc folded into a
+  spare int8 column) measures 430e9 vs the XLA lowering's 408e9 at
+  65536 x 4M (docs/PERFORMANCE.md round-3 anatomy). Gated by
+  ScanRunner._pallas_min2_eligible; SMAFA_TPU_PALLAS_MIN2 overrides.
 """
 
 from __future__ import annotations
