@@ -321,18 +321,21 @@ class ScanRunner(HitModesMixin):
         Auto additionally requires >= 2^20 rows (where the kernel
         measured 430 vs XLA 408 e9 cmp/s — docs/PERFORMANCE.md) and the
         [wp, 256] int8 embed twin within a quarter of device memory.
-        SMAFA_TPU_PALLAS_MIN2=0/1 overrides the auto gate."""
+        SMAFA_TPU_PALLAS_MIN2=0/1 overrides the auto gate;
+        =interpret runs the kernel in Mosaic interpret mode (any
+        backend) so CPU tests cover the integration end to end."""
         v = os.environ.get("SMAFA_TPU_PALLAS_MIN2", "")
         if v == "0":
             return False
         if not (self.n_q == 1 and self.n_w == 1
-                and jax.devices()[0].platform not in ("cpu",)
+                and (v == "interpret"
+                     or jax.devices()[0].platform not in ("cpu",))
                 and self.db_oh is not None
                 and self.db_oh.shape[1] == self.seq_len  # codes-resident
                 and D.embed_active(self.seq_len) and self.seq_len <= 127
                 and self.wp % self.PALLAS_TILE_W == 0):
             return False
-        if v == "1":
+        if v in ("1", "interpret"):
             return True
         if self.n_windows < (1 << 20) or b < self.PALLAS_TILE_B:
             return False
@@ -368,6 +371,8 @@ class ScanRunner(HitModesMixin):
             if self._pallas_min2_eligible(b):
                 from smafa_tpu.ops import pallas_scan as PS
 
+                interpret = (os.environ.get("SMAFA_TPU_PALLAS_MIN2", "")
+                             == "interpret")
                 tile_b = min(self.PALLAS_TILE_B, b)
                 q_embed = jax.jit(
                     PS.embed_query_with_one, static_argnames="seq_len"
@@ -381,6 +386,7 @@ class ScanRunner(HitModesMixin):
                         jnp.reshape(n_windows, (1,)),
                         seq_len, shift,
                         tile_b=tile_b, tile_w=runner.PALLAS_TILE_W,
+                        interpret=interpret,
                     )
 
                 return run_pallas

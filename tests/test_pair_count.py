@@ -154,3 +154,24 @@ def test_pair_count_fuzz_vs_oracle():
             got = idx[rows == b]
             np.testing.assert_array_equal(got, want, err_msg=f"trial {trial} row {b}")
             assert counts[b] == want.size
+
+
+def test_runner_pallas_min2_interpret_parity():
+    """ScanRunner's Mosaic phase-A integration (eligibility, embedded db
+    twin, key unpacking) — interpret mode so the CPU suite covers it."""
+    from smafa_tpu.parallel import sharded
+
+    rng = np.random.default_rng(17)
+    L, n = 60, 4096  # wp = 4096: a PALLAS_TILE_W multiple
+    db = rng.integers(0, N_CHANNELS, size=(n, L), dtype=np.uint8)
+    db[100] = db[7]
+    db[4000] = db[7]
+    q = rng.integers(0, N_CHANNELS, size=(33, L), dtype=np.uint8)
+    q[0] = db[7]
+    a = _best_hit(sharded.ScanRunner, db, L, q, None,
+                  {"SMAFA_TPU_PALLAS_MIN2": "interpret"}, chunk=2048)
+    b = _best_hit(sharded.ScanRunner, db, L, q, None,
+                  {"SMAFA_TPU_PALLAS_MIN2": "0"}, chunk=2048)
+    for x, y in zip(a[0], b[0]):
+        np.testing.assert_array_equal(x, y)
+    assert a[1][1] == b[1][1]
