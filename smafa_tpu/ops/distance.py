@@ -393,6 +393,42 @@ def min1_scan(
     return key
 
 
+@partial(jax.jit, static_argnames=("seq_len", "chunk", "shift"))
+def minfloor_scan(
+    q_oh: jax.Array,       # int8 [B, LP]
+    db_oh: jax.Array,      # int8 [Wp, LP]
+    n_windows: jax.Array,  # int32 scalar
+    floor: jax.Array,      # int32 [B]: only windows with index > floor count
+    seq_len: int,
+    shift: int,
+    chunk: int,
+) -> jax.Array:
+    """Min packed key over windows with global index strictly above a
+    per-row floor — the step of iterative tie enumeration: starting from
+    floor = the lowest tied index, each pass returns every active row's
+    NEXT tied index (the min over the remaining index range has the
+    minimum distance while ties remain; a decoded distance above the
+    row's minimum means the row is done). Rows with a handful of ties
+    enumerate in (max ties - 2) passes at full scan speed instead of
+    paying the compaction mask. Exhausted/disabled rows (floor past the
+    last window) return sentinel-distance keys."""
+    n_chunks = db_oh.shape[0] // chunk
+    b = q_oh.shape[0]
+    big_key = jnp.int32(2**31 - 1)
+
+    def step(carry, off):
+        dist = block_distances(q_oh, db_oh, off, chunk, seq_len)
+        lidx = off + jnp.arange(chunk, dtype=jnp.int32)
+        valid = ((lidx < n_windows)[None, :]
+                 & (lidx[None, :] > floor[:, None]))
+        key = (jnp.where(valid, dist, seq_len + 1) << shift) | lidx[None, :]
+        return jnp.minimum(carry, jnp.min(key, axis=1)), None
+
+    offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    key, _ = jax.lax.scan(step, jnp.full((b,), big_key, jnp.int32), offsets)
+    return key
+
+
 @partial(jax.jit, static_argnames=("seq_len", "chunk", "shift", "index_span"))
 def min2_scan(
     q_oh: jax.Array,       # int8 [B, LP]

@@ -162,17 +162,31 @@ class HitModesMixin:
             counts[tied_ids] = tie_cnt
             p_rows = tied_ids[tie_cnt == 2]
             multi = tie_cnt > 2
+            it_rows = it_idx = m_rows = m_idx = np.empty(0, np.int32)
+            if multi.any() and self._minfloor_supported():
+                # few-tie rows enumerate their MIDDLE indices via
+                # floored min passes (lo/hi already known) — no
+                # compaction mask; the heavy tail still compacts
+                few = multi & (tie_cnt <= self.TIE_ITER_MAX)
+                if few.any():
+                    it_rows, it_idx = self._iter_middles(
+                        q_padded, tied_ids[few], dist[tied_ids[few]],
+                        idx_lo[tied_ids[few]], tie_cnt[few],
+                    )
+                    # these rows also emit their lo/hi key indices
+                    p_rows = np.concatenate([p_rows, tied_ids[few]])
+                    multi = multi & ~few
             if multi.any():
                 m_rows, m_idx = self._compact_grouped_rows(
                     q_padded, tied_ids[multi], dist[tied_ids[multi]],
                     tie_cnt[multi],
                 )
-            else:
-                m_rows = m_idx = np.empty(0, np.int32)
             u_rows = np.nonzero(keep & ~tied)[0].astype(np.int32)
-            all_rows = np.concatenate([u_rows, p_rows, p_rows, m_rows])
+            all_rows = np.concatenate([u_rows, p_rows, p_rows, it_rows,
+                                       m_rows])
             all_idx = np.concatenate(
-                [idx_lo[u_rows], idx_lo[p_rows], idx_hi[p_rows], m_idx]
+                [idx_lo[u_rows], idx_lo[p_rows], idx_hi[p_rows], it_idx,
+                 m_idx]
             )
             order = np.lexsort((all_idx, all_rows))
             return (dist, counts.astype(np.int32),
@@ -344,6 +358,74 @@ class HitModesMixin:
         if v == "1":
             return True
         return self._compact_span_rows() >= self.PAIR_COUNT_MIN_SPAN
+
+    # Enumerate ties iteratively (one floored-min pass per additional
+    # tie) for rows with at most this many ties; heavier rows pay the
+    # compaction mask instead. Bounds the pass count at 2 + MAX - 2.
+    TIE_ITER_MAX = 10
+
+    def _minfloor_supported(self) -> bool:
+        """Iterative tie enumeration needs the minfloor primitive with
+        GLOBAL packed keys; runners without one (ring/col/stream) and
+        shard-local key mode fall back to compaction."""
+        import os
+
+        if os.environ.get("SMAFA_TPU_TIE_ITER", "") == "0":
+            return False
+        if type(self)._build_minfloor is HitModesMixin._build_minfloor:
+            return False
+        shift = self._key_shift()
+        return (shift is not None
+                and shift == D.packing_shift(self.seq_len, max(self.wp, 2)))
+
+    def _build_minfloor(self, b: int, shift: int):  # pragma: no cover
+        raise KeyError("minfloor")
+
+    def _iter_middles(self, q_padded: np.ndarray, row_ids: np.ndarray,
+                      d_star: np.ndarray, lo_idx: np.ndarray,
+                      counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """The counts[i]-2 MIDDLE tied indices of each selected row (the
+        lowest and highest ride in the min2 keys already): one floored
+        min pass per round reveals every active row's next tied index —
+        the min key over indices above the floor has the row's minimum
+        distance while ties remain. max(counts)-2 passes, each a
+        full-speed scan over a shrinking bucketed gather — no compaction
+        mask, no extraction. Returns flat (rows, idx) in found order
+        (per row ascending)."""
+        shift = self._key_shift()
+        mask = (1 << shift) - 1
+        floors = lo_idx.astype(np.int32).copy()
+        remaining = (counts - 2).astype(np.int64)
+        out_r: list[np.ndarray] = []
+        out_i: list[np.ndarray] = []
+        while True:
+            act = np.nonzero(remaining > 0)[0]
+            if act.size == 0:
+                break
+            ids = row_ids[act]
+            nsel = int(ids.shape[0])
+            b = D.bucket(nsel, minimum=16)
+            q_sub = np.zeros((b, q_padded.shape[1]), q_padded.dtype)
+            q_sub[:nsel] = q_padded[ids]
+            q_sub_p, _ = self._pad(q_sub)
+            fl = np.full(q_sub_p.shape[0], np.int32(2**30), np.int32)
+            fl[:nsel] = floors[act]
+            fn = self._program("minfloor", q_sub_p.shape[0], shift=shift)
+            key = np.asarray(
+                fn(q_sub_p, self.db_oh, self.n_windows_dev, fl)
+            )[:nsel]
+            d = key >> shift
+            idx = (key & mask).astype(np.int32)
+            # while middles remain, the floored min IS another tie
+            assert (d == d_star[act]).all(), "tie enumeration drift"
+            out_r.append(ids)
+            out_i.append(idx)
+            floors[act] = idx
+            remaining[act] -= 1
+        if not out_r:
+            return np.empty(0, np.int32), np.empty(0, np.int32)
+        return (np.concatenate(out_r).astype(np.int32),
+                np.concatenate(out_i).astype(np.int32))
 
     def _tie_counts(self, q_padded: np.ndarray, row_ids: np.ndarray,
                     dist_vals: np.ndarray) -> np.ndarray:

@@ -135,6 +135,8 @@ class ScanRunner(HitModesMixin):
             return self._build_kstats(b, shift)
         if kind == "tcount":
             return self._build_tcount(b)
+        if kind == "minfloor":
+            return self._build_minfloor(b, shift)
         if kind == "compact":
             return self._build_compact(b, t_cap)
         raise KeyError(kind)
@@ -649,6 +651,50 @@ class ScanRunner(HitModesMixin):
         def run(q_codes, db_oh, n_windows, k, maxdiv):
             q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
             return mapped(q_oh, db_oh, n_windows, k, maxdiv)
+
+        return run
+
+    def _build_minfloor(self, b: int, shift: int):
+        """Min packed key over windows with index > floor[row] — the
+        iterative tie-enumeration step (distance.minfloor_scan). Global
+        keys only (callers gate on the global shift)."""
+        seq_len, chunk, shard_rows = self.seq_len, self.chunk, self.shard_rows
+
+        if self.n_q == 1 and self.n_w == 1:
+            @jax.jit
+            def run_single(q_codes, db_oh, n_windows, floor):
+                q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
+                return D.minfloor_scan(
+                    q_oh, db_oh, n_windows, floor, seq_len, shift, chunk
+                )
+
+            return run_single
+
+        def shard_fn(q_oh, db_shard, n_windows, floor):
+            off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
+            n_valid = jnp.clip(n_windows - off, 0, shard_rows)
+            # local scan keys carry LOCAL indices; rebase to global by
+            # scanning with a shard-local floor and adding the offset
+            # back into the index field (keys are (dist<<shift)|idx)
+            local_floor = jnp.clip(floor - off, -1, shard_rows)
+            key = D.minfloor_scan(
+                q_oh, db_shard, n_valid, local_floor, seq_len, shift, chunk
+            )
+            key = key + off  # index field is the low bits
+            return jax.lax.pmin(key, "w")
+
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(P("q", None), P("w", None), P(), P("q")),
+            out_specs=P("q"),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run(q_codes, db_oh, n_windows, floor):
+            q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
+            return mapped(q_oh, db_oh, n_windows, floor)
 
         return run
 

@@ -175,3 +175,48 @@ def test_runner_pallas_min2_interpret_parity():
     for x, y in zip(a[0], b[0]):
         np.testing.assert_array_equal(x, y)
     assert a[1][1] == b[1][1]
+
+
+def test_iter_middles_vs_compact():
+    """Iterative tie enumeration (floored min passes) must equal the
+    compaction path exactly across tie shapes straddling TIE_ITER_MAX."""
+    from smafa_tpu.parallel import sharded
+
+    rng = np.random.default_rng(23)
+    L, n = 60, 900
+    # counts 3, 5, 10 (== iter max), 11 and 30 (compact tail)
+    db = _mk_db(rng, n, L, [(1, 3), (2, 5), (4, 10), (6, 11), (8, 30)])
+    q = rng.integers(0, N_CHANNELS, size=(40, L), dtype=np.uint8)
+    for k, src in enumerate((1, 2, 4, 6, 8)):
+        q[k] = db[src]
+    a = _best_hit(sharded.ScanRunner, db, L, q, None,
+                  {"SMAFA_TPU_PAIR_COUNT": "1", "SMAFA_TPU_TIE_ITER": ""})
+    b = _best_hit(sharded.ScanRunner, db, L, q, None,
+                  {"SMAFA_TPU_PAIR_COUNT": "1", "SMAFA_TPU_TIE_ITER": "0"})
+    c = _best_hit(sharded.ScanRunner, db, L, q, None,
+                  {"SMAFA_TPU_PAIR_COUNT": "0"})
+    for x, y in zip(a[0], b[0]):
+        np.testing.assert_array_equal(x, y)
+    for x, y in zip(a[0], c[0]):
+        np.testing.assert_array_equal(x, y)
+    assert a[1][1] == b[1][1] == c[1][1]
+
+
+def test_iter_middles_forced_shard():
+    """minfloor's mesh path (shard-local floor rebase + pmin) on the
+    8-device mesh equals single-device."""
+    from smafa_tpu.parallel import sharded
+
+    rng = np.random.default_rng(29)
+    L, n = 60, 600
+    db = _mk_db(rng, n, L, [(5, 4), (7, 6)])
+    q = rng.integers(0, N_CHANNELS, size=(19, L), dtype=np.uint8)
+    q[0] = db[5]
+    q[1] = db[7]
+    a = _best_hit(sharded.ScanRunner, db, L, q, None,
+                  {"SMAFA_TPU_PAIR_COUNT": "1", "SMAFA_TPU_FORCE_SHARD": "1"})
+    b = _best_hit(sharded.ScanRunner, db, L, q, None,
+                  {"SMAFA_TPU_PAIR_COUNT": "1"})
+    for x, y in zip(a[0], b[0]):
+        np.testing.assert_array_equal(x, y)
+    assert a[1][1] == b[1][1]
