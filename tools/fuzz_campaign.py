@@ -54,6 +54,7 @@ for n in range(START, START + COUNT):
     os.environ["SMAFA_TPU_EMBED"] = "1" if (n // 5) % 2 else "0"
     os.environ["SMAFA_TPU_PACK"] = ["reduce", "tree", "matmul"][(n // 11) % 3]
     os.environ["SMAFA_TPU_PAIR_COUNT"] = ["", "0", "1"][(n // 13) % 3]
+    os.environ["SMAFA_TPU_TIE_ITER"] = ["", "0"][(n // 17) % 2]
     # Fake a 31-bit key overflow on some configs so the local-pack +
     # pair-merge paths (and the top-M fallback on 1x1 meshes) get
     # fuzzed at toy scale. The threshold sits between the layout's
