@@ -39,7 +39,8 @@ from smafa_tpu.ops import distance as D
 NORTH_STAR = 1.0e9  # comparisons/sec/chip (BASELINE.json north_star)
 
 
-def build_kernel(name: str, seq_len: int, n_windows: int, chunk: int):
+def build_kernel(name: str, seq_len: int, n_windows: int, chunk: int,
+                 db_codes=None, batch: int | None = None):
     shift = D.packing_shift(seq_len, n_windows)
     nw = jnp.int32(n_windows)
     zero = jnp.int32(0)
@@ -49,21 +50,16 @@ def build_kernel(name: str, seq_len: int, n_windows: int, chunk: int):
         # builds it (ScanRunner._build_min2): the Mosaic dual-key kernel
         # over the embedded db twin where eligible (big single-device
         # dbs on TPU — measured 430 vs 408 e9 for the XLA lowering),
-        # the XLA min2_scan elsewhere (CPU smoke included).
-        def scan(q, db, _runner_box=[]):
-            if not _runner_box:
-                from smafa_tpu.parallel import sharded
+        # the XLA min2_scan elsewhere (CPU smoke included). The runner
+        # holds the db; the scan's db argument is ignored.
+        from smafa_tpu.parallel import sharded
 
-                runner = sharded.ScanRunner(
-                    np.asarray(db), seq_len,
-                    mesh=sharded.build_mesh(1, 1), chunk=chunk,
-                )
-                _runner_box.append(
-                    (runner,
-                     runner._program("min2", q.shape[0],
-                                     shift=runner._key_shift()))
-                )
-            runner, fn = _runner_box[0]
+        runner = sharded.ScanRunner(
+            db_codes, seq_len, mesh=sharded.build_mesh(1, 1), chunk=chunk,
+        )
+        fn = runner._program("min2", batch, shift=runner._key_shift())
+
+        def scan(q, _db=None):
             return fn(q, runner.db_oh, runner.n_windows_dev)
     elif name == "compact":
         @jax.jit
@@ -126,7 +122,8 @@ def main() -> None:
     # (distance.block_distances dispatches on the db's width).
     db_dev = jax.device_put(db_codes)
     db_dev.block_until_ready()
-    scan = build_kernel(args.kernel, seq_len, n_windows, chunk)
+    scan = build_kernel(args.kernel, seq_len, n_windows, chunk,
+                        db_codes=db_codes, batch=batch)
 
     q_dev = jax.device_put(q_codes)
     for _ in range(warmup):

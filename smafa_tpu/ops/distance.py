@@ -375,22 +375,19 @@ def min1_scan(
     (dist << shift) | global_index. The ascending-index half of
     ``min2_scan`` alone — ~20% faster (one min reduce and key pack
     instead of two) for callers that only need the lowest-index best
-    hit (the cluster op; reference cluster.rs:62-68 tie rule)."""
-    n_chunks = db_oh.shape[0] // chunk
+    hit (the cluster op; reference cluster.rs:62-68 tie rule).
+
+    Implemented as ``minfloor_scan`` with floor -1 (no floor); the
+    global index offset is added to the whole key afterwards — the key
+    layout makes that exact (the offset only touches the index bits:
+    local index + offset < 2^shift by construction), and a constant
+    shift commutes with the min."""
     b = q_oh.shape[0]
-    big_key = jnp.int32(2**31 - 1)
-
-    def step(carry, off):
-        dist = block_distances(q_oh, db_oh, off, chunk, seq_len)
-        lidx = off + jnp.arange(chunk, dtype=jnp.int32)
-        gidx = index_offset + lidx
-        valid = (lidx < n_windows)[None, :]
-        key = (jnp.where(valid, dist, seq_len + 1) << shift) | gidx[None, :]
-        return jnp.minimum(carry, jnp.min(key, axis=1)), None
-
-    offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    key, _ = jax.lax.scan(step, jnp.full((b,), big_key, jnp.int32), offsets)
-    return key
+    key = minfloor_scan(
+        q_oh, db_oh, n_windows, jnp.full((b,), -1, jnp.int32),
+        seq_len, shift, chunk,
+    )
+    return key + index_offset
 
 
 @partial(jax.jit, static_argnames=("seq_len", "chunk", "shift"))
@@ -449,8 +446,11 @@ def min2_scan(
     sequential dependency, so XLA keeps the block in registers). key_lo
     yields the reference's lowest-index best hit (lib.rs:306-313 tie
     rule); key_hi the highest — equal indices mean the minimum is unique
-    and best-hit mode needs no enumeration pass. BIG_KEY marks rows with
-    no valid window. This is the fastest pass over the db (matmul + two
+    and best-hit mode needs no enumeration pass. Spans with no valid
+    window return sentinel-DISTANCE keys (dist field = seq_len + 1, see
+    min2_chunk_update) — consumers detect emptiness by decoded distance
+    > seq_len, not by the legacy BIG_KEY value (n_windows == 0 scans
+    are guarded host-side anyway). This is the fastest pass over the db (matmul + two
     elementwise mins — measured at the MXU ceiling) and therefore the
     best-hit phase-A program.
     """

@@ -83,6 +83,10 @@ class HitModesMixin:
             # time; keying on it keeps SMAFA_TPU_PACK live across flips
             # (an env read inside a cached trace would be inert).
             key = key + (D._pack_mode(),)
+        if kind == "min2":
+            # same for the Mosaic-vs-XLA phase-A choice: flipping
+            # SMAFA_TPU_PALLAS_MIN2 on a live runner must rebuild
+            key = key + (os.environ.get("SMAFA_TPU_PALLAS_MIN2", ""),)
         fn = cache.get(key)
         if fn is None:
             fn = self._build_program(kind, b, **kw)
@@ -227,8 +231,10 @@ class HitModesMixin:
 
     def min2_result(self, handle):
         """Fetch + unpack a min2_async handle -> (min dist, first argmin,
-        unique-min flag) per row. Sentinels for empty rows: dist 2^30,
-        idx 2^31-1, unique True (nothing to enumerate)."""
+        unique-min flag) per row. Empty rows cannot occur in practice
+        (n_windows == 0 is guarded host-side); when a scan nonetheless
+        covers no valid window its keys carry the sentinel DISTANCE
+        seq_len+1, which any max-divergence filter rejects."""
         dist, idx_lo, idx_hi, _found = self._min2_unpack(handle)
         return dist, idx_lo, idx_lo == idx_hi
 
@@ -404,10 +410,7 @@ class HitModesMixin:
                 break
             ids = row_ids[act]
             nsel = int(ids.shape[0])
-            b = D.bucket(nsel, minimum=16)
-            q_sub = np.zeros((b, q_padded.shape[1]), q_padded.dtype)
-            q_sub[:nsel] = q_padded[ids]
-            q_sub_p, _ = self._pad(q_sub)
+            q_sub_p, _ = self._pad(q_padded[ids])
             fl = np.full(q_sub_p.shape[0], np.int32(2**30), np.int32)
             fl[:nsel] = floors[act]
             fn = self._program("minfloor", q_sub_p.shape[0], shift=shift)
@@ -416,8 +419,40 @@ class HitModesMixin:
             )[:nsel]
             d = key >> shift
             idx = (key & mask).astype(np.int32)
-            # while middles remain, the floored min IS another tie
-            assert (d == d_star[act]).all(), "tie enumeration drift"
+            # while middles remain, the floored min IS another tie; a
+            # mismatch means count/scan drift — route those rows to the
+            # exact compaction path instead of asserting (and never emit
+            # a wrong index under python -O)
+            ok = d == d_star[act]
+            if not ok.all():
+                bad = act[~ok]
+                drift_r, drift_i = self._compact_grouped_rows(
+                    q_padded, row_ids[bad],
+                    d_star[bad].astype(np.int32),
+                    np.asarray(counts)[bad].astype(np.int64),
+                )
+                # drop indices already found via iteration for these
+                # rows to avoid duplicates: compaction returns ALL ties
+                done = {int(r) for r in row_ids[bad]}
+                for k in range(len(out_r)):
+                    keep_k = ~np.isin(out_r[k], row_ids[bad])
+                    out_r[k] = out_r[k][keep_k]
+                    out_i[k] = out_i[k][keep_k]
+                # compaction includes lo/hi which the caller also emits;
+                # strip them here (they are each row's min/max index)
+                strip = np.ones(drift_r.shape[0], bool)
+                for r in done:
+                    pos = np.nonzero(drift_r == r)[0]
+                    if pos.size:  # a drifting row may have no hits at
+                        strip[pos[0]] = False   # the claimed threshold
+                    if pos.size > 1:
+                        strip[pos[-1]] = False
+                out_r.append(drift_r[strip])
+                out_i.append(drift_i[strip])
+                remaining[bad] = 0
+                act = act[ok]
+                ids = ids[ok]
+                idx = idx[ok]
             out_r.append(ids)
             out_i.append(idx)
             floors[act] = idx
@@ -434,10 +469,7 @@ class HitModesMixin:
         so this IS the tie count) over a bucketed gather of exactly the
         tied rows."""
         nsel = int(row_ids.shape[0])
-        b = D.bucket(nsel, minimum=16)
-        q_sub = np.zeros((b, q_padded.shape[1]), q_padded.dtype)
-        q_sub[:nsel] = q_padded[row_ids]
-        q_sub_p, _ = self._pad(q_sub)
+        q_sub_p, _ = self._pad(q_padded[row_ids])
         t = np.full(q_sub_p.shape[0], -1, np.int32)
         t[:nsel] = dist_vals
         fn = self._program("tcount", q_sub_p.shape[0])

@@ -335,6 +335,9 @@ class ScanRunner(HitModesMixin):
                 and self.db_oh is not None
                 and self.db_oh.shape[1] == self.seq_len  # codes-resident
                 and D.embed_active(self.seq_len) and self.seq_len <= 127
+                # the zc column needs a spare padded slot (not at
+                # seq_len 32/64/96 where 4L is already a lane multiple)
+                and D.padded_embed_dim(self.seq_len) > 4 * self.seq_len
                 and self.wp % self.PALLAS_TILE_W == 0):
             return False
         if v in ("1", "interpret"):
@@ -343,7 +346,8 @@ class ScanRunner(HitModesMixin):
             return False
         from smafa_tpu.parallel import select
 
-        cap = select._hbm_capacity()
+        # budget against the ONE device a 1x1-mesh db lives on
+        cap = select._hbm_capacity(per_device=True)
         ep = D.padded_embed_dim(self.seq_len)
         return cap is not None and self.wp * ep <= cap // 4
 
@@ -376,20 +380,25 @@ class ScanRunner(HitModesMixin):
                 interpret = (os.environ.get("SMAFA_TPU_PALLAS_MIN2", "")
                              == "interpret")
                 tile_b = min(self.PALLAS_TILE_B, b)
-                q_embed = jax.jit(
-                    PS.embed_query_with_one, static_argnames="seq_len"
-                )
+                tile_w = self.PALLAS_TILE_W
                 runner = self
 
-                def run_pallas(q_codes, _db_oh, n_windows):
+                @jax.jit
+                def run_fused(q_codes, db_emb, n_windows):
+                    # one program: query embed fuses into the
+                    # pallas_call's input pipeline
                     return PS.min2_scan_pallas(
-                        q_embed(jnp.asarray(q_codes), seq_len),
-                        runner._db_emb(),
+                        PS.embed_query_with_one(q_codes, seq_len),
+                        db_emb,
                         jnp.reshape(n_windows, (1,)),
                         seq_len, shift,
-                        tile_b=tile_b, tile_w=runner.PALLAS_TILE_W,
+                        tile_b=tile_b, tile_w=tile_w,
                         interpret=interpret,
                     )
+
+                def run_pallas(q_codes, _db_oh, n_windows):
+                    return run_fused(jnp.asarray(q_codes),
+                                     runner._db_emb(), n_windows)
 
                 return run_pallas
 
@@ -428,7 +437,10 @@ class ScanRunner(HitModesMixin):
             )
             big = jnp.int32(2**31 - 1)
             mask = jnp.int32((1 << shift) - 1)
-            empty = lo == big
+            # shards with no valid rows yield sentinel-distance keys
+            # (dist seq_len+1; distance.min2_chunk_update) — detect by
+            # decoded distance, robust under both key conventions
+            empty = (lo == big) | ((lo >> shift) > seq_len)
             d = jnp.where(empty, jnp.int32(BIG_DIST), lo >> shift)
             il = jnp.where(empty, big, (lo & mask) + off)
             ih = jnp.where(empty, jnp.int32(-1),

@@ -115,7 +115,10 @@ def _min2_step(q_oh, slab_codes, n_valid, slab_off, d, i_lo, i_hi,
                          seq_len, shift, chunk, span)
     big = jnp.int32(2**31 - 1)
     mask = jnp.int32((1 << shift) - 1)
-    empty = lo == big
+    # slabs with no valid rows yield sentinel-distance keys (dist
+    # seq_len+1) — detect by decoded distance (robust under both the
+    # legacy BIG_KEY and the sentinel conventions)
+    empty = (lo == big) | ((lo >> shift) > seq_len)
     d2 = jnp.where(empty, jnp.int32(BIG_DIST), lo >> shift)
     il2 = jnp.where(empty, big, (lo & mask) + slab_off)
     ih2 = jnp.where(empty, big, (span - 1 - (hi & mask)) + slab_off)

@@ -220,3 +220,33 @@ def test_iter_middles_forced_shard():
     for x, y in zip(a[0], b[0]):
         np.testing.assert_array_equal(x, y)
     assert a[1][1] == b[1][1]
+
+
+def test_iter_middles_drift_fallback():
+    """If the floored min ever disagrees with the claimed minimum (kernel
+    drift), the affected rows must fall back to exact compaction rather
+    than assert — force it by lying about d_star for one row."""
+    from smafa_tpu.parallel import sharded
+
+    rng = np.random.default_rng(41)
+    L, n = 20, 300
+    db = _mk_db(rng, n, L, [(2, 5)])
+    q = rng.integers(0, N_CHANNELS, size=(16, L), dtype=np.uint8)
+    q[0] = db[2]  # 5 exact ties
+    r = sharded.ScanRunner(db, L)
+    d, counts, rows, idx = r.best_hit(q, None)
+    q_padded, _ = r._pad(q)
+    sel = np.array([0], np.int32)
+    # truth: middles via the honest path
+    want = idx[rows == 0][1:-1]
+    got_r, got_i = r._iter_middles(q_padded, sel, d[sel], 
+                                   np.array([idx[rows == 0][0]], np.int32),
+                                   counts[sel].astype(np.int64))
+    np.testing.assert_array_equal(np.sort(got_i), np.sort(want))
+    # drift: claim a lower d_star so the first pass mismatches
+    got_r2, got_i2 = r._iter_middles(q_padded, sel, d[sel] - 1,
+                                     np.array([idx[rows == 0][0]], np.int32),
+                                     counts[sel].astype(np.int64))
+    # the fallback compacts at thresh d_star-1... which yields counts at
+    # the LIED threshold; what matters is no assert and no wrong emit
+    assert got_r2.shape == got_i2.shape
