@@ -686,10 +686,17 @@ def extract_mask_hits(mask, index_offset, chunk, t_cap):
     prior = jnp.where(wsel > 0, cum[jnp.maximum(wsel - 1, 0)], 0)
     r_word = r - prior  # 1-based rank of the wanted bit within its word
     word = flat[wsel]
-    wbits = ((word[:, None] >> jnp.arange(32, dtype=jnp.uint32)[None, :]) & 1
-             ).astype(jnp.int32)
-    bcum = jnp.cumsum(wbits, axis=1)
-    bit = jnp.sum(bcum < r_word[:, None], axis=1).astype(jnp.int32)
+    # r_word-th set bit via a 5-step binary search on prefix popcounts
+    # (invariant: the low `bit` bits hold < r_word set bits) — ~7 ops
+    # per step on [t_cap] vs the former [t_cap, 32] expansion + 32-lane
+    # cumsum, which dominated extraction at millions of slots.
+    bit = jnp.zeros_like(r_word)
+    for step in (16, 8, 4, 2, 1):
+        trial = bit + step  # <= 31 by construction (16+8+4+2+1)
+        pc_pref = jax.lax.population_count(
+            word & ((jnp.uint32(1) << trial.astype(jnp.uint32)) - 1)
+        ).astype(jnp.int32)
+        bit = jnp.where(pc_pref < r_word, trial, bit)
     row = wsel // w32
     wr = wsel % w32
     lidx = (wr // wpc) * chunk + (wr % wpc) * 32 + jnp.minimum(bit, 31)
