@@ -72,22 +72,65 @@ class ColumnShardedScanRunner(HitModesMixin):
         if codes_p.shape[0] < padded:
             codes_p = np.pad(codes_p, [(0, padded - codes_p.shape[0]), (0, 0)])
 
-        # One-hot feature dim padded so it splits evenly over 'c' in
-        # 128-lane multiples; zero pad columns are distance-neutral.
-        lp = D.padded_feature_dim(self.seq_len)
+        # Feature dim padded so it splits evenly over 'c' in 128-lane
+        # multiples; zero pad columns are distance-neutral. The rank-4
+        # embedding shards 4L+2 columns instead of 5L (a 1.25x cut in
+        # sharded width and partial-dot work at long windows — exactly
+        # this layout's regime): the db carries its channel-0 count in
+        # column 4L and the query a constant 1 there (and vice versa in
+        # column 4L+1), so `matches = dot` exactly and the psum over
+        # column slices needs no epilogue correction regardless of
+        # which shard owns the count columns.
+        # channel-0 counts can exceed int8 at this layout's long
+        # windows: spread them over ceil(L/127) correction columns
+        # (each <= 127; the query carries 1 in each, so their dot
+        # contribution sums back to zc exactly)
+        self._zc_cols = -(-self.seq_len // 127)
+        self._embed = (D.embed_active(self.seq_len)
+                       and D.padded_embed_dim(self.seq_len)
+                       >= 4 * self.seq_len + self._zc_cols)
+        lp = (D.padded_embed_dim(self.seq_len) if self._embed
+              else D.padded_feature_dim(self.seq_len))
         lane_groups = lp // D.LANE
         groups_per_dev = (lane_groups + self.n_c - 1) // self.n_c
         self.lp_sharded = groups_per_dev * self.n_c * D.LANE
 
         spec = NamedSharding(self.mesh, P(None, "c"))
+        seq_len = self.seq_len
+        pad_to = self.lp_sharded
 
-        @partial(jax.jit, out_shardings=spec)
-        def expand(c):
-            oh = D.expand_onehot(c, self.seq_len)
-            return jnp.pad(oh, [(0, 0), (0, self.lp_sharded - oh.shape[1])])
+        if self._embed:
+            ncc = self._zc_cols
 
-        self.db_oh = expand(jax.device_put(codes_p))
-        self._expand_q = expand
+            @partial(jax.jit, static_argnames="is_db")
+            def expand(c, is_db):
+                if is_db:
+                    emb, zc = D.expand_embed_db(c, seq_len)
+                    for j in range(ncc):
+                        part = jnp.clip(zc - 127 * j, 0, 127)
+                        emb = emb.at[:, 4 * seq_len + j].set(
+                            part.astype(jnp.int8)
+                        )
+                else:
+                    emb = D.expand_embed_query(c, seq_len)
+                    for j in range(ncc):
+                        emb = emb.at[:, 4 * seq_len + j].set(jnp.int8(1))
+                return jnp.pad(emb, [(0, 0), (0, pad_to - emb.shape[1])])
+
+            self.db_oh = jax.jit(
+                partial(expand, is_db=True), out_shardings=spec
+            )(jax.device_put(codes_p))
+            self._expand_q = partial(expand, is_db=False)
+        else:
+            @jax.jit
+            def expand_oh(c):
+                oh = D.expand_onehot(c, seq_len)
+                return jnp.pad(oh, [(0, 0), (0, pad_to - oh.shape[1])])
+
+            self.db_oh = jax.jit(
+                expand_oh, out_shardings=spec
+            )(jax.device_put(codes_p))
+            self._expand_q = expand_oh
         self.n_windows_dev = jnp.int32(self.n_windows)
 
     # -- HitModesMixin primitives ------------------------------------------

@@ -120,3 +120,42 @@ def test_runner_parity_embed_vs_onehot(L):
     b = _runner_outputs(codes, L, q, {"SMAFA_TPU_EMBED": "0"})
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+@pytest.mark.parametrize("L", [60, 200, 300])
+def test_col_layout_embed_parity(L):
+    """Column-sharded layout with the rank-4 embedding: the channel-0
+    count spreads over ceil(L/127) int8 correction columns, so the psum
+    of partial dots recovers exact matches at long windows too."""
+    from smafa_tpu.parallel import seqpar, sharded
+
+    rng = np.random.default_rng(L)
+    n = 200
+    # N-heavy rows make zc large (past one int8 column at L >= 128)
+    codes = rng.integers(0, N_CHANNELS, size=(n, L), dtype=np.uint8)
+    codes[5] = 0  # all channel-0: zc == L
+    q = rng.integers(0, N_CHANNELS, size=(9, L), dtype=np.uint8)
+    q[0] = codes[5]
+    q[1] = codes[7]
+
+    col = seqpar.ColumnShardedScanRunner(codes, L, chunk=32)
+    assert col._embed, "embedding must engage at these lengths"
+    oracle = sharded.ScanRunner(codes, L, mesh=sharded.build_mesh(1, 1))
+    for env in ({"SMAFA_TPU_PAIR_COUNT": "1"}, {"SMAFA_TPU_PAIR_COUNT": "0"}):
+        old = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            a = col.best_hit(q, None)
+            b = oracle.best_hit(q, None)
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+    ka = col.kmode_flat(q, 5, None)
+    kb = oracle.kmode_flat(q, 5, None)
+    for x, y in zip(ka, kb):
+        np.testing.assert_array_equal(x, y)
