@@ -202,24 +202,33 @@ def embed_query_with_one(codes: jax.Array, seq_len: int) -> jax.Array:
 
 
 def _min2_kernel(nw_ref, q_ref, db_ref, lo_ref, hi_ref, lo_acc, hi_acc, *,
-                 seq_len: int, shift: int, tile_w: int, span: int):
+                 seq_len: int, shift: int, tile_w: int, span: int,
+                 sub: int):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
-    dot = jax.lax.dot_general(
-        q_ref[...], db_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    dist = seq_len - dot  # zc column folded into the contraction
+    blo = None
+    bhi = None
+    sw = tile_w // sub
+    for s in range(sub):  # unrolled sub-tiles keep the dist buffer at
+        dot = jax.lax.dot_general(  # [TB, tile_w/sub] while halving the
+            q_ref[...],             # grid-step count
+            db_ref[pl.ds(s * sw, sw), :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        dist = seq_len - dot  # zc column folded into the contraction
 
-    gidx = j * tile_w + jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-    valid = gidx < nw_ref[0]
-    # one select on the distance: sentinel seq_len+1 loses both key
-    # directions by the distance bits alone (distance.min2_chunk_update)
-    shifted = jnp.where(valid, dist, seq_len + 1) << shift
-    blo = jnp.min(shifted | gidx, axis=1, keepdims=True)
-    bhi = jnp.min(shifted | (span - 1 - gidx), axis=1, keepdims=True)
+        gidx = (j * tile_w + s * sw
+                + jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1))
+        valid = gidx < nw_ref[0]
+        # one select on the distance: sentinel seq_len+1 loses both key
+        # directions by the distance bits alone (distance.min2_chunk_update)
+        shifted = jnp.where(valid, dist, seq_len + 1) << shift
+        slo = jnp.min(shifted | gidx, axis=1, keepdims=True)
+        shi = jnp.min(shifted | (span - 1 - gidx), axis=1, keepdims=True)
+        blo = slo if blo is None else jnp.minimum(blo, slo)
+        bhi = shi if bhi is None else jnp.minimum(bhi, shi)
 
     @pl.when(j == 0)
     def _():
@@ -239,7 +248,8 @@ def _min2_kernel(nw_ref, q_ref, db_ref, lo_ref, hi_ref, lo_acc, hi_acc, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("seq_len", "shift", "tile_b", "tile_w", "interpret"),
+    static_argnames=("seq_len", "shift", "tile_b", "tile_w", "sub",
+                     "interpret"),
 )
 def min2_scan_pallas(
     q_emb: jax.Array,      # int8 [Bp, EP] (expand_embed_query + 1-column at 4L)
@@ -249,6 +259,7 @@ def min2_scan_pallas(
     shift: int,
     tile_b: int = 1024,
     tile_w: int = 512,
+    sub: int = 1,          # in-kernel sub-tiles per grid step
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Dual packed min keys per row — drop-in twin of
@@ -259,7 +270,8 @@ def min2_scan_pallas(
     grid = (bp // tile_b, wp // tile_w)
 
     kernel = functools.partial(
-        _min2_kernel, seq_len=seq_len, shift=shift, tile_w=tile_w, span=wp
+        _min2_kernel, seq_len=seq_len, shift=shift, tile_w=tile_w, span=wp,
+        sub=sub,
     )
     lo, hi = pl.pallas_call(
         kernel,

@@ -312,7 +312,8 @@ class ScanRunner(HitModesMixin):
     # -- fused min/count path (best-hit + cluster hot path) ----------------
 
     PALLAS_TILE_B = 1024
-    PALLAS_TILE_W = 2048
+    PALLAS_TILE_W = 4096  # two 2048-wide in-kernel sub-tiles
+    PALLAS_SUB = 2
 
     def _pallas_min2_eligible(self, b: int) -> bool:
         """Ship the Mosaic dual-key kernel (ops.pallas_scan.min2_scan_pallas)
@@ -380,7 +381,8 @@ class ScanRunner(HitModesMixin):
                 interpret = (os.environ.get("SMAFA_TPU_PALLAS_MIN2", "")
                              == "interpret")
                 tile_b = min(self.PALLAS_TILE_B, b)
-                tile_w = self.PALLAS_TILE_W
+                tile_w = self.PALLAS_TILE_W  # sub-tiled: measured 454
+                # vs 431 e9 at (1024, 4096, sub=2) vs (1024, 2048)
                 runner = self
 
                 @jax.jit
@@ -393,6 +395,7 @@ class ScanRunner(HitModesMixin):
                         jnp.reshape(n_windows, (1,)),
                         seq_len, shift,
                         tile_b=tile_b, tile_w=tile_w,
+                        sub=runner.PALLAS_SUB,
                         interpret=interpret,
                     )
 

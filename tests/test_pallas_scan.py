@@ -90,3 +90,32 @@ def test_min2_scan_pallas_parity():
     )
     np.testing.assert_array_equal(np.asarray(lo_p), np.asarray(lo_x))
     np.testing.assert_array_equal(np.asarray(hi_p), np.asarray(hi_x))
+
+
+def test_min2_scan_pallas_subtiled_parity():
+    """The in-kernel sub-tile variant (tile_w split into sub dots) must
+    equal both the sub=1 kernel and the XLA keys exactly."""
+    import jax.numpy as jnp
+    from smafa_tpu.ops import pallas_scan as PS
+
+    rng = np.random.default_rng(6)
+    L, wp, b = 60, 2048, 32
+    nw = 2000
+    db = rng.integers(0, 5, size=(wp, L), dtype=np.uint8)
+    db[:nw][rng.integers(0, nw, 60)] = db[11]
+    q = rng.integers(0, 5, size=(b, L), dtype=np.uint8)
+    q[:2] = db[11]
+    shift = D.packing_shift(L, wp)
+    qe = PS.embed_query_with_one(jnp.asarray(q), L)
+    de = PS.embed_db_with_zc(jnp.asarray(db), L)
+    nwa = jnp.asarray([nw], np.int32)
+    a = PS.min2_scan_pallas(qe, de, nwa, L, shift, tile_b=32, tile_w=512,
+                            sub=2, interpret=True)
+    c = PS.min2_scan_pallas(qe, de, nwa, L, shift, tile_b=32, tile_w=512,
+                            sub=1, interpret=True)
+    x = D.min2_scan(D.expand_query(q, L, L), jnp.asarray(db), jnp.int32(nw),
+                    jnp.int32(0), L, shift, 256, wp)
+    for g, w in zip(a, c):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    for g, w in zip(a, x):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
