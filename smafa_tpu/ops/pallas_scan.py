@@ -33,8 +33,9 @@ STATUS: two generations live here.
 - ``min2_scan_pallas`` (round 3, bottom of file) — the SHIPPED phase-A
   program for big single-device dbs: fixed data movement (pre-embedded
   rank-4 db streamed once per query tile at 256 B/row, zc folded into a
-  spare int8 column) measures 430e9 vs the XLA lowering's 408e9 at
-  65536 x 4M (docs/PERFORMANCE.md round-3 anatomy). Gated by
+  spare int8 column; two in-kernel sub-dots per grid step) measures
+  453.9e9 vs the XLA lowering's 408e9 at 65536 x 4M
+  (docs/PERFORMANCE.md round-3 anatomy). Gated by
   ScanRunner._pallas_min2_eligible; SMAFA_TPU_PALLAS_MIN2 overrides.
 """
 
