@@ -180,15 +180,28 @@ def min_count_scan(
 # better than XLA's fused emitters.
 
 
-def embed_db_with_zc(codes: jax.Array, seq_len: int) -> jax.Array:
+def embed_db_with_zc(codes: jax.Array, seq_len: int,
+                     n_windows: jax.Array | int) -> jax.Array:
     """uint8 [Wp, L] -> int8 [Wp, EP] rank-4 db embedding with the
     channel-0 count in column 4L (requires 4L+1 <= padded width and
-    count <= 127, i.e. seq_len <= 127); dist = seq_len - q_emb @ this."""
+    count <= 127, i.e. seq_len <= 127); dist = seq_len - q_emb @ this.
+
+    Padding rows (>= n_windows) are POISONED: all-zero except -1 in the
+    zc column. Every query row carries a constant 1 there
+    (embed_query_with_one), so a poisoned row's dot is exactly -1 and
+    its distance is exactly seq_len + 1 — the same sentinel the masked
+    epilogue used (distance.min2_chunk_update; packing_shift budgets
+    seq_len + 2). That moves validity out of the kernel's hot loop:
+    min2's epilogue needs no compare/select at all."""
     from smafa_tpu.ops import distance as D
 
     emb, zc = D.expand_embed_db(codes, seq_len)
     assert emb.shape[1] > 4 * seq_len and seq_len <= 127
-    return emb.at[:, 4 * seq_len].set(zc.astype(jnp.int8))
+    emb = emb.at[:, 4 * seq_len].set(zc.astype(jnp.int8))
+    rows = jnp.arange(emb.shape[0], dtype=jnp.int32)[:, None]
+    pad_row = jnp.zeros((emb.shape[1],), jnp.int8).at[4 * seq_len].set(-1)
+    return jnp.where(rows < jnp.asarray(n_windows, jnp.int32).reshape(()),
+                     emb, pad_row[None, :])
 
 
 def embed_query_with_one(codes: jax.Array, seq_len: int) -> jax.Array:
@@ -202,7 +215,7 @@ def embed_query_with_one(codes: jax.Array, seq_len: int) -> jax.Array:
     return emb.at[:, 4 * seq_len].set(jnp.int8(1))
 
 
-def _min2_kernel(nw_ref, q_ref, db_ref, lo_ref, hi_ref, lo_acc, hi_acc, *,
+def _min2_kernel(q_ref, db_ref, lo_ref, hi_ref, lo_acc, hi_acc, *,
                  seq_len: int, shift: int, tile_w: int, span: int,
                  sub: int):
     j = pl.program_id(1)
@@ -220,14 +233,19 @@ def _min2_kernel(nw_ref, q_ref, db_ref, lo_ref, hi_ref, lo_acc, hi_acc, *,
         )
         dist = seq_len - dot  # zc column folded into the contraction
 
-        gidx = (j * tile_w + s * sw
-                + jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1))
-        valid = gidx < nw_ref[0]
-        # one select on the distance: sentinel seq_len+1 loses both key
-        # directions by the distance bits alone (distance.min2_chunk_update)
-        shifted = jnp.where(valid, dist, seq_len + 1) << shift
-        slo = jnp.min(shifted | gidx, axis=1, keepdims=True)
-        shi = jnp.min(shifted | (span - 1 - gidx), axis=1, keepdims=True)
+        # No validity mask: padding rows of the embed twin are poisoned
+        # to dot == -1 (embed_db_with_zc), so their distance is already
+        # the losing sentinel seq_len + 1. Keys are packed with SUB-TILE
+        # local indices (grid-invariant iota — no per-step offset adds
+        # in the hot loop); the winner's global offset is added after
+        # the reduction, on [TB, 1], which is exact because the index
+        # field never carries into the distance bits (gidx < 2**shift).
+        shifted = dist << shift
+        lidx = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+        off = j * tile_w + s * sw
+        slo = jnp.min(shifted | lidx, axis=1, keepdims=True) + off
+        shi = jnp.min(shifted | (sw - 1 - lidx), axis=1, keepdims=True) \
+            + (span - sw - off)
         blo = slo if blo is None else jnp.minimum(blo, slo)
         bhi = shi if bhi is None else jnp.minimum(bhi, shi)
 
@@ -254,8 +272,7 @@ def _min2_kernel(nw_ref, q_ref, db_ref, lo_ref, hi_ref, lo_acc, hi_acc, *,
 )
 def min2_scan_pallas(
     q_emb: jax.Array,      # int8 [Bp, EP] (expand_embed_query + 1-column at 4L)
-    db_emb: jax.Array,     # int8 [Wp, EP] (embed_db_with_zc)
-    n_windows: jax.Array,  # int32 [1]
+    db_emb: jax.Array,     # int8 [Wp, EP] (embed_db_with_zc — padding poisoned)
     seq_len: int,
     shift: int,
     tile_b: int = 1024,
@@ -265,7 +282,9 @@ def min2_scan_pallas(
 ) -> tuple[jax.Array, jax.Array]:
     """Dual packed min keys per row — drop-in twin of
     ops.distance.min2_scan (index_offset 0, span = Wp) over the
-    pre-embedded db form."""
+    pre-embedded db form. Validity rides in the twin itself
+    (embed_db_with_zc poisons padding rows to the sentinel distance),
+    so the kernel takes no n_windows operand."""
     bp, ep = q_emb.shape
     wp = db_emb.shape[0]
     grid = (bp // tile_b, wp // tile_w)
@@ -278,7 +297,6 @@ def min2_scan_pallas(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_b, ep), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_w, ep), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
@@ -303,6 +321,6 @@ def min2_scan_pallas(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(n_windows, q_emb, db_emb)
+    )(q_emb, db_emb)
 
     return lo[:, 0], hi[:, 0]

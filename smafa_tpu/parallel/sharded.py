@@ -354,7 +354,8 @@ class ScanRunner(HitModesMixin):
 
     def _db_emb(self):
         """Lazily-built embedded db twin for the Mosaic phase A: rank-4
-        embedding with the channel-0 count folded into column 4L
+        embedding with the channel-0 count folded into column 4L and
+        padding rows poisoned to the sentinel distance
         (ops.pallas_scan.embed_db_with_zc) — the codes stay resident for
         every other program."""
         emb = getattr(self, "_db_emb_cache", None)
@@ -363,7 +364,7 @@ class ScanRunner(HitModesMixin):
 
             emb = jax.jit(
                 PS.embed_db_with_zc, static_argnames="seq_len"
-            )(self.db_oh, self.seq_len)
+            )(self.db_oh, self.seq_len, self.n_windows_dev)
             emb.block_until_ready()
             self._db_emb_cache = emb
         return emb
@@ -386,22 +387,22 @@ class ScanRunner(HitModesMixin):
                 runner = self
 
                 @jax.jit
-                def run_fused(q_codes, db_emb, n_windows):
+                def run_fused(q_codes, db_emb):
                     # one program: query embed fuses into the
-                    # pallas_call's input pipeline
+                    # pallas_call's input pipeline; validity rides in
+                    # the poisoned twin, not a kernel operand
                     return PS.min2_scan_pallas(
                         PS.embed_query_with_one(q_codes, seq_len),
                         db_emb,
-                        jnp.reshape(n_windows, (1,)),
                         seq_len, shift,
                         tile_b=tile_b, tile_w=tile_w,
                         sub=runner.PALLAS_SUB,
                         interpret=interpret,
                     )
 
-                def run_pallas(q_codes, _db_oh, n_windows):
+                def run_pallas(q_codes, _db_oh, _n_windows):
                     return run_fused(jnp.asarray(q_codes),
-                                     runner._db_emb(), n_windows)
+                                     runner._db_emb())
 
                 return run_pallas
 

@@ -84,8 +84,8 @@ def test_min2_scan_pallas_parity():
     )
     lo_p, hi_p = PS.min2_scan_pallas(
         PS.embed_query_with_one(jnp.asarray(q), L),
-        PS.embed_db_with_zc(jnp.asarray(db), L),
-        jnp.asarray([nw], np.int32), L, shift,
+        PS.embed_db_with_zc(jnp.asarray(db), L, nw),
+        L, shift,
         tile_b=32, tile_w=256, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(lo_p), np.asarray(lo_x))
@@ -107,11 +107,10 @@ def test_min2_scan_pallas_subtiled_parity():
     q[:2] = db[11]
     shift = D.packing_shift(L, wp)
     qe = PS.embed_query_with_one(jnp.asarray(q), L)
-    de = PS.embed_db_with_zc(jnp.asarray(db), L)
-    nwa = jnp.asarray([nw], np.int32)
-    a = PS.min2_scan_pallas(qe, de, nwa, L, shift, tile_b=32, tile_w=512,
+    de = PS.embed_db_with_zc(jnp.asarray(db), L, nw)
+    a = PS.min2_scan_pallas(qe, de, L, shift, tile_b=32, tile_w=512,
                             sub=2, interpret=True)
-    c = PS.min2_scan_pallas(qe, de, nwa, L, shift, tile_b=32, tile_w=512,
+    c = PS.min2_scan_pallas(qe, de, L, shift, tile_b=32, tile_w=512,
                             sub=1, interpret=True)
     x = D.min2_scan(D.expand_query(q, L, L), jnp.asarray(db), jnp.int32(nw),
                     jnp.int32(0), L, shift, 256, wp)
