@@ -30,13 +30,19 @@ STATUS: two generations live here.
   ~210e9 and retired from the hot path: it streams the ONE-HOT db per
   query tile (1.6 GB re-read B/TB times). Kept parity-tested as the
   historical Mosaic reference.
-- ``min2_scan_pallas`` (round 3, bottom of file) — the SHIPPED phase-A
-  program for big single-device dbs: fixed data movement (pre-embedded
-  rank-4 db streamed once per query tile at 256 B/row, zc folded into a
-  spare int8 column; two in-kernel sub-dots per grid step) measures
-  453.9e9 vs the XLA lowering's 408e9 at 65536 x 4M
-  (docs/PERFORMANCE.md round-3 anatomy). Gated by
-  ScanRunner._pallas_min2_eligible; SMAFA_TPU_PALLAS_MIN2 overrides.
+- ``min2_scan_pallas`` (round 3, bottom of file; round 4 added the
+  fused tie count and multi-device shipping) — the SHIPPED phase-A
+  program for big dbs: fixed data movement (pre-embedded rank-4 db
+  streamed once per query tile at 256 B/row, zc folded into a spare
+  int8 column; two in-kernel sub-dots per grid step) measured 453.9e9
+  vs the XLA lowering's 408e9 at 65536 x 4M without the count
+  (docs/PERFORMANCE.md round-3 anatomy). Round 4 fuses the exact
+  per-row tie count into the same pass (with_count, default on), so
+  best-hit needs NO separate tcount dispatch, and runs the kernel per
+  'w' shard inside shard_map on multi-device meshes (sharded + ring
+  layouts — keys globalize by offset adds, counts merge with one
+  conditional psum). Gated by min2_eligible below;
+  SMAFA_TPU_PALLAS_MIN2 overrides (=interpret for CPU tests).
 """
 
 from __future__ import annotations
@@ -54,6 +60,65 @@ BIG_KEY = 2**31 - 1  # plain int: jnp constants can't be captured by the kernel
 
 DEFAULT_TILE_B = 256
 DEFAULT_TILE_W = 2048
+
+# Measured-best min2 tiles (docs/PERFORMANCE.md round-3 sweep):
+# (1024, 4096, sub=2), stepping down for smaller shards.
+MIN2_TILE_B = 1024
+MIN2_TILE_PREFS = ((4096, 2), (2048, 2), (1024, 2), (512, 1))
+
+
+def pick_min2_tiles(b_loc: int, shard_wp: int,
+                    interpret: bool) -> tuple[int, int, int] | None:
+    """(tile_b, tile_w, sub) for min2_scan_pallas over one device's
+    [b_loc] query rows x [shard_wp] db rows, or None when no supported
+    tiling divides. Interpret mode (CPU tests) additionally accepts
+    tiny whole-shard tiles."""
+    tile_b = min(MIN2_TILE_B, b_loc)
+    if tile_b <= 0 or b_loc % tile_b:
+        return None
+    for tw, sub in MIN2_TILE_PREFS:
+        if tw <= shard_wp and shard_wp % tw == 0:
+            return tile_b, tw, sub
+    if interpret and shard_wp > 0:
+        return tile_b, shard_wp, 2 if shard_wp % 2 == 0 else 1
+    return None
+
+
+def min2_eligible(seq_len: int, db_width: int, b_loc: int,
+                  shard_rows: int, n_windows: int, b_total: int) -> bool:
+    """Shared auto/override gate for shipping min2_scan_pallas, used by
+    every layout (row-sharded, ring): the kernel must beat the XLA path
+    (auto: >= 2^20 rows, batch >= one tile) AND the per-shard
+    [shard_rows, EP] int8 embed twin must be affordable (a quarter of
+    per-device HBM). SMAFA_TPU_PALLAS_MIN2=0/1 overrides the auto gate;
+    =interpret runs the kernel in Mosaic interpret mode (any backend)
+    so CPU tests cover the integration end to end."""
+    import os
+
+    from smafa_tpu.ops import distance as D
+
+    v = os.environ.get("SMAFA_TPU_PALLAS_MIN2", "")
+    if v == "0":
+        return False
+    if not ((v == "interpret"
+             or jax.devices()[0].platform not in ("cpu",))
+            and db_width == seq_len  # codes-resident
+            and D.embed_active(seq_len) and seq_len <= 127
+            # the zc column needs a spare padded slot (not at seq_len
+            # 32/64/96 where 4L is already a lane multiple)
+            and D.padded_embed_dim(seq_len) > 4 * seq_len
+            and pick_min2_tiles(b_loc, shard_rows,
+                                v == "interpret") is not None):
+        return False
+    if v in ("1", "interpret"):
+        return True
+    if n_windows < (1 << 20) or b_total < MIN2_TILE_B:
+        return False
+    from smafa_tpu.parallel import select
+
+    cap = select._hbm_capacity(per_device=True)
+    return (cap is not None
+            and shard_rows * D.padded_embed_dim(seq_len) <= cap // 4)
 
 
 def _min_kernel(nw_ref, q_ref, db_ref, key_ref, cnt_ref, key_acc, cnt_acc, *,
@@ -215,14 +280,20 @@ def embed_query_with_one(codes: jax.Array, seq_len: int) -> jax.Array:
     return emb.at[:, 4 * seq_len].set(jnp.int8(1))
 
 
-def _min2_kernel(q_ref, db_ref, lo_ref, hi_ref, lo_acc, hi_acc, *,
-                 seq_len: int, shift: int, tile_w: int, span: int,
-                 sub: int):
+def _min2_kernel(q_ref, db_ref, *refs, seq_len: int, shift: int,
+                 tile_w: int, span: int, sub: int, with_count: bool):
+    if with_count:
+        lo_ref, hi_ref, cnt_ref, lo_acc, hi_acc, cnt_acc = refs
+    else:
+        lo_ref, hi_ref, lo_acc, hi_acc = refs
+        cnt_ref = cnt_acc = None
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
     blo = None
     bhi = None
+    bcnt = None
+    bdist = None
     sw = tile_w // sub
     for s in range(sub):  # unrolled sub-tiles keep the dist buffer at
         dot = jax.lax.dot_general(  # [TB, tile_w/sub] while halving the
@@ -243,19 +314,54 @@ def _min2_kernel(q_ref, db_ref, lo_ref, hi_ref, lo_acc, hi_acc, *,
         shifted = dist << shift
         lidx = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
         off = j * tile_w + s * sw
-        slo = jnp.min(shifted | lidx, axis=1, keepdims=True) + off
+        mlo = jnp.min(shifted | lidx, axis=1, keepdims=True)
+        slo = mlo + off
         shi = jnp.min(shifted | (sw - 1 - lidx), axis=1, keepdims=True) \
             + (span - sw - off)
-        blo = slo if blo is None else jnp.minimum(blo, slo)
-        bhi = shi if bhi is None else jnp.minimum(bhi, shi)
+        if not with_count:
+            blo = slo if blo is None else jnp.minimum(blo, slo)
+            bhi = shi if bhi is None else jnp.minimum(bhi, shi)
+            continue
+        # Fused tie count: windows at this sub-tile's min distance.
+        # Padding rows sit at the sentinel distance seq_len + 1, which
+        # never equals a real row minimum (n_windows >= 1 implies the
+        # true min <= seq_len), so counts over poisoned rows are
+        # discarded by the conditional merge below — except for shards
+        # that are ENTIRELY padding, whose sentinel-distance count the
+        # cross-shard merge drops the same way.
+        sdist = mlo >> shift                       # [TB, 1]
+        scnt = jnp.sum(
+            (dist == sdist).astype(jnp.int32), axis=1, keepdims=True
+        )
+        if blo is None:
+            blo, bhi, bcnt, bdist = slo, shi, scnt, sdist
+        else:
+            bcnt = jnp.where(
+                sdist < bdist, scnt,
+                jnp.where(sdist == bdist, bcnt + scnt, bcnt),
+            )
+            bdist = jnp.minimum(bdist, sdist)
+            blo = jnp.minimum(blo, slo)
+            bhi = jnp.minimum(bhi, shi)
 
     @pl.when(j == 0)
     def _():
         lo_acc[...] = blo
         hi_acc[...] = bhi
+        if with_count:
+            cnt_acc[...] = bcnt
 
     @pl.when(j > 0)
     def _():
+        if with_count:
+            # The grid offsets only touch the key's index bits, so the
+            # accumulator's distance decodes exactly with one shift.
+            old_dist = lo_acc[...] >> shift
+            cnt_acc[...] = jnp.where(
+                bdist < old_dist, bcnt,
+                jnp.where(bdist == old_dist, cnt_acc[...] + bcnt,
+                          cnt_acc[...]),
+            )
         lo_acc[...] = jnp.minimum(lo_acc[...], blo)
         hi_acc[...] = jnp.minimum(hi_acc[...], bhi)
 
@@ -263,12 +369,14 @@ def _min2_kernel(q_ref, db_ref, lo_ref, hi_ref, lo_acc, hi_acc, *,
     def _():
         lo_ref[...] = lo_acc[...]
         hi_ref[...] = hi_acc[...]
+        if with_count:
+            cnt_ref[...] = cnt_acc[...]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("seq_len", "shift", "tile_b", "tile_w", "sub",
-                     "interpret"),
+                     "interpret", "with_count"),
 )
 def min2_scan_pallas(
     q_emb: jax.Array,      # int8 [Bp, EP] (expand_embed_query + 1-column at 4L)
@@ -279,39 +387,38 @@ def min2_scan_pallas(
     tile_w: int = 512,
     sub: int = 1,          # in-kernel sub-tiles per grid step
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
+    with_count: bool = True,
+) -> tuple[jax.Array, ...]:
     """Dual packed min keys per row — drop-in twin of
     ops.distance.min2_scan (index_offset 0, span = Wp) over the
-    pre-embedded db form. Validity rides in the twin itself
-    (embed_db_with_zc poisons padding rows to the sentinel distance),
-    so the kernel takes no n_windows operand."""
+    pre-embedded db form, plus (with_count, the shipped default) the
+    exact per-row count of windows at the min distance fused into the
+    same pass — so best-hit mode (reference lib.rs:296-314: print ALL
+    windows at the min) needs no separate tie-count dispatch. Validity
+    rides in the twin itself (embed_db_with_zc poisons padding rows to
+    the sentinel distance), so the kernel takes no n_windows operand.
+    Returns (lo, hi[, cnt])."""
     bp, ep = q_emb.shape
     wp = db_emb.shape[0]
     grid = (bp // tile_b, wp // tile_w)
+    n_out = 3 if with_count else 2
 
     kernel = functools.partial(
         _min2_kernel, seq_len=seq_len, shift=shift, tile_w=tile_w, span=wp,
-        sub=sub,
+        sub=sub, with_count=with_count,
     )
-    lo, hi = pl.pallas_call(
+    col = pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0),
+                       memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_b, ep), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_w, ep), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bp, 1), jnp.int32),
-            jax.ShapeDtypeStruct((bp, 1), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((tile_b, 1), jnp.int32),
-            pltpu.VMEM((tile_b, 1), jnp.int32),
-        ],
+        out_specs=[col] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((bp, 1), jnp.int32)] * n_out,
+        scratch_shapes=[pltpu.VMEM((tile_b, 1), jnp.int32)] * n_out,
         cost_estimate=pl.CostEstimate(
             flops=2 * bp * wp * ep,
             bytes_accessed=bp * ep + wp * ep * grid[0] + 8 * bp,
@@ -323,4 +430,4 @@ def min2_scan_pallas(
         interpret=interpret,
     )(q_emb, db_emb)
 
-    return lo[:, 0], hi[:, 0]
+    return tuple(o[:, 0] for o in outs)

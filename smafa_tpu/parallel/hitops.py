@@ -98,15 +98,22 @@ class HitModesMixin:
     def min_count_async(self, q_codes: np.ndarray):
         """Dispatch best-hit phase A (the dual packed-key min2 pass);
         opaque handle for ``best_hit``, or None when key packing
-        overflows 31 bits (callers fall back to exact top-M)."""
+        overflows 31 bits (callers fall back to exact top-M). Programs
+        that fuse the tie count into the pass (the Mosaic kernel) return
+        a third output; it rides in the handle and ``best_hit`` then
+        skips the separate tcount dispatch entirely."""
         self._require_windows()
         shift = self._key_shift()
         if shift is None:
             return None
         q_padded, nq = self._pad(q_codes)
         fn = self._program("min2", q_padded.shape[0], shift=shift)
-        lo, hi = fn(q_padded, self.db_oh, self.n_windows_dev)
-        return ("min2", lo, hi, nq, shift, q_padded)
+        out = fn(q_padded, self.db_oh, self.n_windows_dev)
+        if len(out) == 3:
+            lo, hi, cnt = out
+        else:
+            (lo, hi), cnt = out, None
+        return ("min2", lo, hi, nq, shift, q_padded, cnt)
 
     def _min2_unpack(self, handle):
         """Decode a min2 handle -> (dist, idx_lo, idx_hi, found) per row.
@@ -119,7 +126,7 @@ class HitModesMixin:
         (dist, index) on device — produced by layouts whose index space
         exceeds the 31-bit key budget (stream always; sharded beyond
         ~2^25 rows at 60 bp, where keys pack shard-locally)."""
-        _, lo, hi, nq, shift, _q = handle
+        _, lo, hi, nq, shift, _q = handle[:6]
         if isinstance(lo, tuple):
             d = np.asarray(lo[0])[:nq]
             il = np.asarray(lo[1])[:nq]
@@ -145,6 +152,7 @@ class HitModesMixin:
         if handle is None:
             return None
         nq, q_padded = handle[3], handle[5]
+        fused_cnt = handle[6] if len(handle) > 6 else None
         dist, idx_lo, idx_hi, keep = self._min2_unpack(handle)
         if max_divergence is not None:
             keep = keep & (dist <= max_divergence)
@@ -155,13 +163,19 @@ class HitModesMixin:
             counts = keep.astype(np.int32)
             return (dist, counts, np.nonzero(keep)[0].astype(np.int32),
                     idx_lo[keep].astype(np.int32))
-        if self._pair_count_enabled():
+        if fused_cnt is not None or self._pair_count_enabled():
             # Tie-count pass first (count at <= min == count at == min):
             # rows with exactly 2 ties are COMPLETE from the dual min2
             # keys (lowest + highest tied index), so only >2-tie rows pay
             # the compaction pass — and with exact counts, exactly sized.
+            # Programs that fused the count into phase A (the Mosaic
+            # kernel) already delivered it in the handle — zero extra
+            # dispatches for the counts in that case.
             tied_ids = np.nonzero(tied)[0].astype(np.int32)
-            tie_cnt = self._tie_counts(q_padded, tied_ids, dist[tied_ids])
+            if fused_cnt is not None:
+                tie_cnt = np.asarray(fused_cnt)[:nq][tied_ids].astype(np.int64)
+            else:
+                tie_cnt = self._tie_counts(q_padded, tied_ids, dist[tied_ids])
             counts = keep.astype(np.int64)
             counts[tied_ids] = tie_cnt
             p_rows = tied_ids[tie_cnt == 2]

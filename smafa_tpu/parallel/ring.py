@@ -179,7 +179,98 @@ class RingScanRunner(HitModesMixin):
 
     # -- compiled programs ---------------------------------------------------
 
+    def _build_pallas_min2(self, b: int):
+        """Mosaic min2 ring sweep: rotate the uint8 codes shards (6.4x
+        less ICI than one-hot), embed each incoming shard into the
+        poisoned rank-4 twin (VPU work O(shard_rows * EP) per step —
+        negligible against the kernel's O(b_loc * shard_rows * EP) MXU
+        contraction), and run min2_scan_pallas per step. Per-step keys
+        are shard-local; they decode to (dist, index) and fold into
+        explicit pair carries with the fused tie count, so the output
+        is the pair-handle format regardless of the shift mode."""
+        import os
+
+        from smafa_tpu.ops import pallas_scan as PS
+
+        seq_len, shift = self.seq_len, self.shift
+        n_d, shard_rows = self.n_d, self.shard_rows
+        interpret = (os.environ.get("SMAFA_TPU_PALLAS_MIN2", "")
+                     == "interpret")
+        tile_b, tile_w, sub = PS.pick_min2_tiles(
+            b // n_d, shard_rows, interpret
+        )
+
+        def shard_fn(q_emb, db_shard, n_windows):
+            me = jax.lax.axis_index("d").astype(jnp.int32)
+            fwd = [(j, (j + 1) % n_d) for j in range(n_d)]
+            b_loc = q_emb.shape[0]
+            big = jnp.int32(2**31 - 1)
+            mask = jnp.int32((1 << shift) - 1)
+            init = (jnp.full((b_loc,), D.BIG, jnp.int32),
+                    jnp.full((b_loc,), big, jnp.int32),
+                    jnp.full((b_loc,), jnp.int32(-1), jnp.int32),
+                    jnp.zeros((b_loc,), jnp.int32))
+
+            def body(i, state):
+                (d, il, ih, cnt), db_cur = state
+                owner = (me - i) % n_d
+                off = owner * shard_rows
+                emb = PS.embed_db_with_zc(db_cur, seq_len, n_windows - off)
+                lo, hi, c = PS.min2_scan_pallas(
+                    q_emb, emb, seq_len, shift,
+                    tile_b=tile_b, tile_w=tile_w, sub=sub,
+                    interpret=interpret,
+                )
+                ds = lo >> shift
+                empty = ds > seq_len  # all-padding shard: sentinel dist
+                ds = jnp.where(empty, D.BIG, ds)
+                ils = jnp.where(empty, big, (lo & mask) + off)
+                ihs = jnp.where(empty, jnp.int32(-1),
+                                (shard_rows - 1 - (hi & mask)) + off)
+                better = ds < d
+                tie = ds == d
+                cnt = jnp.where(better, c, jnp.where(tie, cnt + c, cnt))
+                il = jnp.where(better, ils,
+                               jnp.where(tie, jnp.minimum(il, ils), il))
+                ih = jnp.where(better, ihs,
+                               jnp.where(tie, jnp.maximum(ih, ihs), ih))
+                d = jnp.minimum(d, ds)
+                db_nxt = jax.lax.cond(
+                    i < n_d - 1,
+                    lambda x: jax.lax.ppermute(x, "d", fwd),
+                    lambda x: x, db_cur,
+                )
+                return ((d, il, ih, cnt), db_nxt)
+
+            (d, il, ih, cnt), _ = jax.lax.fori_loop(
+                0, n_d, body, (init, db_shard)
+            )
+            lo_pair, hi_pair = D.min2_pair_finish((d, il, ih))
+            return lo_pair, hi_pair, cnt
+
+        mapped = jax.shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(P("d", None), P("d", None), P()),
+            out_specs=((P("d"), P("d")), (P("d"), P("d")), P("d")),
+            check_vma=False,
+        )
+        seq_len_ = self.seq_len
+
+        @jax.jit
+        def run(q_codes, db_oh, n_windows):
+            return mapped(PS.embed_query_with_one(q_codes, seq_len_),
+                          db_oh, n_windows)
+
+        return run
+
     def _build(self, b: int):
+        from smafa_tpu.ops import pallas_scan as PS
+
+        if PS.min2_eligible(self.seq_len, self.db_oh.shape[1],
+                            b // self.n_d, self.shard_rows,
+                            self.n_windows, b):
+            return self._build_pallas_min2(b)
+
         shift, span = self.shift, self.wp
 
         if self._min2_pairs:

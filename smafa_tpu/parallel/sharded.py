@@ -311,63 +311,145 @@ class ScanRunner(HitModesMixin):
 
     # -- fused min/count path (best-hit + cluster hot path) ----------------
 
-    PALLAS_TILE_B = 1024
-    PALLAS_TILE_W = 4096  # two 2048-wide in-kernel sub-tiles
-    PALLAS_SUB = 2
+    def _pallas_tiles(self, b_loc: int, shard_wp: int,
+                      interpret: bool) -> tuple[int, int, int] | None:
+        from smafa_tpu.ops import pallas_scan as PS
+
+        return PS.pick_min2_tiles(b_loc, shard_wp, interpret)
 
     def _pallas_min2_eligible(self, b: int) -> bool:
-        """Ship the Mosaic dual-key kernel (ops.pallas_scan.min2_scan_pallas)
-        when it measured faster than the XLA path AND the embedded db
-        twin is affordable: single device, rank-4 embedding active,
-        zc-column fits (seq_len <= 127), wp a tile multiple (true at the
-        eligible sizes: chunk >= 2048), batch a tile divisor multiple.
-        Auto additionally requires >= 2^20 rows (where the kernel
-        measured 430 vs XLA 408 e9 cmp/s — docs/PERFORMANCE.md) and the
-        [wp, 256] int8 embed twin within a quarter of device memory.
-        SMAFA_TPU_PALLAS_MIN2=0/1 overrides the auto gate;
-        =interpret runs the kernel in Mosaic interpret mode (any
-        backend) so CPU tests cover the integration end to end."""
-        v = os.environ.get("SMAFA_TPU_PALLAS_MIN2", "")
-        if v == "0":
-            return False
-        if not (self.n_q == 1 and self.n_w == 1
-                and (v == "interpret"
-                     or jax.devices()[0].platform not in ("cpu",))
-                and self.db_oh is not None
-                and self.db_oh.shape[1] == self.seq_len  # codes-resident
-                and D.embed_active(self.seq_len) and self.seq_len <= 127
-                # the zc column needs a spare padded slot (not at
-                # seq_len 32/64/96 where 4L is already a lane multiple)
-                and D.padded_embed_dim(self.seq_len) > 4 * self.seq_len
-                and self.wp % self.PALLAS_TILE_W == 0):
-            return False
-        if v in ("1", "interpret"):
-            return True
-        if self.n_windows < (1 << 20) or b < self.PALLAS_TILE_B:
-            return False
-        from smafa_tpu.parallel import select
+        """Ship the Mosaic dual-key+count kernel
+        (ops.pallas_scan.min2_scan_pallas) when it measured faster than
+        the XLA path AND the embedded db twin is affordable. On
+        multi-device meshes each 'w' shard is a self-contained
+        single-device sub-problem, so the same kernel runs per shard
+        inside shard_map (keys globalize by offset adds; counts merge
+        with one conditional psum). Gate shared with the ring layout —
+        see ops.pallas_scan.min2_eligible."""
+        from smafa_tpu.ops import pallas_scan as PS
 
-        # budget against the ONE device a 1x1-mesh db lives on
-        cap = select._hbm_capacity(per_device=True)
-        ep = D.padded_embed_dim(self.seq_len)
-        return cap is not None and self.wp * ep <= cap // 4
+        return self.db_oh is not None and PS.min2_eligible(
+            self.seq_len, self.db_oh.shape[1], b // self.n_q,
+            self.shard_rows, self.n_windows, b,
+        )
 
     def _db_emb(self):
         """Lazily-built embedded db twin for the Mosaic phase A: rank-4
         embedding with the channel-0 count folded into column 4L and
         padding rows poisoned to the sentinel distance
         (ops.pallas_scan.embed_db_with_zc) — the codes stay resident for
-        every other program."""
+        every other program. Sharded over 'w' exactly like the codes, so
+        each device's shard feeds its local kernel call."""
         emb = getattr(self, "_db_emb_cache", None)
         if emb is None:
             from smafa_tpu.ops import pallas_scan as PS
 
+            spec = NamedSharding(self.mesh, P("w", None))
             emb = jax.jit(
-                PS.embed_db_with_zc, static_argnames="seq_len"
+                PS.embed_db_with_zc, static_argnames="seq_len",
+                out_shardings=spec,
             )(self.db_oh, self.seq_len, self.n_windows_dev)
             emb.block_until_ready()
             self._db_emb_cache = emb
         return emb
+
+    def _build_min2_pallas(self, b: int, shift: int):
+        """Mosaic phase-A program (any mesh shape). Single device: the
+        kernel IS the program. Multi-device: one kernel call per 'w'
+        shard inside shard_map; packed keys globalize with offset adds
+        (global-shift mode) or decode to (dist, index) pairs and merge
+        with pmin/pmax/psum (shard-local-shift mode, same contract as
+        the XLA pair path)."""
+        from smafa_tpu.ops import pallas_scan as PS
+
+        seq_len = self.seq_len
+        shard_rows = self.shard_rows
+        span = self.wp
+        interpret = (os.environ.get("SMAFA_TPU_PALLAS_MIN2", "")
+                     == "interpret")
+        tile_b, tile_w, sub = self._pallas_tiles(
+            b // self.n_q, shard_rows, interpret
+        )
+        runner = self
+
+        if self.n_q == 1 and self.n_w == 1:
+            @jax.jit
+            def run_fused(q_codes, db_emb):
+                # one program: query embed fuses into the pallas_call's
+                # input pipeline; validity rides in the poisoned twin,
+                # not a kernel operand
+                return PS.min2_scan_pallas(
+                    PS.embed_query_with_one(q_codes, seq_len),
+                    db_emb, seq_len, shift,
+                    tile_b=tile_b, tile_w=tile_w, sub=sub,
+                    interpret=interpret,
+                )
+
+            def run_pallas(q_codes, _db_oh, _n_windows):
+                return run_fused(jnp.asarray(q_codes), runner._db_emb())
+
+            return run_pallas
+
+        pair_mode = self._min2_pair_mode()
+        n_w = self.n_w
+
+        def shard_fn(q_emb, db_emb_shard):
+            off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
+            lo, hi, cnt = PS.min2_scan_pallas(
+                q_emb, db_emb_shard, seq_len, shift,
+                tile_b=tile_b, tile_w=tile_w, sub=sub,
+                interpret=interpret,
+            )
+            # Kernel keys are SHARD-LOCAL (span = shard_rows). The
+            # distance field decodes with one shift either way; counts
+            # merge across shards by conditioning on the global min
+            # (empty/padding shards sit at the sentinel distance
+            # seq_len + 1 and never match the global min).
+            d = lo >> shift
+            if not pair_mode:
+                # Globalize the index bits: lo + off (no carry — the
+                # global index fits the field by the global-shift
+                # precondition); hi's reversed index rebases by the
+                # complementary offset.
+                lo_g = jax.lax.pmin(lo + off, "w")
+                hi_g = jax.lax.pmin(hi + (span - shard_rows - off), "w")
+                dmin = lo_g >> shift
+                cnt_g = jax.lax.psum(
+                    jnp.where(d == dmin, cnt, 0), "w"
+                )
+                return lo_g, hi_g, cnt_g
+            big = jnp.int32(2**31 - 1)
+            mask = jnp.int32((1 << shift) - 1)
+            empty = d > seq_len
+            d = jnp.where(empty, jnp.int32(BIG_DIST), d)
+            il = jnp.where(empty, big, (lo & mask) + off)
+            ih = jnp.where(empty, jnp.int32(-1),
+                           (shard_rows - 1 - (hi & mask)) + off)
+            dmin = jax.lax.pmin(d, "w")
+            il_g = jax.lax.pmin(jnp.where(d == dmin, il, big), "w")
+            ih_g = jax.lax.pmax(jnp.where(d == dmin, ih, jnp.int32(-1)), "w")
+            ih_g = jnp.where(ih_g < 0, big, ih_g)
+            cnt_g = jax.lax.psum(jnp.where(d == dmin, cnt, 0), "w")
+            return (dmin, il_g), (dmin, ih_g), cnt_g
+
+        out_specs = (((P("q"), P("q")), (P("q"), P("q")), P("q"))
+                     if pair_mode else (P("q"), P("q"), P("q")))
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(P("q", None), P("w", None)),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run_mapped(q_codes, db_emb):
+            return mapped(PS.embed_query_with_one(q_codes, seq_len), db_emb)
+
+        def run_pallas(q_codes, _db_oh, _n_windows):
+            return run_mapped(jnp.asarray(q_codes), runner._db_emb())
+
+        return run_pallas
 
     def _build_min2(self, b: int, shift: int):
         seq_len = self.seq_len
@@ -375,37 +457,10 @@ class ScanRunner(HitModesMixin):
         shard_rows = self.shard_rows
         span = self.wp
 
+        if self._pallas_min2_eligible(b):
+            return self._build_min2_pallas(b, shift)
+
         if self.n_q == 1 and self.n_w == 1:
-            if self._pallas_min2_eligible(b):
-                from smafa_tpu.ops import pallas_scan as PS
-
-                interpret = (os.environ.get("SMAFA_TPU_PALLAS_MIN2", "")
-                             == "interpret")
-                tile_b = min(self.PALLAS_TILE_B, b)
-                tile_w = self.PALLAS_TILE_W  # sub-tiled: measured 454
-                # vs 431 e9 at (1024, 4096, sub=2) vs (1024, 2048)
-                runner = self
-
-                @jax.jit
-                def run_fused(q_codes, db_emb):
-                    # one program: query embed fuses into the
-                    # pallas_call's input pipeline; validity rides in
-                    # the poisoned twin, not a kernel operand
-                    return PS.min2_scan_pallas(
-                        PS.embed_query_with_one(q_codes, seq_len),
-                        db_emb,
-                        seq_len, shift,
-                        tile_b=tile_b, tile_w=tile_w,
-                        sub=runner.PALLAS_SUB,
-                        interpret=interpret,
-                    )
-
-                def run_pallas(q_codes, _db_oh, _n_windows):
-                    return run_fused(jnp.asarray(q_codes),
-                                     runner._db_emb())
-
-                return run_pallas
-
             @jax.jit
             def run_single(q_codes, db_oh, n_windows):
                 q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])

@@ -177,6 +177,141 @@ def test_runner_pallas_min2_interpret_parity():
     assert a[1][1] == b[1][1]
 
 
+@pytest.mark.parametrize("mesh_env", [
+    {"SMAFA_TPU_FORCE_SHARD": "1"},                          # (1, 8)
+    {"SMAFA_TPU_FORCE_SHARD": "1", "SMAFA_TPU_MESH": "2,4"},
+])
+def test_runner_pallas_min2_interpret_sharded_mesh(mesh_env):
+    """Multi-device Mosaic phase A (round 4): the kernel runs per 'w'
+    shard inside shard_map, keys globalize with offset adds, the fused
+    tie count merges with a conditional psum — byte-equal to the XLA
+    mesh path on the 8-device CPU mesh."""
+    from smafa_tpu.parallel import sharded
+
+    rng = np.random.default_rng(57)
+    L, n = 60, 4000  # wp pads to 4096 -> shard_rows 512 on (1,8)
+    db = _mk_db(rng, n, L, [(5, 2), (9, 3), (11, 7)])
+    db[3900] = db[5]  # cross-shard tie (lowest and highest index far apart)
+    q = rng.integers(0, N_CHANNELS, size=(33, L), dtype=np.uint8)
+    q[0] = db[5]
+    q[1] = db[9]
+    q[2] = db[11]
+    env = {"SMAFA_TPU_PALLAS_MIN2": "interpret", **mesh_env}
+    a = _best_hit(sharded.ScanRunner, db, L, q, None, env, chunk=128)
+    b = _best_hit(sharded.ScanRunner, db, L, q, None,
+                  {"SMAFA_TPU_PALLAS_MIN2": "0", **mesh_env}, chunk=128)
+    for x, y in zip(a[0], b[0]):
+        np.testing.assert_array_equal(x, y)
+    assert a[1][1] == b[1][1]
+    # the env really selects the kernel on this mesh
+    os.environ.update(env)
+    try:
+        r = sharded.ScanRunner(db, L, chunk=128)
+        assert r.n_w > 1 and r._pallas_min2_eligible(64)
+        handle = r.min_count_async(q)
+        assert handle[6] is not None  # fused count rode along
+    finally:
+        for k in env:
+            os.environ.pop(k, None)
+
+
+def test_runner_pallas_min2_interpret_pair_mode(monkeypatch):
+    """Mosaic phase A in shard-local key (pair) mode: fake the packing
+    overflow so shard-local keys + pair merge engage, interpret kernel
+    vs the XLA pair path and the single-device oracle."""
+    from smafa_tpu.ops import distance as D
+    from smafa_tpu.parallel import sharded
+
+    rng = np.random.default_rng(61)
+    L, n = 60, 4000
+    db = _mk_db(rng, n, L, [(5, 2), (9, 4)])
+    db[3900] = db[5]
+    q = rng.integers(0, N_CHANNELS, size=(17, L), dtype=np.uint8)
+    q[0] = db[5]
+    q[1] = db[9]
+
+    oracle = sharded.ScanRunner(db, L, mesh=sharded.build_mesh(1, 1),
+                                chunk=128)
+    ref = oracle.best_hit(q)
+    ref_min2 = oracle.min2(q)
+
+    real = D.packing_shift
+
+    def fake(seq_len, wp):
+        return None if wp > 512 else real(seq_len, wp)
+
+    monkeypatch.setattr(D, "packing_shift", fake)
+    monkeypatch.setenv("SMAFA_TPU_FORCE_SHARD", "1")
+    monkeypatch.setenv("SMAFA_TPU_PALLAS_MIN2", "interpret")
+    pr = sharded.ScanRunner(db, L, mesh=sharded.build_mesh(1, 8), chunk=128)
+    assert pr._min2_pair_mode() and pr._pallas_min2_eligible(32)
+    for a, b in zip(ref, pr.best_hit(q)):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(ref_min2, pr.min2(q)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_ring_pallas_min2_interpret():
+    """Mosaic phase A on the ring layout: codes shards rotate, each step
+    embeds + runs the kernel, pair carries fold with the fused count —
+    equal to the XLA ring and the single-device oracle."""
+    from smafa_tpu.parallel import ring, sharded
+
+    rng = np.random.default_rng(67)
+    L, n = 60, 4000
+    db = _mk_db(rng, n, L, [(5, 2), (9, 3), (11, 6)])
+    db[3900] = db[5]
+    q = rng.integers(0, N_CHANNELS, size=(19, L), dtype=np.uint8)
+    q[0] = db[5]
+    q[1] = db[9]
+    q[2] = db[11]
+    kw = {"mesh": None, "chunk": 128}
+
+    oracle = sharded.ScanRunner(db, L, mesh=sharded.build_mesh(1, 1),
+                                chunk=128)
+    ref = oracle.best_hit(q)
+    a = _best_hit(ring.RingScanRunner, db, L, q, None,
+                  {"SMAFA_TPU_PALLAS_MIN2": "interpret"}, **kw)
+    b = _best_hit(ring.RingScanRunner, db, L, q, None,
+                  {"SMAFA_TPU_PALLAS_MIN2": "0"}, **kw)
+    for x, y in zip(a[0], b[0]):
+        np.testing.assert_array_equal(x, y)
+    for x, y in zip(a[0], ref):
+        np.testing.assert_array_equal(x, y)
+    assert a[1][1] == b[1][1]
+
+
+@pytest.mark.parametrize("L", [60, 90, 120])
+def test_pallas_fused_count_fuzz(L):
+    """Randomized tie-shape fuzz of the fused-count Mosaic path (single
+    device AND the 8-device mesh, interpret) against the literal
+    oracle, at window lengths where the rank-4 embedding is active."""
+    from smafa_tpu.parallel import sharded
+
+    rng = np.random.default_rng(L)
+    n = 1024
+    db = rng.integers(0, 3, size=(n, L), dtype=np.uint8)
+    # clumps of duplicates at random sizes
+    for _ in range(6):
+        src = int(rng.integers(0, n))
+        copies = int(rng.integers(2, 12))
+        db[rng.choice(n, copies, replace=False)] = db[src]
+    q = rng.integers(0, 3, size=(24, L), dtype=np.uint8)
+    q[:4] = db[rng.integers(0, n, 4)]
+    for extra in ({}, {"SMAFA_TPU_FORCE_SHARD": "1"}):
+        res, _ = _best_hit(
+            sharded.ScanRunner, db, L, q, None,
+            {"SMAFA_TPU_PALLAS_MIN2": "interpret", **extra}, chunk=128,
+        )
+        dist, counts, rows, idx = res
+        dmat = (q[:, None, :] != db[None, :, :]).sum(axis=2)
+        for b in range(q.shape[0]):
+            want = np.nonzero(dmat[b] == dmat[b].min())[0]
+            np.testing.assert_array_equal(idx[rows == b], want)
+            assert counts[b] == want.size
+            assert dist[b] == dmat[b].min()
+
+
 def test_iter_middles_vs_compact():
     """Iterative tie enumeration (floored min passes) must equal the
     compaction path exactly across tie shapes straddling TIE_ITER_MAX."""

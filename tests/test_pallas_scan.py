@@ -82,7 +82,7 @@ def test_min2_scan_pallas_parity():
         D.expand_query(q, L, L), jnp.asarray(db), jnp.int32(nw),
         jnp.int32(0), L, shift, 256, wp,
     )
-    lo_p, hi_p = PS.min2_scan_pallas(
+    lo_p, hi_p, cnt_p = PS.min2_scan_pallas(
         PS.embed_query_with_one(jnp.asarray(q), L),
         PS.embed_db_with_zc(jnp.asarray(db), L, nw),
         L, shift,
@@ -90,6 +90,19 @@ def test_min2_scan_pallas_parity():
     )
     np.testing.assert_array_equal(np.asarray(lo_p), np.asarray(lo_x))
     np.testing.assert_array_equal(np.asarray(hi_p), np.asarray(hi_x))
+    # fused tie count vs the dense oracle (valid windows only)
+    full = np.asarray(D.pairwise_distances(
+        D.expand_onehot(q, L), D.expand_onehot(db[:nw], L), L))
+    oc = (full == full.min(axis=1, keepdims=True)).sum(axis=1)
+    np.testing.assert_array_equal(np.asarray(cnt_p), oc)
+    # with_count=False keeps the two-output legacy form
+    lo2, hi2 = PS.min2_scan_pallas(
+        PS.embed_query_with_one(jnp.asarray(q), L),
+        PS.embed_db_with_zc(jnp.asarray(db), L, nw),
+        L, shift, tile_b=32, tile_w=256, interpret=True, with_count=False,
+    )
+    np.testing.assert_array_equal(np.asarray(lo2), np.asarray(lo_x))
+    np.testing.assert_array_equal(np.asarray(hi2), np.asarray(hi_x))
 
 
 def test_min2_scan_pallas_subtiled_parity():
@@ -116,5 +129,9 @@ def test_min2_scan_pallas_subtiled_parity():
                     jnp.int32(0), L, shift, 256, wp)
     for g, w in zip(a, c):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
-    for g, w in zip(a, x):
+    for g, w in zip(a[:2], x):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    full = np.asarray(D.pairwise_distances(
+        D.expand_onehot(q, L), D.expand_onehot(db[:nw], L), L))
+    oc = (full == full.min(axis=1, keepdims=True)).sum(axis=1)
+    np.testing.assert_array_equal(np.asarray(a[2]), oc)
