@@ -64,6 +64,19 @@ logger = logging.getLogger("smafa")
 
 DEFAULT_BATCH = 2048
 
+# Adaptive dispatch-batch ceiling (auto mode, i.e. no explicit
+# batch_size): batches grow geometrically from DEFAULT_BATCH toward
+# this, cutting the 1M-row config from ~490 dispatches to ~40 — the
+# per-dispatch latency, not the scan, bounded round-3's 49.8 s
+# (docs/PERFORMANCE.md). Output is byte-identical at ANY batch
+# schedule: resolution is exact per batch (tested across sizes).
+ADAPTIVE_BATCH_MAX = 32768
+
+
+def _adaptive_max() -> int:
+    return int(os.environ.get("SMAFA_TPU_CLUSTER_BATCH_MAX",
+                              str(ADAPTIVE_BATCH_MAX)))
+
 
 _bucket = D.bucket  # single bucketing policy (ops.distance)
 
@@ -418,6 +431,7 @@ def cluster(
     resume_state: str | Path | None = None,
 ) -> None:
     out = out if out is not None else sys.stdout
+    adaptive = batch_size is None
     batch_size = batch_size or DEFAULT_BATCH
     t0 = time.time()
     max_div = int(max_divergence)
@@ -460,6 +474,8 @@ def cluster(
         state.mark_done(p[4], out)
 
     batches = _resumed_batches(input_fasta, batch_size, state.done, dedup)
+    if adaptive:
+        batches = _grow_batches(batches, batch_size, _adaptive_max())
     while True:
         # Already-dispatched batches must be resolved/emitted before any
         # parse/encode error propagates (reference streaming behavior:
@@ -507,6 +523,66 @@ def cluster(
         "Clustering complete, took %d seconds. Clustered %d sequences into %d clusters.",
         int(time.time() - t0), query_number, n_centroids,
     )
+
+
+def _grow_batches(batches, start: int, cap: int):
+    """Re-chunk encoded batches into geometrically growing dispatch
+    batches (start, 2*start, ... cap, cap, ...). Greedy resolution is
+    exact at any batch size, so the schedule changes only the dispatch
+    count — output stays byte-identical. The doubling keeps early
+    batches (where a parse error would be discovered late by a huge
+    batch, and compiles are still warming) small, while the tail of a
+    1M-row run dispatches at the cap.
+
+    A parse/encode error mid-accumulation flushes the rows already
+    collected first (the reference streams output before erroring), then
+    re-raises after they are consumed."""
+    target = start
+    ids_buf: list = []
+    raws_buf: list = []
+    codes_buf: list = []
+    have = 0
+    err: BaseException | None = None
+    it = iter(batches)
+    while True:
+        try:
+            item = next(it, None)
+        except Exception as e:  # flush collected rows, then re-raise
+            item, err = None, e
+        # NB bool(): a bare `and codes_buf` would ALIAS the list (Python
+        # `and` returns its operand), turning truthy after the append.
+        flush_first = bool(
+            item is not None and codes_buf
+            and item[2].shape[1] != codes_buf[0].shape[1]
+        )
+        if item is not None and not flush_first:
+            ids, raws, codes = item
+            ids_buf.append(ids)
+            raws_buf.append(raws)
+            codes_buf.append(codes)
+            have += codes.shape[0]
+            if have < target:
+                continue
+        if have:
+            ids_all = [x for chunk_ in ids_buf for x in chunk_]
+            raws_all = [x for chunk_ in raws_buf for x in chunk_]
+            yield ids_all, raws_all, np.concatenate(codes_buf)
+            ids_buf, raws_buf, codes_buf, have = [], [], [], 0
+            target = min(target * 2, cap)
+        if flush_first:
+            # A different-width run starts its own buffer (the caller's
+            # WindowSet length check must fire on the right record).
+            ids, raws, codes = item
+            ids_buf, raws_buf, codes_buf = [ids], [raws], [codes]
+            have = codes.shape[0]
+            if have >= target:
+                yield ids, raws, codes
+                ids_buf, raws_buf, codes_buf, have = [], [], [], 0
+                target = min(target * 2, cap)
+        if item is None:
+            if err is not None:
+                raise err
+            return
 
 
 def _resumed_batches(input_fasta, batch_size: int, done: int, dedup):

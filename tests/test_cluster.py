@@ -46,6 +46,60 @@ def test_batch_boundary_invariance():
         assert run_cluster("tests/data/cluster_best_hit_changes.fna", 2, batch_size=bs) == ref
 
 
+def test_adaptive_batches_identical(tmp_path, monkeypatch):
+    # Auto mode (no batch_size) grows dispatch batches geometrically;
+    # output must equal every fixed batch size byte-for-byte.
+    rng = np.random.default_rng(7)
+    n, L = 500, 10
+    seqs = rng.integers(0, 4, size=(n, L))
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    strings = ["".join(chr(alpha[c]) for c in row) for row in seqs]
+    fa = tmp_path / "ad.fna"
+    fa.write_text("".join(f">s{i}\n{s}\n" for i, s in enumerate(strings)))
+    ref = run_cluster(str(fa), 3, batch_size=64)
+    # small start/cap so several doublings happen inside 500 records
+    monkeypatch.setenv("SMAFA_TPU_CLUSTER_BATCH_MAX", "128")
+    import smafa_tpu.engine.cluster as C
+
+    monkeypatch.setattr(C, "DEFAULT_BATCH", 16)
+    assert run_cluster(str(fa), 3) == ref
+    monkeypatch.setenv("SMAFA_TPU_CLUSTER_BATCH_MAX", "100000")
+    assert run_cluster(str(fa), 3) == ref
+
+
+def test_grow_batches_rechunker():
+    from smafa_tpu.engine.cluster import _grow_batches
+
+    def src(widths):
+        for k, (n, L) in enumerate(widths):
+            ids = [f"s{k}_{j}" for j in range(n)]
+            raws = [b"x" * L for _ in range(n)]
+            yield ids, raws, np.full((n, L), k % 5, np.uint8)
+
+    # growth schedule: 4, 8, 16, 16, ... and remainder flush
+    out = list(_grow_batches(src([(4, 6)] * 12), 4, 16))
+    assert [o[2].shape[0] for o in out] == [4, 8, 16, 16, 4]
+    assert sum(o[2].shape[0] for o in out) == 48
+    # a width change flushes the buffer so the length check fires on the
+    # right record (no cross-width concatenation)
+    out = list(_grow_batches(src([(4, 6), (4, 6), (4, 9)]), 4, 64))
+    assert [o[2].shape[1] for o in out] == [6, 6, 9]
+    assert [o[2].shape[0] for o in out] == [4, 4, 4]
+
+    # an error mid-stream flushes collected rows first, then re-raises
+    def bad():
+        yield ["a"], [b"xxxxxx"], np.zeros((1, 6), np.uint8)
+        raise ValueError("boom")
+
+    it = _grow_batches(bad(), 8, 8)
+    first = next(it)
+    assert first[2].shape == (1, 6)
+    import pytest
+
+    with pytest.raises(ValueError, match="boom"):
+        next(it)
+
+
 def _oracle_cluster(seqs, max_div):
     """Direct transliteration of the reference algorithm (cluster.rs:13-94)
     in numpy — the order-sequential oracle for randomized comparison."""
