@@ -180,9 +180,32 @@ def query(
     if state.done:
         logger.info("Resuming after %d completed queries", state.done)
     with maybe_trace():
-        batches = read_encoded_batches(
-            query_fasta, batch_size=batch_size, skip_records=state.done
-        )
+        batches = None
+        import jax
+
+        import os
+
+        if (jax.process_count() > 1
+                and os.environ.get("SMAFA_TPU_QUERYSPLIT", "") != "0"):
+            # Multi-host: split the query stream so each process parses
+            # and encodes only ~1/P of it (per-process byte ranges, one
+            # codes exchange per batch) instead of replicating the host
+            # work on every process. Falls back to the replicated parse
+            # for non-splittable streams (FASTQ/gz/nonuniform).
+            from smafa_tpu.parallel import querysplit
+
+            batches = querysplit.split_encoded_batches(
+                query_fasta, batch_size, skip_records=state.done
+            )
+            if batches is not None:
+                logger.info(
+                    "Query stream split across %d processes (byte-range "
+                    "parse + per-batch exchange)", jax.process_count(),
+                )
+        if batches is None:
+            batches = read_encoded_batches(
+                query_fasta, batch_size=batch_size, skip_records=state.done
+            )
         while True:
             # Parsing, validating, or dispatching the next batch can raise
             # (invalid base, length mismatch). The already-scanned pending
@@ -193,7 +216,8 @@ def query(
                 with timers.stage("parse"):
                     item = next(batches, None)
                 if item is not None:
-                    ids, _raws, codes = item
+                    _ids, _raws, codes = item  # ids None on split streams
+                    nq_batch = codes.shape[0]
                     qlen = codes.shape[1] if codes.ndim == 2 else 0
                     windows.check_query_length(qlen)
                     if db.n_windows == 0:
@@ -202,9 +226,9 @@ def query(
                     # scans while the host parses/encodes and formats TSV.
                     with timers.stage("dispatch"):
                         handle = _dispatch_batch(db, codes, k_mode, max_divergence)
-                    timers.count("comparisons", len(ids) * db.n_windows)
-                    current = (query_number, len(ids), codes, handle)
-                    query_number += len(ids)
+                    timers.count("comparisons", nq_batch * db.n_windows)
+                    current = (query_number, nq_batch, codes, handle)
+                    query_number += nq_batch
                 else:
                     current = None
             except Exception:

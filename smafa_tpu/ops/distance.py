@@ -426,6 +426,123 @@ def minfloor_scan(
     return key
 
 
+def miditer_chunk_update(carry, dist, lidx, n_windows, gidx, floor, ceil,
+                         shift, index_span, sentinel):
+    """Fold one distance chunk into the running dual bounded-range
+    minima: key_lo = min over windows with floor < idx < ceil of
+    (dist << shift) | idx, and key_hi the reverse-index twin (its min
+    is the HIGHEST index in the range). One fused pass serves both
+    ends of the tie range — the step of the on-device middle
+    enumeration (miditer_scan)."""
+    lo_carry, hi_carry = carry
+    valid = ((lidx < n_windows)[None, :]
+             & (gidx[None, :] > floor[:, None])
+             & (gidx[None, :] < ceil[:, None]))
+    shifted = jnp.where(valid, dist, sentinel) << shift
+    key_lo = shifted | gidx[None, :]
+    key_hi = shifted | (index_span - 1 - gidx)[None, :]
+    return (
+        jnp.minimum(lo_carry, jnp.min(key_lo, axis=1)),
+        jnp.minimum(hi_carry, jnp.min(key_hi, axis=1)),
+    )
+
+
+def miditer_update(state, key_lo, key_hi, d_star, shift, index_span,
+                   seq_len, t):
+    """Advance the middle-enumeration cursors from one dual bounded-min
+    pass and record the step's finds. ``state`` = (floor, ceil,
+    mids_lo [B, T], mids_hi [B, T]); keys may come straight from
+    miditer_chunk_update folds or from a cross-shard pmin of offset-
+    rebased local keys — any source with global index semantics.
+
+    Per step: the range minimum from the ascending side is the next
+    LOWEST remaining tie, the reverse side the next HIGHEST; both are
+    middles while their distance equals the row minimum. When exactly
+    one middle remains the two sides coincide — it is emitted on the
+    lo side only. Exhausted rows decode the sentinel distance and stop.
+    """
+    floor, ceil, mids_lo, mids_hi = state
+    big = jnp.int32(2**31 - 1)
+    d_lo = key_lo >> shift
+    i_lo = key_lo & jnp.int32((1 << shift) - 1)
+    i_hi = index_span - 1 - (key_hi & jnp.int32((1 << shift) - 1))
+    act = (d_lo <= jnp.int32(seq_len)) & (d_lo == d_star)
+    same = i_lo == i_hi
+    mids_lo = mids_lo.at[:, t].set(jnp.where(act, i_lo, -1))
+    mids_hi = mids_hi.at[:, t].set(jnp.where(act & ~same, i_hi, -1))
+    floor = jnp.where(act, i_lo, big)       # inactive rows scan nothing
+    ceil = jnp.where(act & ~same, i_hi, jnp.int32(-1))
+    return floor, ceil, mids_lo, mids_hi
+
+
+@partial(jax.jit,
+         static_argnames=("seq_len", "chunk", "shift", "t_steps"))
+def miditer_scan(
+    q_oh: jax.Array,       # int8 [B, LP]
+    db_oh: jax.Array,      # int8 [Wp, LP]
+    n_windows: jax.Array,  # int32 scalar
+    floor: jax.Array,      # int32 [B]: lowest tied index (already emitted)
+    ceil: jax.Array,       # int32 [B]: highest tied index (already emitted)
+    d_star: jax.Array,     # int32 [B]: the row minimum distance
+    seq_len: int,
+    shift: int,
+    chunk: int,
+    t_steps: int,
+) -> tuple[jax.Array, jax.Array]:
+    """ALL middle tied indices of each row in ONE device program.
+
+    The round-3 tie enumeration drove one ``minfloor`` dispatch per
+    additional tie from the host — up to TIE_ITER_MAX - 2 round trips
+    per batch, which dominated end-to-end best-hit at scale (0.29 s of
+    a 0.56 s batch at 16384 x 1M; docs/PERFORMANCE.md round-4 anatomy).
+    This runs the loop on device (the design rule the environment tax
+    section prescribes: one program per batch, ``lax`` loops instead of
+    host-driven pass loops) and enumerates from BOTH ends per pass —
+    the ascending and descending range minima reduce over the same
+    fused distance block — so ``t_steps`` passes emit up to
+    ``2 * t_steps`` middles. Returns (mids_lo, mids_hi), each
+    [B, t_steps] int32 with -1 at unused slots; a row's middles are
+    the union of its valid entries (disjoint by construction).
+
+    Rows needing no enumeration pass floor = 2^31-1 (scan nothing, at
+    matmul-skip cost only). Exactness: while middles remain, the range
+    minimum's distance equals d_star; the first pass where it differs
+    (or the range empties) deactivates the row, so a drifting row
+    under-fills — callers compare fill counts to expected tie counts
+    and fall back to exact compaction on mismatch.
+    """
+    n_chunks = db_oh.shape[0] // chunk
+    b = q_oh.shape[0]
+    big_key = jnp.int32(2**31 - 1)
+    span = db_oh.shape[0]
+
+    def one_pass(floor, ceil):
+        def step(carry, off):
+            dist = block_distances(q_oh, db_oh, off, chunk, seq_len)
+            lidx = off + jnp.arange(chunk, dtype=jnp.int32)
+            return miditer_chunk_update(
+                carry, dist, lidx, n_windows, lidx, floor, ceil,
+                shift, span, seq_len + 1,
+            ), None
+
+        init = (jnp.full((b,), big_key, jnp.int32),
+                jnp.full((b,), big_key, jnp.int32))
+        offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+        (lo, hi), _ = jax.lax.scan(step, init, offsets)
+        return lo, hi
+
+    def body(t, state):
+        key_lo, key_hi = one_pass(state[0], state[1])
+        return miditer_update(state, key_lo, key_hi, d_star, shift, span,
+                              seq_len, t)
+
+    init = (floor, ceil,
+            jnp.full((b, t_steps), -1, jnp.int32),
+            jnp.full((b, t_steps), -1, jnp.int32))
+    _, _, mids_lo, mids_hi = jax.lax.fori_loop(0, t_steps, body, init)
+    return mids_lo, mids_hi
+
+
 @partial(jax.jit, static_argnames=("seq_len", "chunk", "shift", "index_span"))
 def min2_scan(
     q_oh: jax.Array,       # int8 [B, LP]

@@ -84,6 +84,25 @@ def pick_min2_tiles(b_loc: int, shard_wp: int,
     return None
 
 
+def min2_count_enabled() -> bool:
+    """Whether the shipped Mosaic phase A fuses the tie count
+    (SMAFA_TPU_PALLAS_COUNT=0/1 overrides). Measured trade on the v5e
+    chip at 65536 x 4M: the fused count costs ~38% of the pass (476.6 ->
+    297-309 e9 cmp/s — the compare+add epilogue on every distance
+    element) and saves the separate tcount dispatch for tied rows
+    (~0.5 scan-equivalents at random-data tie rates plus one dispatch
+    latency). Default resolved by the e2e measurement in
+    docs/PERFORMANCE.md."""
+    import os
+
+    v = os.environ.get("SMAFA_TPU_PALLAS_COUNT", "")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return True  # auto default; see docstring
+
+
 def min2_eligible(seq_len: int, db_width: int, b_loc: int,
                   shard_rows: int, n_windows: int, b_total: int) -> bool:
     """Shared auto/override gate for shipping min2_scan_pallas, used by
@@ -426,6 +445,12 @@ def min2_scan_pallas(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # The default 16 MB scoped-vmem budget sat exactly at the
+            # round-3 kernel's footprint; the fused count's extra
+            # accumulators tipped it over (observed 16.26 MB at
+            # (1024, 4096, sub=2)). v5e has 128 MB VMEM — raise the
+            # scoped budget so the measured-best tiles keep compiling.
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(q_emb, db_emb)

@@ -84,9 +84,11 @@ class HitModesMixin:
             # (an env read inside a cached trace would be inert).
             key = key + (D._pack_mode(),)
         if kind == "min2":
-            # same for the Mosaic-vs-XLA phase-A choice: flipping
-            # SMAFA_TPU_PALLAS_MIN2 on a live runner must rebuild
-            key = key + (os.environ.get("SMAFA_TPU_PALLAS_MIN2", ""),)
+            # same for the Mosaic-vs-XLA phase-A choice (and its fused
+            # tie count): flipping SMAFA_TPU_PALLAS_MIN2 /
+            # SMAFA_TPU_PALLAS_COUNT on a live runner must rebuild
+            key = key + (os.environ.get("SMAFA_TPU_PALLAS_MIN2", ""),
+                         os.environ.get("SMAFA_TPU_PALLAS_COUNT", ""))
         fn = cache.get(key)
         if fn is None:
             fn = self._build_program(kind, b, **kw)
@@ -181,15 +183,17 @@ class HitModesMixin:
             p_rows = tied_ids[tie_cnt == 2]
             multi = tie_cnt > 2
             it_rows = it_idx = m_rows = m_idx = np.empty(0, np.int32)
-            if multi.any() and self._minfloor_supported():
-                # few-tie rows enumerate their MIDDLE indices via
-                # floored min passes (lo/hi already known) — no
-                # compaction mask; the heavy tail still compacts
+            if multi.any() and self._miditer_supported():
+                # few-tie rows enumerate their MIDDLE indices in one
+                # on-device dual bounded-min program (lo/hi already
+                # known) — no compaction mask; the heavy tail still
+                # compacts
                 few = multi & (tie_cnt <= self.TIE_ITER_MAX)
                 if few.any():
                     it_rows, it_idx = self._iter_middles(
                         q_padded, tied_ids[few], dist[tied_ids[few]],
-                        idx_lo[tied_ids[few]], tie_cnt[few],
+                        idx_lo[tied_ids[few]], idx_hi[tied_ids[few]],
+                        tie_cnt[few],
                     )
                     # these rows also emit their lo/hi key indices
                     p_rows = np.concatenate([p_rows, tied_ids[few]])
@@ -379,100 +383,89 @@ class HitModesMixin:
             return True
         return self._compact_span_rows() >= self.PAIR_COUNT_MIN_SPAN
 
-    # Enumerate ties iteratively (one floored-min pass per additional
-    # tie) for rows with at most this many ties; heavier rows pay the
-    # compaction mask instead. Bounds the pass count at 2 + MAX - 2.
+    # Enumerate middle ties on device (one dual bounded-min program,
+    # ceil((ties-2)/2) in-program passes) for rows with at most this
+    # many ties; heavier rows pay the compaction mask instead.
     TIE_ITER_MAX = 10
 
-    def _minfloor_supported(self) -> bool:
-        """Iterative tie enumeration needs the minfloor primitive with
+    def _miditer_supported(self) -> bool:
+        """On-device tie enumeration needs the miditer primitive with
         GLOBAL packed keys; runners without one (ring/col/stream) and
         shard-local key mode fall back to compaction."""
         import os
 
         if os.environ.get("SMAFA_TPU_TIE_ITER", "") == "0":
             return False
-        if type(self)._build_minfloor is HitModesMixin._build_minfloor:
+        if type(self)._build_miditer is HitModesMixin._build_miditer:
             return False
         shift = self._key_shift()
         return (shift is not None
                 and shift == D.packing_shift(self.seq_len, max(self.wp, 2)))
 
-    def _build_minfloor(self, b: int, shift: int):  # pragma: no cover
-        raise KeyError("minfloor")
+    def _build_miditer(self, b: int, shift: int,
+                       t_steps: int):  # pragma: no cover
+        raise KeyError("miditer")
 
     def _iter_middles(self, q_padded: np.ndarray, row_ids: np.ndarray,
                       d_star: np.ndarray, lo_idx: np.ndarray,
+                      hi_idx: np.ndarray,
                       counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """The counts[i]-2 MIDDLE tied indices of each selected row (the
-        lowest and highest ride in the min2 keys already): one floored
-        min pass per round reveals every active row's next tied index —
-        the min key over indices above the floor has the row's minimum
-        distance while ties remain. max(counts)-2 passes, each a
-        full-speed scan over a shrinking bucketed gather — no compaction
-        mask, no extraction. Returns flat (rows, idx) in found order
-        (per row ascending)."""
+        lowest and highest ride in the min2 keys already), in ONE device
+        dispatch: the program runs ceil(max middles / 2) dual bounded-min
+        passes on device, each emitting the next-lowest and next-highest
+        remaining tie (distance.miditer_scan) — the round-3 version drove
+        one minfloor dispatch per tie from the host, which dominated
+        end-to-end best-hit at scale. Rows whose device fill count
+        disagrees with the known tie count (kernel drift) fall back to
+        exact compaction rather than emitting a wrong index. Returns
+        flat (rows, idx) in arbitrary order (callers lexsort)."""
         shift = self._key_shift()
-        mask = (1 << shift) - 1
-        floors = lo_idx.astype(np.int32).copy()
-        remaining = (counts - 2).astype(np.int64)
-        out_r: list[np.ndarray] = []
-        out_i: list[np.ndarray] = []
-        while True:
-            act = np.nonzero(remaining > 0)[0]
-            if act.size == 0:
-                break
-            ids = row_ids[act]
-            nsel = int(ids.shape[0])
-            q_sub_p, _ = self._pad(q_padded[ids])
-            fl = np.full(q_sub_p.shape[0], np.int32(2**30), np.int32)
-            fl[:nsel] = floors[act]
-            fn = self._program("minfloor", q_sub_p.shape[0], shift=shift)
-            key = np.asarray(
-                fn(q_sub_p, self.db_oh, self.n_windows_dev, fl)
-            )[:nsel]
-            d = key >> shift
-            idx = (key & mask).astype(np.int32)
-            # while middles remain, the floored min IS another tie; a
-            # mismatch means count/scan drift — route those rows to the
-            # exact compaction path instead of asserting (and never emit
-            # a wrong index under python -O)
-            ok = d == d_star[act]
-            if not ok.all():
-                bad = act[~ok]
-                drift_r, drift_i = self._compact_grouped_rows(
-                    q_padded, row_ids[bad],
-                    d_star[bad].astype(np.int32),
-                    np.asarray(counts)[bad].astype(np.int64),
-                )
-                # drop indices already found via iteration for these
-                # rows to avoid duplicates: compaction returns ALL ties
-                done = {int(r) for r in row_ids[bad]}
-                for k in range(len(out_r)):
-                    keep_k = ~np.isin(out_r[k], row_ids[bad])
-                    out_r[k] = out_r[k][keep_k]
-                    out_i[k] = out_i[k][keep_k]
-                # compaction includes lo/hi which the caller also emits;
-                # strip them here (they are each row's min/max index)
-                strip = np.ones(drift_r.shape[0], bool)
-                for r in done:
-                    pos = np.nonzero(drift_r == r)[0]
-                    if pos.size:  # a drifting row may have no hits at
-                        strip[pos[0]] = False   # the claimed threshold
-                    if pos.size > 1:
-                        strip[pos[-1]] = False
-                out_r.append(drift_r[strip])
-                out_i.append(drift_i[strip])
-                remaining[bad] = 0
-                act = act[ok]
-                ids = ids[ok]
-                idx = idx[ok]
-            out_r.append(ids)
-            out_i.append(idx)
-            floors[act] = idx
-            remaining[act] -= 1
-        if not out_r:
-            return np.empty(0, np.int32), np.empty(0, np.int32)
+        nsel = int(row_ids.shape[0])
+        need = (counts.astype(np.int64) - 2)
+        t_steps = D.bucket(int(-(-int(need.max()) // 2)), minimum=1)
+        b = D.bucket(nsel, minimum=16)
+        q_sub = np.zeros((b, q_padded.shape[1]), q_padded.dtype)
+        q_sub[:nsel] = q_padded[row_ids]
+        q_sub_p, _ = self._pad(q_sub)
+        bp = q_sub_p.shape[0]
+        big = np.int32(2**31 - 1)
+        fl = np.full(bp, big, np.int32)
+        fl[:nsel] = lo_idx
+        cl = np.full(bp, -1, np.int32)
+        cl[:nsel] = hi_idx
+        ds = np.full(bp, -1, np.int32)
+        ds[:nsel] = d_star
+        fn = self._program("miditer", bp, shift=shift, t_cap=t_steps)
+        mids_lo, mids_hi = fn(q_sub_p, self.db_oh, self.n_windows_dev,
+                              fl, cl, ds)
+        ml = np.asarray(mids_lo)[:nsel]
+        mh = np.asarray(mids_hi)[:nsel]
+        vl = ml >= 0
+        vh = mh >= 0
+        got = vl.sum(axis=1) + vh.sum(axis=1)
+        ok = got == need
+        rows_t = np.broadcast_to(row_ids[:, None], ml.shape)
+        out_r = [rows_t[vl & ok[:, None]], rows_t[vh & ok[:, None]]]
+        out_i = [ml[vl & ok[:, None]], mh[vh & ok[:, None]]]
+        if not ok.all():
+            # drift: enumerate those rows exactly via compaction, then
+            # strip each row's lowest/highest tie (the caller emits the
+            # min2 key indices for every iterated row separately)
+            bad = ~ok
+            drift_r, drift_i = self._compact_grouped_rows(
+                q_padded, row_ids[bad], d_star[bad].astype(np.int32),
+                counts[bad].astype(np.int64),
+            )
+            strip = np.ones(drift_r.shape[0], bool)
+            for r in row_ids[bad]:
+                pos = np.nonzero(drift_r == r)[0]
+                if pos.size:  # a drifting row may have no hits at
+                    strip[pos[0]] = False   # the claimed threshold
+                if pos.size > 1:
+                    strip[pos[-1]] = False
+            out_r.append(drift_r[strip])
+            out_i.append(drift_i[strip])
         return (np.concatenate(out_r).astype(np.int32),
                 np.concatenate(out_i).astype(np.int32))
 

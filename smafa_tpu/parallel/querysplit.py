@@ -1,0 +1,218 @@
+"""Multi-host query-stream splitting: per-process disjoint byte ranges.
+
+Without this, every process of a multi-host run parses and encodes the
+ENTIRE query stream (the scan programs are SPMD, so each dispatch needs
+the batch replicated) — host-side query work then does not scale with
+hosts (the round-3 gap; the serial loop being scaled is reference
+lib.rs:232). With it, each process parses + encodes only ~1/P of the
+file:
+
+1. Every process deterministically cuts the file into P byte ranges,
+   each extended forward to the next record boundary (``\\n>`` — plain
+   uncompressed FASTA only; FASTQ's ``@`` is ambiguous and gzip is not
+   byte-addressable, so those fall back to the replicated parse).
+2. Each process parses + encodes ITS range only (native C++ one-pass
+   where built). Range metadata — record count, window length,
+   deferred-error text — is exchanged with ONE ``process_allgather``,
+   giving every process the same deterministic global batch schedule
+   and the global record numbering (prefix sums).
+3. The batch loop walks ranges in file order. For each batch the owner
+   contributes its encoded codes to a fixed-shape ``process_allgather``
+   (others contribute zeros); every process receives the batch and
+   joins the SPMD dispatch. DCN traffic is one [B, L] uint8 buffer per
+   batch — trivia against the scan itself.
+4. Error parity: a deferred parse/encode error surfaces exactly where
+   the reference's serial loop would hit it — after every batch of
+   earlier ranges and of the erroring range's valid prefix has been
+   yielded (reference streams output before panicking,
+   lib.rs:231-318) — with the owner's exact error text re-raised on
+   every process.
+
+``--resume-state`` composes: the broadcast ``done`` count maps into the
+ranges via the same prefix sums (ranges entirely before it yield
+nothing).
+"""
+
+from __future__ import annotations
+
+import io as _io
+from pathlib import Path
+
+import numpy as np
+
+from smafa_tpu.io.fastx import FastxError, _read_fasta
+
+_ERR_TEXT_CAP = 2048
+_SCAN_WINDOW = 1 << 20
+
+
+def is_plain_fasta(path: str | Path) -> bool:
+    """True for an uncompressed FASTA (splittable at ``\\n>`` boundaries)."""
+    try:
+        with open(path, "rb") as f:
+            first = f.read(2)
+    except OSError:
+        return False
+    return bool(first) and first[:1] == b">"
+
+
+def byte_ranges(path: str | Path, n_ranges: int) -> list[int]:
+    """n_ranges+1 boundaries into the file, each (except 0 and EOF) at a
+    record start (the byte after a ``\\n>``'s newline). Deterministic, so
+    every process computes the identical cut without communication."""
+    size = Path(path).stat().st_size
+    bounds = [0]
+    with open(path, "rb") as f:
+        for p in range(1, n_ranges):
+            cut = p * size // n_ranges
+            if cut <= bounds[-1]:
+                bounds.append(bounds[-1])
+                continue
+            pos = cut
+            boundary = size
+            while pos < size:
+                f.seek(max(pos - 1, 0))
+                win = f.read(_SCAN_WINDOW + 1)
+                hit = win.find(b"\n>")
+                if hit >= 0:
+                    boundary = max(pos - 1, 0) + hit + 1
+                    break
+                pos += _SCAN_WINDOW
+            bounds.append(max(boundary, bounds[-1]))
+    bounds.append(size)
+    return bounds
+
+
+class _RangeParse:
+    """One process's parsed+encoded slice: valid records only, plus the
+    deferred error (exact text) if its slice has one."""
+
+    def __init__(self, n_ok: int, length: int, codes: np.ndarray,
+                 error_text: str | None):
+        self.n_ok = n_ok
+        self.length = length  # -1 = nonuniform within the slice
+        self.codes = codes    # uint8 [n_ok, length] (empty if nonuniform)
+        self.error_text = error_text
+
+
+def _parse_slice(path: str | Path, start: int, end: int) -> _RangeParse:
+    if end <= start:
+        return _RangeParse(0, 0, np.empty((0, 0), np.uint8), None)
+    with open(path, "rb") as f:
+        f.seek(start)
+        buf = f.read(end - start)
+
+    from smafa_tpu.native import ingest
+
+    if ingest.load() is not None:
+        parsed = ingest.parse_buffer(buf, encode=True, path=str(path))
+        if parsed.n == 0:
+            return _RangeParse(0, 0, np.empty((0, 0), np.uint8), None)
+        n_ok = parsed.n if parsed.error is None else parsed.error_record
+        err = str(parsed.error) if parsed.error is not None else None
+        lengths = parsed.seq_lengths()[:n_ok]
+        if n_ok == 0:
+            return _RangeParse(0, 0, np.empty((0, 0), np.uint8), err)
+        if int(lengths.min()) != int(lengths.max()):
+            return _RangeParse(n_ok, -1, np.empty((0, 0), np.uint8), err)
+        L = int(lengths[0])
+        codes = parsed.codes[: parsed.seq_offs[n_ok]].reshape(n_ok, L)
+        return _RangeParse(n_ok, L, np.ascontiguousarray(codes), err)
+
+    # Pure-Python fallback: stream the slice through the FASTA reader.
+    from smafa_tpu.core.alphabet import encode_bytes
+
+    rows: list[np.ndarray] = []
+    err = None
+    length: int | None = None
+    uniform = True
+    try:
+        for rid, seq in _read_fasta(_io.BytesIO(buf)):
+            rows.append(encode_bytes(seq, identifier=rid))
+            if length is None:
+                length = len(seq)
+            elif len(seq) != length:
+                uniform = False
+    except Exception as e:  # deferred: valid prefix still serves
+        err = str(e)
+    n_ok = len(rows)
+    if n_ok == 0:
+        return _RangeParse(0, 0, np.empty((0, 0), np.uint8), err)
+    if not uniform:
+        return _RangeParse(n_ok, -1, np.empty((0, 0), np.uint8), err)
+    return _RangeParse(n_ok, int(length), np.vstack(rows), err)
+
+
+def _pack_meta(rp: _RangeParse) -> np.ndarray:
+    meta = np.zeros(3 + _ERR_TEXT_CAP, np.int64)
+    meta[0] = rp.n_ok
+    meta[1] = rp.length
+    meta[2] = 1 if rp.error_text is not None else 0
+    if rp.error_text is not None:
+        raw = rp.error_text.encode("utf-8")[:_ERR_TEXT_CAP]
+        meta[3 : 3 + len(raw)] = np.frombuffer(raw, np.uint8)
+    return meta
+
+
+def _unpack_err(meta_row: np.ndarray) -> str:
+    raw = meta_row[3:][meta_row[3:] > 0].astype(np.uint8).tobytes()
+    return raw.decode("utf-8", "replace")
+
+
+def split_encoded_batches(path: str | Path, batch_size: int,
+                          skip_records: int = 0):
+    """SPMD generator of (None, None, codes) batches in global record
+    order, or None when the stream is not splittable (not plain FASTA,
+    nonuniform lengths, or single-process). Every process must drive the
+    generator in lockstep — each metadata exchange and each batch is one
+    collective. The caller applies its own per-batch length check (so
+    the db-length-mismatch error text matches the reference)."""
+    import jax
+
+    P = jax.process_count()
+    if P <= 1 or not is_plain_fasta(path):
+        return None
+    from jax.experimental import multihost_utils
+
+    pid = jax.process_index()
+    bounds = byte_ranges(path, P)
+    rp = _parse_slice(path, bounds[pid], bounds[pid + 1])
+    metas = np.asarray(multihost_utils.process_allgather(_pack_meta(rp)))
+    counts = metas[:, 0].astype(np.int64)
+    lengths = metas[:, 1].astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        # Match read_encoded_batches on an empty stream; every process
+        # raises together (same metadata everywhere).
+        raise FastxError(f"Empty or invalid FASTX file: {path}")
+    active = counts > 0
+    ls = set(int(x) for x in lengths[active])
+    if -1 in ls or len(ls) > 1:
+        return None  # nonuniform lengths: replicated fallback handles it
+    L = ls.pop()
+
+    def gen():
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        pad = np.zeros((batch_size, L), np.uint8)
+        for owner in range(P):
+            n_p = int(counts[owner])
+            off = int(offsets[owner])
+            lo = max(skip_records - off, 0)
+            for s in range(lo, n_p, batch_size):
+                e = min(s + batch_size, n_p)
+                if pid == owner:
+                    contrib = pad.copy()
+                    contrib[: e - s] = rp.codes[s:e]
+                else:
+                    contrib = pad
+                gathered = np.asarray(
+                    multihost_utils.process_allgather(contrib)
+                )
+                yield None, None, gathered[owner, : e - s]
+            if metas[owner, 2]:
+                # The owner's slice hit a deferred parse/encode error:
+                # the stream stops here on every process, after every
+                # earlier record's batch was served (streaming parity).
+                raise FastxError(_unpack_err(metas[owner]))
+
+    return gen()

@@ -196,6 +196,7 @@ class RingScanRunner(HitModesMixin):
         n_d, shard_rows = self.n_d, self.shard_rows
         interpret = (os.environ.get("SMAFA_TPU_PALLAS_MIN2", "")
                      == "interpret")
+        with_count = PS.min2_count_enabled()
         tile_b, tile_w, sub = PS.pick_min2_tiles(
             b // n_d, shard_rows, interpret
         )
@@ -216,11 +217,13 @@ class RingScanRunner(HitModesMixin):
                 owner = (me - i) % n_d
                 off = owner * shard_rows
                 emb = PS.embed_db_with_zc(db_cur, seq_len, n_windows - off)
-                lo, hi, c = PS.min2_scan_pallas(
+                outs = PS.min2_scan_pallas(
                     q_emb, emb, seq_len, shift,
                     tile_b=tile_b, tile_w=tile_w, sub=sub,
-                    interpret=interpret,
+                    interpret=interpret, with_count=with_count,
                 )
+                lo, hi = outs[0], outs[1]
+                c = outs[2] if with_count else cnt
                 ds = lo >> shift
                 empty = ds > seq_len  # all-padding shard: sentinel dist
                 ds = jnp.where(empty, D.BIG, ds)
@@ -229,7 +232,9 @@ class RingScanRunner(HitModesMixin):
                                 (shard_rows - 1 - (hi & mask)) + off)
                 better = ds < d
                 tie = ds == d
-                cnt = jnp.where(better, c, jnp.where(tie, cnt + c, cnt))
+                if with_count:
+                    cnt = jnp.where(better, c,
+                                    jnp.where(tie, cnt + c, cnt))
                 il = jnp.where(better, ils,
                                jnp.where(tie, jnp.minimum(il, ils), il))
                 ih = jnp.where(better, ihs,
@@ -246,12 +251,15 @@ class RingScanRunner(HitModesMixin):
                 0, n_d, body, (init, db_shard)
             )
             lo_pair, hi_pair = D.min2_pair_finish((d, il, ih))
+            if not with_count:
+                return lo_pair, hi_pair
             return lo_pair, hi_pair, cnt
 
+        pp = (P("d"), P("d"))
         mapped = jax.shard_map(
             shard_fn, mesh=self.mesh,
             in_specs=(P("d", None), P("d", None), P()),
-            out_specs=((P("d"), P("d")), (P("d"), P("d")), P("d")),
+            out_specs=(pp, pp) + ((P("d"),) if with_count else ()),
             check_vma=False,
         )
         seq_len_ = self.seq_len

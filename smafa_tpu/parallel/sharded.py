@@ -135,8 +135,8 @@ class ScanRunner(HitModesMixin):
             return self._build_kstats(b, shift)
         if kind == "tcount":
             return self._build_tcount(b)
-        if kind == "minfloor":
-            return self._build_minfloor(b, shift)
+        if kind == "miditer":
+            return self._build_miditer(b, shift, t_cap)
         if kind == "compact":
             return self._build_compact(b, t_cap)
         raise KeyError(kind)
@@ -367,6 +367,7 @@ class ScanRunner(HitModesMixin):
         span = self.wp
         interpret = (os.environ.get("SMAFA_TPU_PALLAS_MIN2", "")
                      == "interpret")
+        with_count = PS.min2_count_enabled()
         tile_b, tile_w, sub = self._pallas_tiles(
             b // self.n_q, shard_rows, interpret
         )
@@ -382,7 +383,7 @@ class ScanRunner(HitModesMixin):
                     PS.embed_query_with_one(q_codes, seq_len),
                     db_emb, seq_len, shift,
                     tile_b=tile_b, tile_w=tile_w, sub=sub,
-                    interpret=interpret,
+                    interpret=interpret, with_count=with_count,
                 )
 
             def run_pallas(q_codes, _db_oh, _n_windows):
@@ -395,11 +396,13 @@ class ScanRunner(HitModesMixin):
 
         def shard_fn(q_emb, db_emb_shard):
             off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
-            lo, hi, cnt = PS.min2_scan_pallas(
+            outs = PS.min2_scan_pallas(
                 q_emb, db_emb_shard, seq_len, shift,
                 tile_b=tile_b, tile_w=tile_w, sub=sub,
-                interpret=interpret,
+                interpret=interpret, with_count=with_count,
             )
+            lo, hi = outs[0], outs[1]
+            cnt = outs[2] if with_count else None
             # Kernel keys are SHARD-LOCAL (span = shard_rows). The
             # distance field decodes with one shift either way; counts
             # merge across shards by conditioning on the global min
@@ -413,6 +416,8 @@ class ScanRunner(HitModesMixin):
                 # complementary offset.
                 lo_g = jax.lax.pmin(lo + off, "w")
                 hi_g = jax.lax.pmin(hi + (span - shard_rows - off), "w")
+                if cnt is None:
+                    return lo_g, hi_g
                 dmin = lo_g >> shift
                 cnt_g = jax.lax.psum(
                     jnp.where(d == dmin, cnt, 0), "w"
@@ -429,11 +434,13 @@ class ScanRunner(HitModesMixin):
             il_g = jax.lax.pmin(jnp.where(d == dmin, il, big), "w")
             ih_g = jax.lax.pmax(jnp.where(d == dmin, ih, jnp.int32(-1)), "w")
             ih_g = jnp.where(ih_g < 0, big, ih_g)
+            if cnt is None:
+                return (dmin, il_g), (dmin, ih_g)
             cnt_g = jax.lax.psum(jnp.where(d == dmin, cnt, 0), "w")
             return (dmin, il_g), (dmin, ih_g), cnt_g
 
-        out_specs = (((P("q"), P("q")), (P("q"), P("q")), P("q"))
-                     if pair_mode else (P("q"), P("q"), P("q")))
+        pp = (P("q"), P("q")) if pair_mode else P("q")
+        out_specs = (pp, pp) + ((P("q"),) if with_count else ())
         mapped = jax.shard_map(
             shard_fn,
             mesh=self.mesh,
@@ -725,47 +732,82 @@ class ScanRunner(HitModesMixin):
 
         return run
 
-    def _build_minfloor(self, b: int, shift: int):
-        """Min packed key over windows with index > floor[row] — the
-        iterative tie-enumeration step (distance.minfloor_scan). Global
+    def _build_miditer(self, b: int, shift: int, t_steps: int):
+        """All middle tied indices in ONE device program: t_steps dual
+        bounded-min passes on device (distance.miditer_scan), enumerating
+        from both ends of each row's tie range — replaces the round-3
+        host-driven minfloor loop (one dispatch per tie). Global packed
         keys only (callers gate on the global shift)."""
         seq_len, chunk, shard_rows = self.seq_len, self.chunk, self.shard_rows
+        span = self.wp
 
         if self.n_q == 1 and self.n_w == 1:
             @jax.jit
-            def run_single(q_codes, db_oh, n_windows, floor):
+            def run_single(q_codes, db_oh, n_windows, floor, ceil, d_star):
                 q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
-                return D.minfloor_scan(
-                    q_oh, db_oh, n_windows, floor, seq_len, shift, chunk
+                return D.miditer_scan(
+                    q_oh, db_oh, n_windows, floor, ceil, d_star,
+                    seq_len, shift, chunk, t_steps,
                 )
 
             return run_single
 
-        def shard_fn(q_oh, db_shard, n_windows, floor):
+        def shard_fn(q_oh, db_shard, n_windows, floor, ceil, d_star):
             off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
             n_valid = jnp.clip(n_windows - off, 0, shard_rows)
-            # local scan keys carry LOCAL indices; rebase to global by
-            # scanning with a shard-local floor and adding the offset
-            # back into the index field (keys are (dist<<shift)|idx)
-            local_floor = jnp.clip(floor - off, -1, shard_rows)
-            key = D.minfloor_scan(
-                q_oh, db_shard, n_valid, local_floor, seq_len, shift, chunk
-            )
-            key = key + off  # index field is the low bits
-            return jax.lax.pmin(key, "w")
+            b_loc = q_oh.shape[0]
+            big_key = jnp.int32(2**31 - 1)
+            offsets = jnp.arange(shard_rows // chunk, dtype=jnp.int32) * chunk
+
+            def one_pass(fl, cl):
+                # shard-local cursor rebase; keys carry local indices
+                # packed with the GLOBAL shift, globalized by offset
+                # adds (lo: +off; hi: reverse-index rebase) before the
+                # cross-shard pmin — exactly the min2 mesh convention.
+                lfl = jnp.clip(fl - off, -1, shard_rows)
+                lcl = jnp.clip(cl - off, 0, shard_rows)
+
+                def step(carry, coff):
+                    dist = D.block_distances(q_oh, db_shard, coff, chunk,
+                                             seq_len)
+                    lidx = coff + jnp.arange(chunk, dtype=jnp.int32)
+                    return D.miditer_chunk_update(
+                        carry, dist, lidx, n_valid, lidx, lfl, lcl,
+                        shift, shard_rows, seq_len + 1,
+                    ), None
+
+                init = (jnp.full((b_loc,), big_key, jnp.int32),
+                        jnp.full((b_loc,), big_key, jnp.int32))
+                (lo, hi), _ = jax.lax.scan(step, init, offsets)
+                lo_g = jax.lax.pmin(lo + off, "w")
+                hi_g = jax.lax.pmin(hi + (span - shard_rows - off), "w")
+                return lo_g, hi_g
+
+            def body(t, state):
+                key_lo, key_hi = one_pass(state[0], state[1])
+                return D.miditer_update(state, key_lo, key_hi, d_star,
+                                        shift, span, seq_len, t)
+
+            init = (floor, ceil,
+                    jnp.full((b_loc, t_steps), -1, jnp.int32),
+                    jnp.full((b_loc, t_steps), -1, jnp.int32))
+            _, _, mids_lo, mids_hi = jax.lax.fori_loop(0, t_steps, body, init)
+            return mids_lo, mids_hi
 
         mapped = jax.shard_map(
             shard_fn,
             mesh=self.mesh,
-            in_specs=(P("q", None), P("w", None), P(), P("q")),
-            out_specs=P("q"),
+            in_specs=(P("q", None), P("w", None), P(), P("q"), P("q"),
+                      P("q")),
+            out_specs=(P("q", None), P("q", None)),
             check_vma=False,
         )
+        seq_len_ = seq_len
 
         @jax.jit
-        def run(q_codes, db_oh, n_windows, floor):
-            q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
-            return mapped(q_oh, db_oh, n_windows, floor)
+        def run(q_codes, db_oh, n_windows, floor, ceil, d_star):
+            q_oh = D.expand_query(q_codes, seq_len_, db_oh.shape[1])
+            return mapped(q_oh, db_oh, n_windows, floor, ceil, d_star)
 
         return run
 

@@ -374,13 +374,14 @@ def test_iter_middles_drift_fallback():
     sel = np.array([0], np.int32)
     # truth: middles via the honest path
     want = idx[rows == 0][1:-1]
-    got_r, got_i = r._iter_middles(q_padded, sel, d[sel], 
-                                   np.array([idx[rows == 0][0]], np.int32),
+    lo = np.array([idx[rows == 0][0]], np.int32)
+    hi = np.array([idx[rows == 0][-1]], np.int32)
+    got_r, got_i = r._iter_middles(q_padded, sel, d[sel], lo, hi,
                                    counts[sel].astype(np.int64))
     np.testing.assert_array_equal(np.sort(got_i), np.sort(want))
-    # drift: claim a lower d_star so the first pass mismatches
-    got_r2, got_i2 = r._iter_middles(q_padded, sel, d[sel] - 1,
-                                     np.array([idx[rows == 0][0]], np.int32),
+    # drift: claim a lower d_star so the device under-fills and the row
+    # routes to the exact compaction fallback
+    got_r2, got_i2 = r._iter_middles(q_padded, sel, d[sel] - 1, lo, hi,
                                      counts[sel].astype(np.int64))
     # the fallback compacts at thresh d_star-1... which yields counts at
     # the LIED threshold; what matters is no assert and no wrong emit
