@@ -62,6 +62,38 @@ def mask_row_cap(span_rows: int) -> int:
     return 1 << (cap.bit_length() - 1)
 
 
+class _SharedFetch:
+    """One device array fetched to host exactly once, shared by several
+    row views — phase-A programs stack their per-row outputs into a
+    single [k, B] device array so resolving a batch costs ONE
+    device->host transfer instead of one per output (each transfer is a
+    full round trip on remote-dispatch links)."""
+
+    def __init__(self, dev):
+        self._dev = dev
+        self._host = None
+
+    def fetch(self):
+        if self._host is None:
+            self._host = np.asarray(self._dev)
+            self._dev = None
+        return self._host
+
+
+class _Row:
+    """numpy-coercible view of one row of a _SharedFetch."""
+
+    def __init__(self, shared, i):
+        self._s = shared
+        self._i = i
+
+    def __array__(self, dtype=None, copy=None):
+        a = self._s.fetch()[self._i]
+        if dtype is not None and a.dtype != dtype:
+            a = a.astype(dtype)
+        return np.array(a) if copy else a
+
+
 class HitModesMixin:
     """Best-hit / K-mode host orchestration over layout primitives."""
 
@@ -111,7 +143,20 @@ class HitModesMixin:
         q_padded, nq = self._pad(q_codes)
         fn = self._program("min2", q_padded.shape[0], shift=shift)
         out = fn(q_padded, self.db_oh, self.n_windows_dev)
-        if len(out) == 3:
+        if isinstance(out, dict):
+            # stacked single-fetch form: {"keys": [2|3, B]} (lo, hi[,
+            # cnt]) or {"pair": [3|4, B]} (d, il, ih[, cnt])
+            kind, arr = next(iter(out.items()))
+            sh = _SharedFetch(arr)
+            k = arr.shape[0]
+            if kind == "keys":
+                lo, hi = _Row(sh, 0), _Row(sh, 1)
+                cnt = _Row(sh, 2) if k == 3 else None
+            else:
+                d, il, ih = _Row(sh, 0), _Row(sh, 1), _Row(sh, 2)
+                lo, hi = (d, il), (d, ih)
+                cnt = _Row(sh, 3) if k == 4 else None
+        elif len(out) == 3:
             lo, hi, cnt = out
         else:
             (lo, hi), cnt = out, None
@@ -183,14 +228,17 @@ class HitModesMixin:
             p_rows = tied_ids[tie_cnt == 2]
             multi = tie_cnt > 2
             it_rows = it_idx = m_rows = m_idx = np.empty(0, np.int32)
+            mid_handle = None
             if multi.any() and self._miditer_supported():
                 # few-tie rows enumerate their MIDDLE indices in one
                 # on-device dual bounded-min program (lo/hi already
                 # known) — no compaction mask; the heavy tail still
-                # compacts
+                # compacts. Dispatch FIRST and collect after the
+                # compaction dispatches so the two programs overlap on
+                # device (results are independent).
                 few = multi & (tie_cnt <= self.TIE_ITER_MAX)
                 if few.any():
-                    it_rows, it_idx = self._iter_middles(
+                    mid_handle = self._iter_middles_async(
                         q_padded, tied_ids[few], dist[tied_ids[few]],
                         idx_lo[tied_ids[few]], idx_hi[tied_ids[few]],
                         tie_cnt[few],
@@ -203,6 +251,8 @@ class HitModesMixin:
                     q_padded, tied_ids[multi], dist[tied_ids[multi]],
                     tie_cnt[multi],
                 )
+            if mid_handle is not None:
+                it_rows, it_idx = self._iter_middles_collect(mid_handle)
             u_rows = np.nonzero(keep & ~tied)[0].astype(np.int32)
             all_rows = np.concatenate([u_rows, p_rows, p_rows, it_rows,
                                        m_rows])
@@ -406,20 +456,13 @@ class HitModesMixin:
                        t_steps: int):  # pragma: no cover
         raise KeyError("miditer")
 
-    def _iter_middles(self, q_padded: np.ndarray, row_ids: np.ndarray,
-                      d_star: np.ndarray, lo_idx: np.ndarray,
-                      hi_idx: np.ndarray,
-                      counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """The counts[i]-2 MIDDLE tied indices of each selected row (the
-        lowest and highest ride in the min2 keys already), in ONE device
-        dispatch: the program runs ceil(max middles / 2) dual bounded-min
-        passes on device, each emitting the next-lowest and next-highest
-        remaining tie (distance.miditer_scan) — the round-3 version drove
-        one minfloor dispatch per tie from the host, which dominated
-        end-to-end best-hit at scale. Rows whose device fill count
-        disagrees with the known tie count (kernel drift) fall back to
-        exact compaction rather than emitting a wrong index. Returns
-        flat (rows, idx) in arbitrary order (callers lexsort)."""
+    def _iter_middles_async(self, q_padded: np.ndarray,
+                            row_ids: np.ndarray, d_star: np.ndarray,
+                            lo_idx: np.ndarray, hi_idx: np.ndarray,
+                            counts: np.ndarray):
+        """Dispatch the on-device middle-enumeration program; collect
+        with ``_iter_middles_collect`` (the split lets the independent
+        compaction dispatches overlap it on device)."""
         shift = self._key_shift()
         nsel = int(row_ids.shape[0])
         need = (counts.astype(np.int64) - 2)
@@ -437,10 +480,32 @@ class HitModesMixin:
         ds = np.full(bp, -1, np.int32)
         ds[:nsel] = d_star
         fn = self._program("miditer", bp, shift=shift, t_cap=t_steps)
-        mids_lo, mids_hi = fn(q_sub_p, self.db_oh, self.n_windows_dev,
-                              fl, cl, ds)
-        ml = np.asarray(mids_lo)[:nsel]
-        mh = np.asarray(mids_hi)[:nsel]
+        mids = fn(q_sub_p, self.db_oh, self.n_windows_dev, fl, cl, ds)
+        return (mids, q_padded, row_ids, d_star, counts, need, nsel)
+
+    def _iter_middles(self, q_padded: np.ndarray, row_ids: np.ndarray,
+                      d_star: np.ndarray, lo_idx: np.ndarray,
+                      hi_idx: np.ndarray,
+                      counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """The counts[i]-2 MIDDLE tied indices of each selected row (the
+        lowest and highest ride in the min2 keys already), in ONE device
+        dispatch: the program runs ceil(max middles / 2) dual bounded-min
+        passes on device, each emitting the next-lowest and next-highest
+        remaining tie (distance.miditer_scan) — the round-3 version drove
+        one minfloor dispatch per tie from the host, which dominated
+        end-to-end best-hit at scale. Rows whose device fill count
+        disagrees with the known tie count (kernel drift) fall back to
+        exact compaction rather than emitting a wrong index. Returns
+        flat (rows, idx) in arbitrary order (callers lexsort)."""
+        return self._iter_middles_collect(self._iter_middles_async(
+            q_padded, row_ids, d_star, lo_idx, hi_idx, counts,
+        ))
+
+    def _iter_middles_collect(self, handle):
+        mids, q_padded, row_ids, d_star, counts, need, nsel = handle
+        both = np.asarray(mids)  # stacked [2, B, T]: ONE fetch
+        ml = both[0][:nsel]
+        mh = both[1][:nsel]
         vl = ml >= 0
         vh = mh >= 0
         got = vl.sum(axis=1) + vh.sum(axis=1)

@@ -378,13 +378,15 @@ class ScanRunner(HitModesMixin):
             def run_fused(q_codes, db_emb):
                 # one program: query embed fuses into the pallas_call's
                 # input pipeline; validity rides in the poisoned twin,
-                # not a kernel operand
-                return PS.min2_scan_pallas(
+                # not a kernel operand. Outputs stack into ONE array so
+                # resolving costs one device->host transfer.
+                outs = PS.min2_scan_pallas(
                     PS.embed_query_with_one(q_codes, seq_len),
                     db_emb, seq_len, shift,
                     tile_b=tile_b, tile_w=tile_w, sub=sub,
                     interpret=interpret, with_count=with_count,
                 )
+                return {"keys": jnp.stack(outs)}
 
             def run_pallas(q_codes, _db_oh, _n_windows):
                 return run_fused(jnp.asarray(q_codes), runner._db_emb())
@@ -417,12 +419,12 @@ class ScanRunner(HitModesMixin):
                 lo_g = jax.lax.pmin(lo + off, "w")
                 hi_g = jax.lax.pmin(hi + (span - shard_rows - off), "w")
                 if cnt is None:
-                    return lo_g, hi_g
+                    return jnp.stack([lo_g, hi_g])
                 dmin = lo_g >> shift
                 cnt_g = jax.lax.psum(
                     jnp.where(d == dmin, cnt, 0), "w"
                 )
-                return lo_g, hi_g, cnt_g
+                return jnp.stack([lo_g, hi_g, cnt_g])
             big = jnp.int32(2**31 - 1)
             mask = jnp.int32((1 << shift) - 1)
             empty = d > seq_len
@@ -435,23 +437,23 @@ class ScanRunner(HitModesMixin):
             ih_g = jax.lax.pmax(jnp.where(d == dmin, ih, jnp.int32(-1)), "w")
             ih_g = jnp.where(ih_g < 0, big, ih_g)
             if cnt is None:
-                return (dmin, il_g), (dmin, ih_g)
+                return jnp.stack([dmin, il_g, ih_g])
             cnt_g = jax.lax.psum(jnp.where(d == dmin, cnt, 0), "w")
-            return (dmin, il_g), (dmin, ih_g), cnt_g
+            return jnp.stack([dmin, il_g, ih_g, cnt_g])
 
-        pp = (P("q"), P("q")) if pair_mode else P("q")
-        out_specs = (pp, pp) + ((P("q"),) if with_count else ())
+        kind = "pair" if pair_mode else "keys"
         mapped = jax.shard_map(
             shard_fn,
             mesh=self.mesh,
             in_specs=(P("q", None), P("w", None)),
-            out_specs=out_specs,
+            out_specs=P(None, "q"),
             check_vma=False,
         )
 
         @jax.jit
         def run_mapped(q_codes, db_emb):
-            return mapped(PS.embed_query_with_one(q_codes, seq_len), db_emb)
+            return {kind: mapped(PS.embed_query_with_one(q_codes, seq_len),
+                                 db_emb)}
 
         def run_pallas(q_codes, _db_oh, _n_windows):
             return run_mapped(jnp.asarray(q_codes), runner._db_emb())
@@ -471,10 +473,11 @@ class ScanRunner(HitModesMixin):
             @jax.jit
             def run_single(q_codes, db_oh, n_windows):
                 q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
-                return D.min2_scan(
+                lo, hi = D.min2_scan(
                     q_oh, db_oh, n_windows, jnp.int32(0),
                     seq_len, shift, chunk, span,
                 )
+                return {"keys": jnp.stack([lo, hi])}
 
             return run_single
 
@@ -491,7 +494,8 @@ class ScanRunner(HitModesMixin):
                 # Packed keys compare globally (the index fields are
                 # global), so an elementwise pmin over the db axis is the
                 # whole merge — ICI traffic of O(B) int32s per key.
-                return jax.lax.pmin(lo, "w"), jax.lax.pmin(hi, "w")
+                return jnp.stack([jax.lax.pmin(lo, "w"),
+                                  jax.lax.pmin(hi, "w")])
             # Global indices overflow the 31-bit key: pack SHARD-locally
             # (shift here is the shard-local shift from _key_shift),
             # unpack to global (dist, index) pairs, and merge across 'w'
@@ -515,21 +519,21 @@ class ScanRunner(HitModesMixin):
             il_g = jax.lax.pmin(jnp.where(d == dmin, il, big), "w")
             ih_g = jax.lax.pmax(jnp.where(d == dmin, ih, jnp.int32(-1)), "w")
             ih_g = jnp.where(ih_g < 0, big, ih_g)
-            return (dmin, il_g), (dmin, ih_g)
+            return jnp.stack([dmin, il_g, ih_g])
 
+        kind = "pair" if pair_mode else "keys"
         mapped = jax.shard_map(
             shard_fn,
             mesh=self.mesh,
             in_specs=(P("q", None), P("w", None), P()),
-            out_specs=((P("q"), P("q")), (P("q"), P("q"))) if pair_mode
-                      else (P("q"), P("q")),
+            out_specs=P(None, "q"),
             check_vma=False,
         )
 
         @jax.jit
         def run(q_codes, db_oh, n_windows):
             q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
-            return mapped(q_oh, db_oh, n_windows)
+            return {kind: mapped(q_oh, db_oh, n_windows)}
 
         return run
 
@@ -745,10 +749,10 @@ class ScanRunner(HitModesMixin):
             @jax.jit
             def run_single(q_codes, db_oh, n_windows, floor, ceil, d_star):
                 q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
-                return D.miditer_scan(
+                return jnp.stack(D.miditer_scan(
                     q_oh, db_oh, n_windows, floor, ceil, d_star,
                     seq_len, shift, chunk, t_steps,
-                )
+                ))
 
             return run_single
 
@@ -792,14 +796,14 @@ class ScanRunner(HitModesMixin):
                     jnp.full((b_loc, t_steps), -1, jnp.int32),
                     jnp.full((b_loc, t_steps), -1, jnp.int32))
             _, _, mids_lo, mids_hi = jax.lax.fori_loop(0, t_steps, body, init)
-            return mids_lo, mids_hi
+            return jnp.stack([mids_lo, mids_hi])
 
         mapped = jax.shard_map(
             shard_fn,
             mesh=self.mesh,
             in_specs=(P("q", None), P("w", None), P(), P("q"), P("q"),
                       P("q")),
-            out_specs=(P("q", None), P("q", None)),
+            out_specs=P(None, "q", None),
             check_vma=False,
         )
         seq_len_ = seq_len
