@@ -177,6 +177,31 @@ def test_native_db_roundtrip(capsys, tmp_path):
     assert out.count("\n") == 9
 
 
+def test_count_missing_input_exits_101(capsys):
+    # Reference clap accepts a missing -i (num_args(0..), main.rs:113)
+    # then dies on .unwrap() with the Rust panic exit code (main.rs:49)
+    # — not an argparse usage error. `-i` with zero values stays the
+    # legal empty-array case.
+    rc = main(["count"])
+    assert rc == 101
+    assert "unwrap()" in capsys.readouterr().err
+    rc = main(["count", "-i"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == "[]"
+
+
+def test_max_num_hits_zero_exits_101(capsys, data_dir):
+    # Reference underflows max_num_hits - 1 and panics on an out-of-
+    # bounds index (lib.rs:253-256); we raise a clean message. Same exit
+    # code (101), clearer text — documented divergence (docs/API.md).
+    rc = main([
+        "query", "-d", str(data_dir / "random_3_2.fna.smafadb"),
+        "-q", str(data_dir / "random_3_2.fna"), "--max-num-hits", "0",
+    ])
+    assert rc == 101
+    assert "max-num-hits must be >= 1" in capsys.readouterr().err
+
+
 def test_cluster_missing_max_divergence_exits_101(capsys, data_dir):
     # Reference clap accepts a missing -d then dies on .unwrap() with the
     # Rust panic exit code (main.rs:43,104) — not an argparse usage error.
