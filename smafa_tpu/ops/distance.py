@@ -798,8 +798,29 @@ def extract_mask_hits(mask, index_offset, chunk, t_cap):
     total = cum[-1]
     slots = jnp.arange(t_cap, dtype=jnp.int32)
     r = slots + 1
-    wsel = jnp.searchsorted(cum, r, side="left").astype(jnp.int32)
-    wsel = jnp.minimum(wsel, b * w32 - 1)
+    # Two-level rank search (round 4): a flat searchsorted over the full
+    # word cumsum costs ~log2(b*w32) big-table gathers PER SLOT (28 at
+    # 8192 x 1M) and dominated K-mode extraction at millions of slots.
+    # Level 1 searches a G-downsampled cumsum (b*w32/G entries — small
+    # enough to stay cache/VMEM-resident); level 2 binary-searches the
+    # G-word window with log2(G) big-table gathers. 28 big gathers
+    # per slot become log2(G) = 10.
+    n_words = cum.shape[0]
+    G = 1024
+    n_coarse = -(-n_words // G)
+    ends = jnp.minimum(
+        (jnp.arange(n_coarse, dtype=jnp.int32) + 1) * G - 1, n_words - 1
+    )
+    coarse = cum[ends]
+    cb = jnp.searchsorted(coarse, r, side="left").astype(jnp.int32)
+    base = jnp.minimum(cb, n_coarse - 1) * G
+    off = jnp.zeros_like(r)
+    step = G
+    while step > 1:
+        step //= 2
+        probe = jnp.minimum(base + off + step - 1, n_words - 1)
+        off = jnp.where(cum[probe] < r, off + step, off)
+    wsel = jnp.minimum(base + off, n_words - 1)
     prior = jnp.where(wsel > 0, cum[jnp.maximum(wsel - 1, 0)], 0)
     r_word = r - prior  # 1-based rank of the wanted bit within its word
     word = flat[wsel]

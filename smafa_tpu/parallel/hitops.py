@@ -574,13 +574,23 @@ class HitModesMixin:
         th = np.full(q_sub_p.shape[0], -1, np.int32)
         th[:nsel] = thresh_vals
         fn = self._program("compact", q_sub_p.shape[0], t_cap=t_cap)
-        rows, idx, rc, shard_totals = fn(
-            q_sub_p, self.db_oh, self.n_windows_dev, th
-        )
-        rows = np.asarray(rows)
-        idx = np.asarray(idx)
-        rc = np.asarray(rc).astype(np.int64)[:nsel]
-        valid = bool((np.asarray(shard_totals) <= t_cap).all())
+        out = fn(q_sub_p, self.db_oh, self.n_windows_dev, th)
+        sizes = getattr(fn, "split_sizes", None)
+        if sizes is not None:
+            # flat packed output: ONE device->host transfer
+            a = np.asarray(out)
+            p0, p1 = sizes[0], sizes[0] + sizes[1]
+            p2 = p1 + sizes[2]
+            rows, idx = a[:p0], a[p0:p1]
+            rc, shard_totals = a[p1:p2], a[p2:]
+        else:
+            rows, idx, rc, shard_totals = out
+            rows = np.asarray(rows)
+            idx = np.asarray(idx)
+            rc = np.asarray(rc)
+            shard_totals = np.asarray(shard_totals)
+        rc = rc.astype(np.int64)[:nsel]
+        valid = bool((shard_totals <= t_cap).all())
         keep = rows >= 0
         return row_ids[rows[keep]], idx[keep], rc, valid
 

@@ -94,6 +94,17 @@ def build_mesh(n_q: int | None = None, n_w: int | None = None) -> Mesh:
 _bucket = D.bucket  # single bucketing policy (ops.distance)
 
 
+def _with_split_sizes(fn, sizes):
+    """Tag a compact program with the static split points of its flat
+    packed output (rows, idx, row_counts, shard_totals) — jitted
+    callables don't reliably take attributes, so wrap."""
+    def call(*args):
+        return fn(*args)
+
+    call.split_sizes = sizes
+    return call
+
+
 class ScanRunner(HitModesMixin):
     """Holds a db resident on the mesh and runs exact scans in every hit
     mode (best-hit, K-mode, top-M, min2).
@@ -574,9 +585,10 @@ class ScanRunner(HitModesMixin):
                         q_oh, db_oh, n_windows, thresh, jnp.int32(0),
                         seq_len, chunk, t_cap, pack,
                     )
-                    return rows, idx, rc, total[None]
+                    # one flat int32 buffer: ONE device->host transfer
+                    return jnp.concatenate([rows, idx, rc, total[None]])
 
-                return run_single
+                return _with_split_sizes(run_single, (t_cap, t_cap, b, 1))
 
             # Huge db: ONE program per segment shape, swept over the db
             # with a traced row offset. Keeps the [b, seg/32] mask —
@@ -590,24 +602,28 @@ class ScanRunner(HitModesMixin):
                     q_oh, block, n_valid, thresh, seg_off,
                     seq_len, chunk, t_cap, pack,
                 )
-                return rows, idx, rc, total[None]
+                return jnp.concatenate([rows, idx, rc, total[None]])
 
             wp = self.wp
 
             def run_swept(q_codes, db_oh, n_windows, thresh):
                 out_r, out_i, totals = [], [], []
                 rc_sum = None
-                for off in range(0, wp, seg):
-                    r, i, rc, t = run_seg(
-                        q_codes, db_oh, n_windows, thresh, jnp.int32(off)
-                    )
-                    r = np.asarray(r)
+                # dispatch every segment first (the device pipelines
+                # them); fetch each flat buffer once
+                flats = [run_seg(q_codes, db_oh, n_windows, thresh,
+                                 jnp.int32(off))
+                         for off in range(0, wp, seg)]
+                for flat in flats:
+                    a = np.asarray(flat)
+                    r, i = a[:t_cap], a[t_cap:2 * t_cap]
+                    rc = a[2 * t_cap:2 * t_cap + b]
+                    t = a[2 * t_cap + b:]
                     keep = r >= 0
                     out_r.append(r[keep])
-                    out_i.append(np.asarray(i)[keep])
-                    rc = np.asarray(rc)
+                    out_i.append(i[keep])
                     rc_sum = rc if rc_sum is None else rc_sum + rc
-                    totals.append(np.asarray(t))
+                    totals.append(t)
                 return (np.concatenate(out_r), np.concatenate(out_i),
                         rc_sum, np.concatenate(totals))
 
@@ -645,13 +661,17 @@ class ScanRunner(HitModesMixin):
             out_specs=(P("q"), P("q"), P("q"), P("q")),
             check_vma=False,
         )
+        n_q = self.n_q
 
         @jax.jit
         def run(q_codes, db_oh, n_windows, thresh):
             q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
-            return mapped(q_oh, db_oh, n_windows, thresh)
+            rows, idx, rc, total = mapped(q_oh, db_oh, n_windows, thresh)
+            return jnp.concatenate([rows, idx, rc, total])
 
-        return run
+        return _with_split_sizes(
+            run, (n_q * n_w * t_cap, n_q * n_w * t_cap, b, n_q * n_w)
+        )
 
     # -- sort-free K-mode (exact top-K with cutoff ties) -------------------
     #
