@@ -87,20 +87,20 @@ def pick_min2_tiles(b_loc: int, shard_wp: int,
 def min2_count_enabled() -> bool:
     """Whether the shipped Mosaic phase A fuses the tie count
     (SMAFA_TPU_PALLAS_COUNT=0/1 overrides). Measured trade on the v5e
-    chip at 65536 x 4M: the fused count costs ~38% of the pass (476.6 ->
-    297-309 e9 cmp/s — the compare+add epilogue on every distance
-    element) and saves the separate tcount dispatch for tied rows
-    (~0.5 scan-equivalents at random-data tie rates plus one dispatch
-    latency). Default resolved by the e2e measurement in
-    docs/PERFORMANCE.md."""
+    chip: the fused count costs ~38% of the pass on EVERY batch
+    (476.6 -> 297-309 e9 cmp/s at 65536 x 4M — the compare+add epilogue
+    on every distance element), and saves the separate tcount dispatch
+    for tied rows (~0.45 scan-equivalents at random-data tie rates)
+    plus one serial dispatch+fetch round trip. End-to-end best-hit at
+    16384 x 1M through the remote-dispatch tunnel: 0.328 s/batch fused
+    vs 0.355 s/batch tcount — an ~8% win that is entirely round-trip
+    latency. On a locally-attached TPU (~1 ms dispatch) the tcount
+    path's extra dispatch is cheaper than taxing every phase-A element,
+    so the default is OFF; set SMAFA_TPU_PALLAS_COUNT=1 on high-latency
+    links."""
     import os
 
-    v = os.environ.get("SMAFA_TPU_PALLAS_COUNT", "")
-    if v == "0":
-        return False
-    if v == "1":
-        return True
-    return True  # auto default; see docstring
+    return os.environ.get("SMAFA_TPU_PALLAS_COUNT", "") == "1"
 
 
 def min2_eligible(seq_len: int, db_width: int, b_loc: int,

@@ -361,6 +361,16 @@ class ScanRunner(HitModesMixin):
                 out_shardings=spec,
             )(self.db_oh, self.seq_len, self.n_windows_dev)
             emb.block_until_ready()
+            if self.wp > self.n_windows:
+                # The kernel's correctness rests on the twin's padding
+                # rows being poisoned (zc column = -1, sentinel
+                # distance); an unpoisoned/stale twin would silently
+                # return wrong best-hits. One-element check per build.
+                zc_last = np.asarray(emb[-1, 4 * self.seq_len])
+                assert zc_last == -1, (
+                    "embed twin padding not poisoned (zc column of the "
+                    f"last padding row is {zc_last}, expected -1)"
+                )
             self._db_emb_cache = emb
         return emb
 

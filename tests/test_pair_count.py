@@ -196,7 +196,8 @@ def test_runner_pallas_min2_interpret_sharded_mesh(mesh_env):
     q[0] = db[5]
     q[1] = db[9]
     q[2] = db[11]
-    env = {"SMAFA_TPU_PALLAS_MIN2": "interpret", **mesh_env}
+    env = {"SMAFA_TPU_PALLAS_MIN2": "interpret",
+           "SMAFA_TPU_PALLAS_COUNT": "1", **mesh_env}
     a = _best_hit(sharded.ScanRunner, db, L, q, None, env, chunk=128)
     b = _best_hit(sharded.ScanRunner, db, L, q, None,
                   {"SMAFA_TPU_PALLAS_MIN2": "0", **mesh_env}, chunk=128)
@@ -298,7 +299,10 @@ def test_pallas_fused_count_fuzz(L):
         db[rng.choice(n, copies, replace=False)] = db[src]
     q = rng.integers(0, 3, size=(24, L), dtype=np.uint8)
     q[:4] = db[rng.integers(0, n, 4)]
-    for extra in ({}, {"SMAFA_TPU_FORCE_SHARD": "1"}):
+    for extra in ({}, {"SMAFA_TPU_FORCE_SHARD": "1"},
+                  {"SMAFA_TPU_PALLAS_COUNT": "1"},
+                  {"SMAFA_TPU_FORCE_SHARD": "1",
+                   "SMAFA_TPU_PALLAS_COUNT": "1"}):
         res, _ = _best_hit(
             sharded.ScanRunner, db, L, q, None,
             {"SMAFA_TPU_PALLAS_MIN2": "interpret", **extra}, chunk=128,
