@@ -322,6 +322,20 @@ class HitModesMixin:
 
     # -- K-mode ------------------------------------------------------------
 
+    def _kmode_hist_enabled(self) -> bool:
+        """K-mode phase A program choice. The [B, L+1] histogram costs
+        ~L+1 VPU compare+adds per distance element; the fused
+        binary-search count scans cost ~ceil(log2(L+2)) + 2 in-program
+        matmul passes with a 2-op epilogue. Measured at 16384 x 1M x
+        60 bp on the v5e chip: hist 2344 ms vs stats 313 ms (7.5x), and
+        stats also won the small 2048 x 200k shape (32.6 vs 94.7 ms) —
+        so binary search is the default everywhere; the histogram stays
+        behind SMAFA_TPU_KMODE_HIST=1 (parity-tested). Very long
+        windows (>= HIST_MAX) never take the histogram."""
+        if self.seq_len >= D.HIST_MAX:
+            return False
+        return os.environ.get("SMAFA_TPU_KMODE_HIST", "") == "1"
+
     def kmode_stats_async(self, q_codes: np.ndarray, k: int,
                           max_divergence: int | None):
         """Dispatch K-mode phase A without waiting: the histogram program
@@ -332,7 +346,7 @@ class HitModesMixin:
         if shift is None:
             return None
         q_padded, nq = self._pad(q_codes)
-        if self.seq_len < D.HIST_MAX:
+        if self._kmode_hist_enabled():
             fn = self._program("hist", q_padded.shape[0])
             hist = fn(q_padded, self.db_oh, self.n_windows_dev)
             return ("hist", hist, nq, shift, q_padded)

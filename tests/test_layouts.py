@@ -495,3 +495,27 @@ def test_col_pair_mode_beyond_key_budget(monkeypatch):
         assert np.array_equal(a, b)
     for a, b in zip(ref_min2, cr.min2(q)):
         assert np.array_equal(a, b)
+
+
+def test_kmode_hist_vs_stats_parity(monkeypatch):
+    """The histogram K-mode phase A (SMAFA_TPU_KMODE_HIST=1) and the
+    default binary-search stats phase must produce identical hit lists
+    — cutoff ties, maxdiv caps, k > n_windows, all of it."""
+    from smafa_tpu.parallel import sharded
+
+    rng = np.random.default_rng(71)
+    L, n = 24, 500
+    db = rng.integers(0, 4, size=(n, L)).astype(np.uint8)
+    db[50] = db[10]
+    q = rng.integers(0, 4, size=(19, L)).astype(np.uint8)
+    q[:2] = db[10:12]
+    r = sharded.ScanRunner(db, L, mesh=sharded.build_mesh(1, 1), chunk=64)
+    for k, maxdiv in ((5, None), (99, 4), (1000, None), (2, 0)):
+        a = r.kmode_flat(q, k, maxdiv)
+        monkeypatch.setenv("SMAFA_TPU_KMODE_HIST", "1")
+        rh = sharded.ScanRunner(db, L, mesh=sharded.build_mesh(1, 1),
+                                chunk=64)
+        b = rh.kmode_flat(q, k, maxdiv)
+        monkeypatch.delenv("SMAFA_TPU_KMODE_HIST")
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y, err_msg=f"k={k}")
