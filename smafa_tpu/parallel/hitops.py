@@ -354,10 +354,15 @@ class HitModesMixin:
 
         maxdiv = self.seq_len + 1 if max_divergence is None else max_divergence
         fn = self._program("kstats", q_padded.shape[0], shift=shift)
-        eff, hits = fn(
+        out = fn(
             q_padded, self.db_oh, self.n_windows_dev,
             jnp.int32(k), jnp.int32(maxdiv),
         )
+        if isinstance(out, tuple):
+            eff, hits = out
+        else:  # stacked [2, B]: one device->host transfer
+            sh = _SharedFetch(out)
+            eff, hits = _Row(sh, 0), _Row(sh, 1)
         return ("kstats", eff, hits, nq, shift, q_padded)
 
     def kmode_flat(self, q_codes: np.ndarray, k: int,

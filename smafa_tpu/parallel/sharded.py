@@ -734,9 +734,10 @@ class ScanRunner(HitModesMixin):
             @jax.jit
             def run_single(q_codes, db_oh, n_windows, k, maxdiv):
                 q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
-                return D.kmode_stats_scan(
+                eff, hits = D.kmode_stats_scan(
                     q_oh, db_oh, n_windows, k, maxdiv, seq_len, chunk
                 )
+                return jnp.stack([eff, hits])  # one fetch
 
             return run_single
 
@@ -762,7 +763,8 @@ class ScanRunner(HitModesMixin):
         @jax.jit
         def run(q_codes, db_oh, n_windows, k, maxdiv):
             q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
-            return mapped(q_oh, db_oh, n_windows, k, maxdiv)
+            eff, hits = mapped(q_oh, db_oh, n_windows, k, maxdiv)
+            return jnp.stack([eff, hits])  # one fetch
 
         return run
 
