@@ -420,17 +420,41 @@ class HitModesMixin:
 
     # -- shared compaction plumbing ----------------------------------------
 
+    # Recompute per-hit distances on DEVICE above this many hits: the
+    # paired gather+compare is trivial there (the db codes are already
+    # resident), while the host numpy path costs ~3.8 s at 2.26M hits
+    # (two 135 MB gathers + the compare) — measured as K-mode's single
+    # biggest stage at 16384 x 1M x K=99 (docs/PERFORMANCE.md round 4).
+    HITDIST_DEVICE_MIN = 1 << 16
+
     def _host_distances(self, q_padded: np.ndarray, rows: np.ndarray,
                         idx: np.ndarray) -> np.ndarray:
-        """Exact per-hit distances recomputed on host from channel codes.
+        """Exact per-hit distances recomputed from channel codes.
 
         Matches the device one-hot dot semantics exactly: a column
         matches iff the channel indices are equal (codes are always
-        0..4, see core.alphabet.encode_bytes). The db view is often a
-        memmap; only the hit rows are paged in."""
+        0..4, see core.alphabet.encode_bytes). Large hit lists compute
+        on device (codes-resident single-device dbs — one bucketed
+        gather+compare program); the host path remains for small lists,
+        sharded/multi-host meshes (a device gather there would
+        all-gather the db) and non-codes-resident forms. The host db
+        view is often a memmap; only the hit rows are paged in."""
         if rows.shape[0] == 0:
             return np.empty(0, np.int32)
         L = self.seq_len
+        if (rows.shape[0] >= self.HITDIST_DEVICE_MIN
+                and getattr(self, "n_q", 0) == 1
+                and getattr(self, "n_w", 0) == 1
+                and self.db_oh is not None
+                and self.db_oh.shape[1] == L):
+            n = rows.shape[0]
+            b = D.bucket(n, minimum=1024)
+            rp = np.zeros(b, np.int32)
+            ip = np.zeros(b, np.int32)
+            rp[:n] = rows
+            ip[:n] = idx
+            fn = self._program("hitdist", b)
+            return np.asarray(fn(q_padded, self.db_oh, rp, ip))[:n]
         q = q_padded[rows, :L]
         d = np.asarray(self._codes_host[idx])[:, :L]
         return (L - (q == d).sum(axis=1)).astype(np.int32)

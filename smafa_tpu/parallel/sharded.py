@@ -150,6 +150,8 @@ class ScanRunner(HitModesMixin):
             return self._build_miditer(b, shift, t_cap)
         if kind == "compact":
             return self._build_compact(b, t_cap)
+        if kind == "hitdist":
+            return self._build_hitdist(b)
         raise KeyError(kind)
 
     def __init__(self, codes: np.ndarray, seq_len: int, mesh: Mesh | None = None,
@@ -578,6 +580,20 @@ class ScanRunner(HitModesMixin):
         if self._compact_seg is not None:
             return self._compact_seg
         return self.shard_rows if self.n_w > 1 else self.wp
+
+    def _build_hitdist(self, n: int):
+        """Per-hit distance recompute on device: paired gathers from the
+        resident codes + one compare-sum. Single-device codes-resident
+        only (see hitops._host_distances for the gate)."""
+        seq_len = self.seq_len
+
+        @jax.jit
+        def run(q_codes, db_codes, rows, idx):
+            qg = jnp.take(jnp.asarray(q_codes), rows, axis=0)[:, :seq_len]
+            dg = jnp.take(db_codes, idx, axis=0)[:, :seq_len]
+            return jnp.sum((qg != dg).astype(jnp.int32), axis=1)
+
+        return run
 
     def _build_compact(self, b: int, t_cap: int):
         pack = D._pack_mode()  # program cache keys on this (hitops._program)
