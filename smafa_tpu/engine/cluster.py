@@ -646,20 +646,48 @@ def _resolve_emit(store, pending, max_div, out, timers):
         fail = np.nonzero(bestd > max_div)[0]
         promoted_rows: list[int] = []
         if fail.size:
-            # Only failing rows can promote; one Hamming block against
-            # exactly those columns feeds the sequential capture sweep.
-            self_cols = _host_hamming(codes_u, codes_u[fail]).astype(np.int64)
-            row_idx = np.arange(nb)
-            for fpos, j in enumerate(fail.tolist()):
-                if bestd[j] <= max_div:
-                    continue  # captured by an earlier intra-batch promotion
-                c = n_now + len(promoted_rows)
-                promoted_rows.append(j)
-                assigned[j] = c
-                col = self_cols[:, fpos]
-                upd = (row_idx > j) & (col < bestd)
-                bestd[upd] = col[upd]
-                assigned[upd] = c
+            # Only failing rows can promote, and a promotion decision
+            # depends only on distances to EARLIER promotions — so the
+            # sequential sweep runs over the fail subset alone
+            # (O(promotions x fails)), and every capture (of failing
+            # and non-failing rows alike) resolves afterwards in one
+            # vectorized argmin over the promoted columns. The sweep's
+            # update-on-strict-< rule makes "first index among equal
+            # minima" the winner — exactly np.argmin's tie rule — so
+            # the bulk pass reproduces the reference's serial
+            # lowest-index semantics (cluster.rs:62-74). The round-3
+            # form updated all nb rows per promotion (O(promotions x
+            # batch)); at the 1M config that sweep was 87% of the run.
+            self_cols = _host_hamming(codes_u, codes_u[fail])  # [nb, nf]
+            nf = fail.size
+            sub = self_cols[fail]  # [nf, nf] fail x fail
+            bf = bestd[fail].astype(np.int64, copy=True)
+            fr = np.arange(nf)
+            prom_pos: list[int] = []
+            for fpos in range(nf):
+                if bf[fpos] <= max_div:
+                    continue  # captured by an earlier promotion
+                prom_pos.append(fpos)
+                col = sub[:, fpos]
+                upd = (fr > fpos) & (col < bf)
+                bf[upd] = col[upd]
+            if prom_pos:
+                pp = np.asarray(prom_pos)
+                P = fail[pp]
+                promoted_rows = P.tolist()
+                cids = n_now + np.arange(P.size, dtype=np.int64)
+                cross = self_cols[:, pp].astype(np.int64)  # [nb, |P|]
+                row_idx = np.arange(nb)
+                # a promotion only exists for rows AFTER it in order
+                big = np.int64(2**31)
+                cross = np.where(P[None, :] < row_idx[:, None], cross, big)
+                mn = cross.min(axis=1)
+                k = cross.argmin(axis=1)  # first index among ties
+                better = mn < bestd
+                better[P] = False  # promoted rows assign to themselves
+                assigned = np.where(better, cids[k], assigned)
+                bestd = np.where(better, mn, bestd)
+                assigned[P] = cids
         if promoted_rows:
             store.append(codes_u[promoted_rows])
     with timers.stage("emit"):

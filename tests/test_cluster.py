@@ -154,3 +154,33 @@ def test_randomized_against_oracle(tmp_path):
         expected = "".join(exp_lines)
         for bs in (7, 512):
             assert run_cluster(str(fa), max_div, batch_size=bs) == expected, (max_div, bs)
+
+
+def test_randomized_against_oracle_promotion_heavy(tmp_path):
+    """Adversarial sweep-vectorization fuzz: small alphabet and tight
+    divergence force dense intra-batch promotions, captures of both
+    failing and already-assigned rows, and cross-batch dependencies —
+    the exact structure the bulk argmin resolution must reproduce."""
+    rng = np.random.default_rng(77)
+    n, L = 1500, 8
+    seqs = rng.integers(0, 2, size=(n, L))  # binary alphabet: dense ties
+    seqs[200:220] = seqs[7]
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    strings = ["".join(chr(alpha[c]) for c in row) for row in seqs]
+    fa = tmp_path / "hvy.fna"
+    fa.write_text("".join(f">s{i}\n{s}\n" for i, s in enumerate(strings)))
+
+    for max_div in (0, 1, 2, 3):
+        pairs = _oracle_cluster([row for row in seqs], max_div)
+        cents = []
+        exp = []
+        for seq, cid in pairs:
+            if cid == len(cents):
+                cents.append("".join(chr(alpha[c]) for c in seq))
+            exp.append(
+                f"{''.join(chr(alpha[c]) for c in seq)}\t{cents[cid]}\n")
+        expected = "".join(exp)
+        for bs in (64, 700, None):
+            kw = {} if bs is None else {"batch_size": bs}
+            assert run_cluster(str(fa), max_div, **kw) == expected, (
+                max_div, bs)
