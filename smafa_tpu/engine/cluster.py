@@ -132,16 +132,34 @@ def _build_sharded_scan(mesh, seq_len: int, chunk: int, shard_rows: int, span: i
 
 
 def _host_hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Exact Hamming distances between channel-code rows, on host BLAS.
+    """Exact Hamming distances between channel-code rows on host.
 
     Matches the device semantics exactly (a column matches iff the
     channel indices are equal — N-vs-N matches, N-vs-base does not).
-    Used for the small promotion-column blocks ([batch, promotions]);
-    float32 accumulation is exact for any realistic window length.
-    """
+    Native C++ byte loop where built (the 5-channel float32 matmul
+    fallback measured 13.7 s at [16384, 4000] x 60 bp — five skinny
+    memory-bound matmuls — vs ~0.3 s vectorized bytes); used for the
+    cluster resolution's [batch, fails] blocks."""
     if b.shape[0] == 0:
         return np.zeros((a.shape[0], 0), np.int32)
     L = a.shape[1]
+    from smafa_tpu.native import load
+
+    lib = load()
+    if lib is not None:
+        import ctypes
+
+        a_c = np.ascontiguousarray(a, dtype=np.uint8)
+        b_c = np.ascontiguousarray(b, dtype=np.uint8)
+        out = np.empty((a_c.shape[0], b_c.shape[0]), np.int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.cross_hamming(
+            a_c.ctypes.data_as(u8p), a_c.shape[0],
+            b_c.ctypes.data_as(u8p), b_c.shape[0], L,
+            out.ctypes.data_as(i32p),
+        )
+        return out
     matches = np.zeros((a.shape[0], b.shape[0]), np.float32)
     for c in range(alphabet.N_CHANNELS):
         matches += (a == c).astype(np.float32) @ (b == c).astype(np.float32).T

@@ -107,5 +107,8 @@ def load() -> ctypes.CDLL | None:
         lib.dedup_free.argtypes = [c.c_void_p]
         lib.dedup_filter.restype = c.c_int64
         lib.dedup_filter.argtypes = [c.c_void_p, u8p, c.c_int64, c.c_int64, u8p]
+        lib.cross_hamming.restype = None
+        lib.cross_hamming.argtypes = [u8p, c.c_int64, u8p, c.c_int64,
+                                      c.c_int64, i32p]
         _LIB = lib
         return _LIB
