@@ -250,24 +250,22 @@ class RingScanRunner(HitModesMixin):
             (d, il, ih, cnt), _ = jax.lax.fori_loop(
                 0, n_d, body, (init, db_shard)
             )
-            lo_pair, hi_pair = D.min2_pair_finish((d, il, ih))
-            if not with_count:
-                return lo_pair, hi_pair
-            return lo_pair, hi_pair, cnt
+            (d2, il2), (_, ih2) = D.min2_pair_finish((d, il, ih))
+            rows = [d2, il2, ih2] + ([cnt] if with_count else [])
+            return jnp.stack(rows)  # one fetch
 
-        pp = (P("d"), P("d"))
         mapped = jax.shard_map(
             shard_fn, mesh=self.mesh,
             in_specs=(P("d", None), P("d", None), P()),
-            out_specs=(pp, pp) + ((P("d"),) if with_count else ()),
+            out_specs=P(None, "d"),
             check_vma=False,
         )
         seq_len_ = self.seq_len
 
         @jax.jit
         def run(q_codes, db_oh, n_windows):
-            return mapped(PS.embed_query_with_one(q_codes, seq_len_),
-                          db_oh, n_windows)
+            return {"pair": mapped(PS.embed_query_with_one(q_codes, seq_len_),
+                                   db_oh, n_windows)}
 
         return run
 
@@ -291,13 +289,18 @@ class RingScanRunner(HitModesMixin):
                             c, dist, lidx, n_valid, off + lidx
                         ),
                 )
-                return D.min2_pair_finish(carry)
+                (d, il), (_, ih) = D.min2_pair_finish(carry)
+                return jnp.stack([d, il, ih])  # one fetch
 
-            p = P("d")
-            return self._jit_mapped(
+            fn = self._jit_mapped(
                 shard_fn, (P("d", None), P("d", None), P()),
-                ((p, p), (p, p)),
+                P(None, "d"),
             )
+
+            def run(q_codes, db_oh, n_windows):
+                return {"pair": fn(q_codes, db_oh, n_windows)}
+
+            return run
 
         def shard_fn(q_oh, db_shard, n_windows):
             b_loc = q_oh.shape[0]
@@ -312,11 +315,17 @@ class RingScanRunner(HitModesMixin):
                     self.seq_len + 1,
                 )
 
-            return self._ring_sweep(q_oh, db_shard, n_windows, init, fold)
+            lo, hi = self._ring_sweep(q_oh, db_shard, n_windows, init, fold)
+            return jnp.stack([lo, hi])  # one fetch
 
-        return self._jit_mapped(
-            shard_fn, (P("d", None), P("d", None), P()), (P("d"), P("d"))
+        fn = self._jit_mapped(
+            shard_fn, (P("d", None), P("d", None), P()), P(None, "d")
         )
+
+        def run(q_codes, db_oh, n_windows):
+            return {"keys": fn(q_codes, db_oh, n_windows)}
+
+        return run
 
     def _build_hist(self, b: int):
         seq_len = self.seq_len
