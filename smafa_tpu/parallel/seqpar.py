@@ -208,9 +208,15 @@ class ColumnShardedScanRunner(HitModesMixin):
                     lambda c, dist, lidx, n_valid, off:
                         D.min2_pair_chunk_update(c, dist, lidx, n_valid, lidx),
                 )
-                return D.min2_pair_finish(carry)
+                (d, il), (_, ih) = D.min2_pair_finish(carry)
+                return jnp.stack([d, il, ih])  # one fetch
 
-            return self._jit_mapped(shard_fn, 0, ((P(), P()), (P(), P())))
+            fn = self._jit_mapped(shard_fn, 0, P(None, None))
+
+            def run(q_codes, db_oh, n_windows):
+                return {"pair": fn(q_codes, db_oh, n_windows)}
+
+            return run
 
         def shard_fn(q_oh, db_sh, n_windows):
             b_loc = q_oh.shape[0]
@@ -225,9 +231,15 @@ class ColumnShardedScanRunner(HitModesMixin):
                     self.seq_len + 1,
                 )
 
-            return self._col_sweep(q_oh, db_sh, n_windows, init, fold)
+            lo, hi = self._col_sweep(q_oh, db_sh, n_windows, init, fold)
+            return jnp.stack([lo, hi])  # one fetch
 
-        return self._jit_mapped(shard_fn, 0, (P(), P()))
+        fn = self._jit_mapped(shard_fn, 0, P(None, None))
+
+        def run(q_codes, db_oh, n_windows):
+            return {"keys": fn(q_codes, db_oh, n_windows)}
+
+        return run
 
     def _build_hist(self, b: int):
         seq_len = self.seq_len

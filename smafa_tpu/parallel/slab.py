@@ -276,7 +276,11 @@ class SlabStreamRunner(HitModesMixin):
                     )
                     return carry
                 self._sweep(fold)
-                return (carry[0], carry[1]), (carry[0], carry[2])
+                # stacked single-fetch pair form (d, i_lo, i_hi); empty
+                # rows keep the min2_pair_finish sentinel convention
+                d, il, ih = carry
+                (d2, il2), (_, ih2) = D.min2_pair_finish((d, il, ih))
+                return {"pair": jnp.stack([d2, il2, ih2])}
             return run
 
         if kind == "hist":
