@@ -30,6 +30,20 @@ import os
 import sys
 
 
+def _u32(text: str) -> int:
+    """clap's value_parser!(u32) twin: the reference rejects negative or
+    non-integer values as a usage error (exit 2) before any op runs
+    (main.rs:87-97, 104-107)."""
+    try:
+        v = int(text)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"invalid digit found in string: {text!r}")
+    if not (0 <= v <= 0xFFFFFFFF):
+        raise argparse.ArgumentTypeError(f"{v} is out of range for u32")
+    return v
+
+
 def _add_verbosity(p: argparse.ArgumentParser, short_q: bool = True) -> None:
     p.add_argument("-v", "--verbose", action="store_true",
                    help="Print extra debug logging information")
@@ -90,12 +104,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-d", "--database", required=True, help="Output from makedb [required]")
     p.add_argument("-q", "--query", required=True,
                    help="Query sequences to search with in FASTX format [required]")
-    p.add_argument("--max-divergence", type=int, default=None,
+    p.add_argument("--max-divergence", type=_u32, default=None,
                    help="Maximum divergence to report hits for, for each sequence "
                         "[default: not used]")
-    p.add_argument("--max-num-hits", type=int, default=None,
+    p.add_argument("--max-num-hits", type=_u32, default=None,
                    help="Maximum number of hits to report [default: 1]")
-    p.add_argument("--limit-per-sequence", type=int, default=None,
+    p.add_argument("--limit-per-sequence", type=_u32, default=None,
                    help="Maximum number of hits to report per sequence. Requires "
                         "--max-num-hits > 1 for now. [default: not used]")
     p.add_argument("--batch-size", type=int, default=None, help=argparse.SUPPRESS)
@@ -120,7 +134,7 @@ def build_parser() -> argparse.ArgumentParser:
     # Not argparse-required: the reference's clap accepts a missing -d and
     # dies on .unwrap() with exit 101 (main.rs:43,104); we reproduce that
     # exit code (and panic text) in main() rather than argparse's exit 2.
-    p.add_argument("-d", "--max-divergence", type=int, default=None,
+    p.add_argument("-d", "--max-divergence", type=_u32, default=None,
                    help="Maximum divergence to report hits for, for each sequence "
                         "[default: not used]")
     p.add_argument("--batch-size", type=int, default=None, help=argparse.SUPPRESS)

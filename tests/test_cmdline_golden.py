@@ -214,3 +214,20 @@ def test_help_shows_author(capsys):
     with pytest.raises(SystemExit):
         main(["--help"])
     assert "Ben J. Woodcroft" in capsys.readouterr().out
+
+
+def test_u32_flag_parsing_exit2(capsys, data_dir):
+    # Reference clap parses these as u32: negative/non-integer values are
+    # usage errors (exit 2) before any op runs (main.rs:87-97, 104-107).
+    import pytest
+
+    for argv in (
+        ["query", "-d", "x", "-q", "y", "--max-divergence", "-1"],
+        ["query", "-d", "x", "-q", "y", "--max-num-hits", "-3"],
+        ["query", "-d", "x", "-q", "y", "--limit-per-sequence", "zz"],
+        ["cluster", "-i", "x", "-d", "-2"],
+    ):
+        with pytest.raises(SystemExit) as ei:
+            main(argv)
+        assert ei.value.code == 2, argv
+        capsys.readouterr()
