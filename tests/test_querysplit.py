@@ -104,21 +104,21 @@ class _FakeCluster:
         return out
 
 
-def _run_split_two_procs(monkeypatch, fa, batch_size, skip=0):
-    """Drive split_encoded_batches as 2 lockstep simulated processes.
+def _run_split_two_procs(monkeypatch, fa, batch_size, skip=0, n_procs=2):
+    """Drive split_encoded_batches as n lockstep simulated processes.
     Returns (batches_from_pid0, error_from_pid0)."""
-    cluster = _FakeCluster(2)
+    cluster = _FakeCluster(n_procs)
 
     import jax
     from jax.experimental import multihost_utils
 
-    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_count", lambda: n_procs)
     monkeypatch.setattr(jax, "process_index", lambda: cluster.local.pid)
     monkeypatch.setattr(multihost_utils, "process_allgather",
                         cluster.allgather)
 
-    results: dict[int, list] = {0: [], 1: []}
-    errors: dict[int, BaseException | None] = {0: None, 1: None}
+    results: dict[int, list] = {p: [] for p in range(n_procs)}
+    errors: dict[int, BaseException | None] = {p: None for p in range(n_procs)}
 
     def worker(pid):
         cluster.local.pid = pid
@@ -130,19 +130,21 @@ def _run_split_two_procs(monkeypatch, fa, batch_size, skip=0):
         except BaseException as e:  # noqa: BLE001 — barrier-safe capture
             errors[pid] = e
 
-    ts = [threading.Thread(target=worker, args=(p,)) for p in (0, 1)]
+    ts = [threading.Thread(target=worker, args=(p,))
+          for p in range(n_procs)]
     for t in ts:
         t.start()
     for t in ts:
         t.join(timeout=120)
         assert not t.is_alive(), "split protocol deadlocked"
-    # both processes must see identical batches and identical errors
-    assert len(results[0]) == len(results[1])
-    for a, b in zip(results[0], results[1]):
-        np.testing.assert_array_equal(a, b)
-    assert (errors[0] is None) == (errors[1] is None)
-    if errors[0] is not None:
-        assert str(errors[0]) == str(errors[1])
+    # every process must see identical batches and identical errors
+    for p in range(1, n_procs):
+        assert len(results[0]) == len(results[p])
+        for a, b in zip(results[0], results[p]):
+            np.testing.assert_array_equal(a, b)
+        assert (errors[0] is None) == (errors[p] is None)
+        if errors[0] is not None:
+            assert str(errors[0]) == str(errors[p])
     return results[0], errors[0]
 
 
@@ -154,14 +156,16 @@ def test_split_protocol_matches_single_stream(tmp_path, monkeypatch):
     seqs = _rand_seqs(rng, 101, 24)
     _write_fasta(fa, seqs)
 
-    got, err = _run_split_two_procs(monkeypatch, fa, batch_size=16)
-    assert err is None
-    want = np.concatenate(
-        [c for _i, _r, c in read_encoded_batches(fa, batch_size=16)]
-    )
-    np.testing.assert_array_equal(np.concatenate(got), want)
-    # record ORDER is the byte-exact contract: rows must align 1:1
-    assert sum(c.shape[0] for c in got) == 101
+    for n_procs in (2, 3):
+        got, err = _run_split_two_procs(monkeypatch, fa, batch_size=16,
+                                        n_procs=n_procs)
+        assert err is None
+        want = np.concatenate(
+            [c for _i, _r, c in read_encoded_batches(fa, batch_size=16)]
+        )
+        np.testing.assert_array_equal(np.concatenate(got), want)
+        # record ORDER is the byte-exact contract: rows must align 1:1
+        assert sum(c.shape[0] for c in got) == 101
 
 
 def test_split_protocol_resume_skip(tmp_path, monkeypatch):
