@@ -599,16 +599,13 @@ class HitModesMixin:
     def _mask_row_cap(self) -> int:
         return mask_row_cap(self._compact_span_rows())
 
-    def _compact_dispatch(self, q_padded: np.ndarray, row_ids: np.ndarray,
-                          thresh_vals: np.ndarray, t_cap: int):
-        """One compaction dispatch over exactly the selected rows.
-
-        The selected rows are gathered into a bucketed sub-batch (so
-        programs compile per power-of-two shape, and phase B scans only
-        the rows that need it), then mapped back to global row ids.
-        Returns (global rows, idx, exact per-selected-row counts, valid);
-        when ``valid`` is False the buffers were undersized (counts stay
-        exact) and the caller re-dispatches with exact sizing."""
+    def _compact_dispatch_async(self, q_padded: np.ndarray,
+                                row_ids: np.ndarray,
+                                thresh_vals: np.ndarray, t_cap: int):
+        """Start one compaction dispatch over exactly the selected rows
+        (bucketed sub-batch); collect with ``_compact_collect``. The
+        split lets independent row groups overlap on device instead of
+        serializing dispatch->fetch per group."""
         nsel = int(row_ids.shape[0])
         b = D.bucket(nsel, minimum=16)
         q_sub = np.zeros((b, q_padded.shape[1]), q_padded.dtype)
@@ -618,6 +615,21 @@ class HitModesMixin:
         th[:nsel] = thresh_vals
         fn = self._program("compact", q_sub_p.shape[0], t_cap=t_cap)
         out = fn(q_sub_p, self.db_oh, self.n_windows_dev, th)
+        return (out, fn, row_ids, nsel, t_cap)
+
+    def _compact_dispatch(self, q_padded: np.ndarray, row_ids: np.ndarray,
+                          thresh_vals: np.ndarray, t_cap: int):
+        """One compaction dispatch + collect.
+
+        Returns (global rows, idx, exact per-selected-row counts, valid);
+        when ``valid`` is False the buffers were undersized (counts stay
+        exact) and the caller re-dispatches with exact sizing."""
+        return self._compact_collect(self._compact_dispatch_async(
+            q_padded, row_ids, thresh_vals, t_cap
+        ))
+
+    def _compact_collect(self, handle):
+        out, fn, row_ids, nsel, t_cap = handle
         sizes = getattr(fn, "split_sizes", None)
         if sizes is not None:
             # flat packed output: ONE device->host transfer
@@ -695,6 +707,7 @@ class HitModesMixin:
         cap = self._mask_row_cap()
         n = int(row_ids.shape[0])
         out_r, out_i = [], []
+        pending: list = []  # dispatch every group, then collect (overlap)
         start = 0
         while start < n:
             c0 = int(counts[start])
@@ -716,13 +729,15 @@ class HitModesMixin:
                 acc += int(counts[end])
                 end += 1
             t_cap = D.bucket(max(acc, 1), minimum=256)
-            g_rows, g_idx, _rc, valid = self._compact_dispatch(
+            pending.append(self._compact_dispatch_async(
                 q_padded, row_ids[start:end], thresh_vals[start:end], t_cap
-            )
-            assert valid, (acc, t_cap)
+            ))
+            start = end
+        for h in pending:
+            g_rows, g_idx, _rc, valid = self._compact_collect(h)
+            assert valid, "exactly-sized compaction overflowed"
             out_r.append(g_rows)
             out_i.append(g_idx)
-            start = end
         rows = np.concatenate(out_r) if out_r else np.empty(0, np.int32)
         idx = np.concatenate(out_i) if out_i else np.empty(0, np.int32)
         order = np.lexsort((idx, rows))
