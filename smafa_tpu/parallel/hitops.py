@@ -9,18 +9,23 @@ same two phases with layout-specific compiled programs:
   mins). Rows whose minimum is unique — lowest tied index == highest
   tied index — are fully resolved by phase A alone; the rest take ONE
   ``compact`` pass enumerating every window at the min.
-- K-mode (reference lib.rs:241-295): phase A = one distance-histogram
-  pass (or binary-search count scans for very long windows), from which
-  the host reads the exact cutoff and hit counts; phase B = one
-  compaction pass at the cutoff, lexsorted into (distance, index) order.
+- K-mode (reference lib.rs:241-295): phase A = ONE device program
+  binary-searching the cutoff with fused count scans (measured 7.5x
+  the histogram pass at scale; SMAFA_TPU_KMODE_HIST=1 restores the
+  histogram), returning the exact cutoff and hit counts; phase B = one
+  compaction pass at the cutoff, lexsorted into (distance, index)
+  order with per-hit distances recomputed on device at scale.
 
-This mixin implements the shared host logic against four layout
+This mixin implements the shared host logic against the layout
 primitives a runner provides via ``_build_program(kind, b, ...)``:
-``"min2"``, ``"hist"``, ``"kstats"``, ``"compact"`` — plus ``_pad``
-(its batch padding rule) and ``_key_shift``. Each phase costs one pass
-over the db, so a full best-hit batch is <= 2 scan-equivalents and a
-K-mode batch <= 2 (histogram + compaction) regardless of tie counts —
-the round-1 design paid ~ties/2 re-scans.
+``"min2"``, ``"kstats"``, ``"hist"``, ``"tcount"``, ``"compact"`` —
+plus the optional ``"miditer"`` (on-device middle-tie enumeration) and
+``"hitdist"`` (device per-hit distance recompute) — and ``_pad`` (its
+batch padding rule) and ``_key_shift``. Phase programs stack their
+outputs into one device array where supported, so resolving a batch
+costs one device->host transfer per program; independent programs
+(miditer and the heavy-tail compaction; compaction row groups) are
+dispatched before any is fetched so they overlap on device.
 
 The compaction device buffers carry only (row, subject index) bit
 positions; per-hit distances are implied (best-hit: the row min; K-mode:
