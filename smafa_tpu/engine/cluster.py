@@ -91,7 +91,8 @@ def _scan_min(q_codes, cent_buf, n_centroids, seq_len, chunk, embed):
         q_oh = D.expand_embed_query(q_codes, seq_len)
     else:
         q_oh = D.expand_onehot(q_codes, seq_len)
-    return D.min_scan(q_oh, cent_buf, n_centroids, seq_len, chunk)
+    d, i = D.min_scan(q_oh, cent_buf, n_centroids, seq_len, chunk)
+    return jnp.stack([d, i])  # one device->host transfer per batch
 
 
 def _build_sharded_scan(mesh, seq_len: int, chunk: int, shard_rows: int, span: int):
@@ -113,13 +114,13 @@ def _build_sharded_scan(mesh, seq_len: int, chunk: int, shard_rows: int, span: i
         big = jnp.int32(2**31 - 1)
         d = jnp.where(lo == big, jnp.int32(2**30), lo >> shift)
         i = jnp.where(lo == big, big, lo & ((1 << shift) - 1))
-        return d, i
+        return jnp.stack([d, i])  # one device->host transfer per batch
 
     mapped = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P("w", None), P()),
-        out_specs=(P(), P()),
+        out_specs=P(None, None),
         check_vma=False,
     )
 
@@ -288,17 +289,18 @@ class _CentroidStore:
                     self.cap // n_w, self.cap,
                 )
                 self._scan_cache[key] = fn
-            d, i = fn(q_codes, self.buf, jnp.int32(len(self.ws)))
+            di = fn(q_codes, self.buf, jnp.int32(len(self.ws)))
         else:
-            d, i = _scan_min(
+            di = _scan_min(
                 q_codes, self.buf, jnp.int32(len(self.ws)), self.seq_len,
                 min(self.chunk, self.cap), D.embed_active(self.seq_len),
             )
-        return (d, i, nq)
+        return (di, nq)
 
     def scan_fetch(self, handle):
-        d, i, nq = handle
-        return np.asarray(d)[:nq], np.asarray(i)[:nq]
+        di, nq = handle
+        a = np.asarray(di)  # stacked [2, B]: one transfer
+        return a[0][:nq], a[1][:nq]
 
 
 @partial(jax.jit, static_argnames=("seq_len",))
