@@ -641,11 +641,11 @@ def _resolve_emit(store, pending, max_div, out, timers):
     with timers.stage("fetch"):
         if handle is not None:
             d, i = store.scan_fetch(handle)
-            d = d.astype(np.int64)
-            i = i.astype(np.int64)
+            d = np.ascontiguousarray(d, dtype=np.int32)
+            i = np.ascontiguousarray(i, dtype=np.int32)
         else:
-            d = np.full(nb, sentinel, np.int64)
-            i = np.zeros(nb, np.int64)
+            d = np.full(nb, sentinel, np.int32)
+            i = np.zeros(nb, np.int32)
     with timers.stage("resolve"):
         n_now = len(store)
         if n_now > snap_n:
@@ -653,13 +653,15 @@ def _resolve_emit(store, pending, max_div, out, timers):
             # (> any index in the scan result), so strict < preserves the
             # lowest-index tie rule; argmin takes the first (lowest) of
             # the delta block.
-            delta = store.ws.codes[snap_n:n_now]
-            cross = _host_hamming(codes_u, delta).astype(np.int64)
-            pmin = cross.min(axis=1)
-            parg = cross.argmin(axis=1)
-            better = pmin < d
-            d = np.where(better, pmin, d)
-            i = np.where(better, snap_n + parg, i)
+            with timers.stage("resolve-delta"):
+                delta = store.ws.codes[snap_n:n_now]
+                cross = _host_hamming(codes_u, delta)  # int32
+                parg = cross.argmin(axis=1)
+                pmin = cross[np.arange(nb), parg]
+                better = pmin < d
+                d = np.where(better, pmin, d)
+                i = np.where(better, np.int32(snap_n) + parg.astype(np.int32),
+                             i)
 
         assigned = i
         bestd = d
@@ -678,10 +680,11 @@ def _resolve_emit(store, pending, max_div, out, timers):
             # lowest-index semantics (cluster.rs:62-74). The round-3
             # form updated all nb rows per promotion (O(promotions x
             # batch)); at the 1M config that sweep was 87% of the run.
-            self_cols = _host_hamming(codes_u, codes_u[fail])  # [nb, nf]
+            with timers.stage("resolve-hamming"):
+                self_cols = _host_hamming(codes_u, codes_u[fail])  # [nb, nf]
             nf = fail.size
             sub = self_cols[fail]  # [nf, nf] fail x fail
-            bf = bestd[fail].astype(np.int64, copy=True)
+            bf = bestd[fail].astype(np.int32, copy=True)
             fr = np.arange(nf)
             prom_pos: list[int] = []
             for fpos in range(nf):
@@ -695,21 +698,22 @@ def _resolve_emit(store, pending, max_div, out, timers):
                 pp = np.asarray(prom_pos)
                 P = fail[pp]
                 promoted_rows = P.tolist()
-                cids = n_now + np.arange(P.size, dtype=np.int64)
-                cross = self_cols[:, pp].astype(np.int64)  # [nb, |P|]
+                cids = (n_now + np.arange(P.size)).astype(np.int32)
+                cross = self_cols[:, pp]  # [nb, |P|] int32 view-copy
                 row_idx = np.arange(nb)
                 # a promotion only exists for rows AFTER it in order
-                big = np.int64(2**31)
+                big = np.int32(2**30)
                 cross = np.where(P[None, :] < row_idx[:, None], cross, big)
-                mn = cross.min(axis=1)
                 k = cross.argmin(axis=1)  # first index among ties
+                mn = cross[row_idx, k]
                 better = mn < bestd
                 better[P] = False  # promoted rows assign to themselves
                 assigned = np.where(better, cids[k], assigned)
                 bestd = np.where(better, mn, bestd)
                 assigned[P] = cids
         if promoted_rows:
-            store.append(codes_u[promoted_rows])
+            with timers.stage("resolve-append"):
+                store.append(codes_u[promoted_rows])
     with timers.stage("emit"):
         decoded = store.decoded
         out.write(
