@@ -680,10 +680,12 @@ def _resolve_emit(store, pending, max_div, out, timers):
             # lowest-index semantics (cluster.rs:62-74). The round-3
             # form updated all nb rows per promotion (O(promotions x
             # batch)); at the 1M config that sweep was 87% of the run.
-            with timers.stage("resolve-hamming"):
-                self_cols = _host_hamming(codes_u, codes_u[fail])  # [nb, nf]
             nf = fail.size
-            sub = self_cols[fail]  # [nf, nf] fail x fail
+            with timers.stage("resolve-hamming"):
+                # the sweep needs fail x fail only; the bulk capture pass
+                # needs batch x PROMOTED columns only — computing the full
+                # [nb, nf] block wasted (nf - promotions) columns of it
+                sub = _host_hamming(codes_u[fail], codes_u[fail])
             bf = bestd[fail].astype(np.int32, copy=True)
             fr = np.arange(nf)
             prom_pos: list[int] = []
@@ -699,7 +701,8 @@ def _resolve_emit(store, pending, max_div, out, timers):
                 P = fail[pp]
                 promoted_rows = P.tolist()
                 cids = (n_now + np.arange(P.size)).astype(np.int32)
-                cross = self_cols[:, pp]  # [nb, |P|] int32 view-copy
+                with timers.stage("resolve-hamming"):
+                    cross = _host_hamming(codes_u, codes_u[P])  # [nb, |P|]
                 row_idx = np.arange(nb)
                 # a promotion only exists for rows AFTER it in order
                 big = np.int32(2**30)
