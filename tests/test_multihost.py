@@ -129,6 +129,29 @@ def test_two_process_cli_query_golden(tmp_path):
     assert _strip_gloo(outs[0][0]) == single.stdout  # process 0 emits everything
     assert _strip_gloo(outs[1][0]) == ""             # process 1 is silent
 
+    # K-mode through the same split stream (kstats + compaction SPMD)
+    single_k = subprocess.run(
+        [sys.executable, "-m", "smafa_tpu", "query", "-d", str(db_path),
+         "-q", str(q_path), "--max-num-hits", "7", "--max-divergence", "40"],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert single_k.returncode == 0, single_k.stderr[-2000:]
+    coord = f"localhost:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "smafa_tpu", "query", "-d", str(db_path),
+             "-q", str(q_path), "--max-num-hits", "7",
+             "--max-divergence", "40", "--coordinator", coord,
+             "--num-processes", "2", "--process-id", str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (_so, se) in zip(procs, outs):
+        assert p.returncode == 0, se[-2000:]
+    assert _strip_gloo(outs[0][0]) == single_k.stdout
+
 
 @pytest.mark.slow
 @_retry_flaky
