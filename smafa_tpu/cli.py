@@ -157,11 +157,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("count",
                        help="Print the number of reads/bases in a possibly gzipped FASTX file")
     # num_args(0..) in the reference (main.rs:113): zero files is legal
-    # and prints an empty JSON array. The flag itself is NOT clap-
-    # required either — an entirely absent -i reaches the .unwrap() at
-    # main.rs:49 and panics with exit 101, reproduced in main() (the
-    # same quirk as cluster's -d).
-    p.add_argument("-i", "--input", nargs="*", default=None,
+    # and prints an empty JSON array. Unlike cluster's -d, the flag
+    # itself IS clap-required (.required(true), main.rs:111), so an
+    # entirely absent -i is a usage error (exit 2) — clap rejects it
+    # before main.rs:49's unwrap can run.
+    p.add_argument("-i", "--input", nargs="*", required=True,
                    help="FASTQ file to count [required]")
     _add_verbosity(p)
 
@@ -239,11 +239,6 @@ def main(argv: list[str] | None = None) -> int:
                     batch_size=args.batch_size,
                     resume_state=args.resume_state)
         elif args.subcommand == "count":
-            if args.input is None:
-                # Reference: .unwrap() on the absent -i (main.rs:49).
-                print("called `Option::unwrap()` on a `None` value",
-                      file=sys.stderr)
-                return 101
             from smafa_tpu.engine.count import count
 
             count(args.input)

@@ -182,6 +182,13 @@ def split_encoded_batches(path: str | Path, batch_size: int,
     lengths = metas[:, 1].astype(np.int64)
     total = int(counts.sum())
     if total == 0:
+        # Deferred-error parity even with an empty valid prefix: if any
+        # slice recorded a parse/encode error (e.g. the first record has
+        # an invalid base), the serial path would raise THAT text, not
+        # the empty-file error. Owner order = file order.
+        for owner in range(P):
+            if metas[owner, 2]:
+                raise FastxError(_unpack_err(metas[owner]))
         # Match read_encoded_batches on an empty stream; every process
         # raises together (same metadata everywhere).
         raise FastxError(f"Empty or invalid FASTX file: {path}")

@@ -177,14 +177,15 @@ def test_native_db_roundtrip(capsys, tmp_path):
     assert out.count("\n") == 9
 
 
-def test_count_missing_input_exits_101(capsys):
-    # Reference clap accepts a missing -i (num_args(0..), main.rs:113)
-    # then dies on .unwrap() with the Rust panic exit code (main.rs:49)
-    # — not an argparse usage error. `-i` with zero values stays the
-    # legal empty-array case.
-    rc = main(["count"])
-    assert rc == 101
-    assert "unwrap()" in capsys.readouterr().err
+def test_count_missing_input_usage_error(capsys):
+    # Reference count's -i IS .required(true) (main.rs:111) — unlike
+    # cluster's -d — so clap rejects a fully absent -i as a usage error
+    # (exit 2) before main.rs:49's unwrap can run. `-i` with zero values
+    # (num_args(0..), main.rs:113) stays the legal empty-array case.
+    with pytest.raises(SystemExit) as ei:
+        main(["count"])
+    assert ei.value.code == 2
+    capsys.readouterr()
     rc = main(["count", "-i"])
     assert rc == 0
     assert capsys.readouterr().out.strip() == "[]"

@@ -216,6 +216,29 @@ def test_split_protocol_error_after_valid_prefix(tmp_path, monkeypatch):
     )
 
 
+def test_split_protocol_error_with_empty_prefix(tmp_path, monkeypatch):
+    """A file whose FIRST (and only) record has an invalid base: every
+    slice's valid prefix is empty, but the deferred parse error — not
+    the empty-file error — must surface, matching the serial path."""
+    from smafa_tpu.io.fastx import read_encoded_batches
+
+    fa = tmp_path / "q.fna"
+    fa.write_text(">a\nACXT\n")
+
+    single_err = None
+    try:
+        for _ in read_encoded_batches(fa, batch_size=8):
+            pass
+    except Exception as e:  # noqa: BLE001
+        single_err = e
+    assert single_err is not None and "88" in str(single_err)
+
+    got, err = _run_split_two_procs(monkeypatch, fa, 8)
+    assert got == []
+    assert err is not None
+    assert str(single_err) in str(err) or str(err) in str(single_err)
+
+
 def test_split_protocol_nonuniform_falls_back(tmp_path, monkeypatch):
     fa = tmp_path / "q.fna"
     fa.write_text(">a\nACGT\n>b\nACGTAA\n")
