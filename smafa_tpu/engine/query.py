@@ -446,12 +446,14 @@ class _ResumeState:
 def _dispatch_batch(db: _DbOnDevice, codes: np.ndarray, k_mode, max_divergence):
     """Start device work for a batch without waiting for it.
 
-    Best-hit mode dispatches the on-device tie-collection program; K-mode
-    dispatches its phase-1 cutoff search. Either way the device computes
-    while the host parses the next batch.
+    Best-hit mode dispatches the one-wave program (keys + tie count +
+    middle enumeration fused — hitops.bestfull_async, which falls back
+    to the plain min2 pass when the link latency makes separate passes
+    cheaper); K-mode dispatches its phase-1 cutoff search. Either way
+    the device computes while the host parses the next batch.
     """
     if k_mode is None:
-        return db.runner.min_count_async(codes)
+        return db.runner.bestfull_async(codes, max_divergence)
     return db.runner.kmode_stats_async(codes, k_mode, max_divergence)
 
 

@@ -319,6 +319,79 @@ def min2_chunk_update(carry, dist, lidx, n_windows, gidx, shift, index_span,
     )
 
 
+def min2c_chunk_update(carry, dist, lidx, n_windows, gidx, shift, index_span,
+                       sentinel):
+    """``min2_chunk_update`` plus a fused running tie count — the
+    one-wave best-hit pass's chunk step (the XLA twin of the Mosaic
+    kernel's ``with_count`` epilogue, pallas_scan._min2_kernel).
+
+    The count invariant: ``cnt`` holds the number of windows seen so far
+    at the CURRENT minimum distance. Per chunk: ``ccnt`` counts this
+    chunk's windows at the post-merge minimum — when the chunk improved
+    the minimum, ccnt counts at the new distance and the carry resets;
+    when it matched or lost, ccnt counts the chunk's windows at the old
+    minimum (possibly 0) and adds. The epilogue costs one extra
+    broadcast compare + row-sum over the distance block (~2 VPU
+    ops/element on top of min2's ~5)."""
+    lo_carry, hi_carry, cnt = carry
+    valid = (lidx < n_windows)[None, :]
+    dv = jnp.where(valid, dist, sentinel)
+    shifted = dv << shift
+    new_lo = jnp.minimum(lo_carry, jnp.min(shifted | gidx[None, :], axis=1))
+    new_hi = jnp.minimum(
+        hi_carry, jnp.min(shifted | (index_span - 1 - gidx)[None, :], axis=1)
+    )
+    old_d = lo_carry >> shift
+    new_d = new_lo >> shift
+    ccnt = jnp.sum((dv == new_d[:, None]).astype(jnp.int32), axis=1)
+    cnt = jnp.where(new_d < old_d, ccnt, cnt + ccnt)
+    return new_lo, new_hi, cnt
+
+
+@partial(jax.jit, static_argnames=("seq_len", "chunk", "shift", "index_span"))
+def min2c_scan(
+    q_oh: jax.Array,       # int8 [B, LP]
+    db_oh: jax.Array,      # int8 [Wp, LP]
+    n_windows: jax.Array,  # int32 scalar
+    index_offset: jax.Array,  # int32 scalar
+    seq_len: int,
+    shift: int,
+    chunk: int,
+    index_span: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """``min2_scan`` + the exact per-row tie count in the same pass.
+
+    Returns (lo, hi, cnt): the dual packed min keys plus the count of
+    windows at the row minimum distance (reference lib.rs:296-314 needs
+    ALL windows at the min — the count tells best-hit which rows are
+    complete from the keys alone, without a separate tcount dispatch).
+    Rows whose span holds no valid window return sentinel-distance keys
+    with an arbitrary positive count (consumers gate on the decoded
+    distance first)."""
+    n_chunks = db_oh.shape[0] // chunk
+    b = q_oh.shape[0]
+    big_key = jnp.int32(2**31 - 1)
+
+    init = (
+        jnp.full((b,), big_key, dtype=jnp.int32),
+        jnp.full((b,), big_key, dtype=jnp.int32),
+        jnp.zeros((b,), dtype=jnp.int32),
+    )
+
+    def step(carry, off):
+        dist = block_distances(q_oh, db_oh, off, chunk, seq_len)
+        lidx = off + jnp.arange(chunk, dtype=jnp.int32)
+        gidx = index_offset + lidx
+        return min2c_chunk_update(
+            carry, dist, lidx, n_windows, gidx, shift, index_span,
+            seq_len + 1,
+        ), None
+
+    offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (lo, hi, cnt), _ = jax.lax.scan(step, init, offsets)
+    return lo, hi, cnt
+
+
 def min2_pair_chunk_update(carry, dist, lidx, n_windows, gidx):
     """Keyless twin of min2_chunk_update for index spaces beyond the
     31-bit packed-key budget: fold one distance chunk into explicit

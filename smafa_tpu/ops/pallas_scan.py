@@ -392,6 +392,177 @@ def _min2_kernel(q_ref, db_ref, *refs, seq_len: int, shift: int,
             cnt_ref[...] = cnt_acc[...]
 
 
+# ---------------------------------------------------------------------------
+# Round-5 compaction mask kernel: pack hit bits in VMEM.
+#
+# The XLA compaction pass runs ~13x below the scan because its bit-pack
+# epilogue (the 32-wide word reduction, or the round-3 MXU matmul pack)
+# lowers poorly: at 16384 x 1M the scan+threshold costs 76 ms but the
+# pack adds ~360 ms per dispatch (docs/PERFORMANCE.md "Compaction cost
+# anatomy"). This kernel fuses threshold-compare + bit pack into the
+# matmul tile loop: the [TB, TW] bool hit matrix lives and dies in VMEM
+# — only the packed [TB, TW/32] uint32 words reach HBM. The pack itself
+# is MXU work: each 512-bit group contracts against a PLANE-MAJOR
+# block-diagonal powers-of-two int8 matrix (5 seven-bit planes x 16
+# words = 80 output columns; plane-major layout makes the shift-or
+# combine read CONTIGUOUS 16-column slices, which Mosaic lowers — the
+# word-major layout of distance._pack_weights would need strided column
+# gathers). MXU cost: 128 MACs/hit-bit after N-tile padding = 0.5x the
+# K=256 scan matmul; no carries, so the grid is fully parallel.
+# Reference semantics: the hit set of lib.rs:261-292 / 306-313.
+
+_PACK_GROUP = 512
+_PACK_WPG = _PACK_GROUP // 32  # words per group
+_PACK_PLANES = 5
+
+
+def _pack_weights_planemajor(group: int = _PACK_GROUP):
+    """[group, 5*group/32] int8: bit j of the group lands in word j//32,
+    plane (j%32)//7, weight 1<<(j%32%7) — at PLANE-major column
+    plane*(group/32) + word. Plane sums stay <= 127 so int8 x int8 ->
+    int32 is exact (the same plane decomposition as
+    distance._pack_weights, relaid for contiguous plane slices)."""
+    import numpy as np
+
+    wpg = group // 32
+    w = np.zeros((group, _PACK_PLANES * wpg), np.int8)
+    for j in range(group):
+        word, bit = divmod(j, 32)
+        plane, pos = divmod(bit, 7)
+        w[j, plane * wpg + word] = np.int8(1 << pos)
+    return w
+
+
+def pick_compact_tiles(b_loc: int, shard_wp: int,
+                       interpret: bool) -> tuple[int, int] | None:
+    """(tile_b, tile_w) for compact_mask_pallas, or None when no
+    supported tiling divides. tile_w must be a multiple of the 512-bit
+    pack group."""
+    tile_b = min(512, b_loc)
+    if tile_b <= 0 or b_loc % tile_b:
+        return None
+    for tw in (2048, 1024, 512):
+        if tw <= shard_wp and shard_wp % tw == 0:
+            return tile_b, tw
+    return None
+
+
+def _compact_kernel(th_ref, q_ref, db_ref, w_ref, mask_ref, *,
+                    seq_len: int, tile_w: int):
+    dot = jax.lax.dot_general(
+        q_ref[...], db_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    dist = seq_len - dot  # poisoned padding rows decode to seq_len + 1
+    hit = (dist <= th_ref[...]).astype(jnp.int8)  # th [TB, 1] broadcasts
+    wpg = _PACK_WPG
+    for g in range(tile_w // _PACK_GROUP):
+        planes = jax.lax.dot_general(
+            hit[:, g * _PACK_GROUP:(g + 1) * _PACK_GROUP], w_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.uint32)
+        words = planes[:, 0:wpg]
+        for p in range(1, _PACK_PLANES):
+            words = words | (planes[:, p * wpg:(p + 1) * wpg]
+                             << jnp.uint32(7 * p))
+        mask_ref[:, g * wpg:(g + 1) * wpg] = words
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("seq_len", "tile_b", "tile_w", "interpret"),
+)
+def compact_mask_pallas(
+    q_emb: jax.Array,      # int8 [Bp, EP] (embed_query_with_one)
+    db_emb: jax.Array,     # int8 [Wp, EP] (embed_db_with_zc — poisoned pad)
+    thresh: jax.Array,     # int32 [Bp]: inclusive cutoff, -1 disables row
+    seq_len: int,
+    tile_b: int = 512,
+    tile_w: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """[Bp, Wp/32] uint32 hit mask (bit j of word w of row r = window
+    32w+j has dist <= thresh[r]) — drop-in for the mask the XLA
+    compact_scan builds, at MXU pack speed. Validity rides in the
+    poisoned twin (padding rows sit at the sentinel distance seq_len+1,
+    above every legal threshold), so the kernel takes no n_windows
+    operand. Extraction stays the XLA rank search
+    (distance.extract_mask_hits with chunk = Wp)."""
+    bp, ep = q_emb.shape
+    wp = db_emb.shape[0]
+    grid = (bp // tile_b, wp // tile_w)
+    wpt = tile_w // 32
+
+    kernel = functools.partial(
+        _compact_kernel, seq_len=seq_len, tile_w=tile_w
+    )
+    mask = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, ep), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_w, ep), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PACK_GROUP, _PACK_PLANES * _PACK_WPG),
+                         lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_b, wpt), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, wp // 32), jnp.uint32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * wp * (ep + 128),
+            bytes_accessed=bp * ep + wp * ep * grid[0] + bp * wp // 8,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(thresh[:, None], q_emb, db_emb,
+      jnp.asarray(_pack_weights_planemajor()))
+    return mask
+
+
+def compact_enabled_env() -> str:
+    """SMAFA_TPU_PALLAS_COMPACT: '' auto, '0' off, '1' force,
+    'interpret' force in Mosaic interpret mode (CPU tests)."""
+    import os
+
+    return os.environ.get("SMAFA_TPU_PALLAS_COMPACT", "")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("seq_len", "t_cap", "tile_b", "tile_w", "interpret"),
+)
+def compact_scan_pallas(
+    q_emb: jax.Array,
+    db_emb: jax.Array,
+    thresh: jax.Array,
+    index_offset: jax.Array,
+    seq_len: int,
+    t_cap: int,
+    tile_b: int,
+    tile_w: int,
+    interpret: bool = False,
+):
+    """Mosaic-mask twin of distance.compact_scan: (rows, idx,
+    row_counts, total) with identical ordering and sentinel
+    conventions."""
+    from smafa_tpu.ops import distance as D
+
+    mask = compact_mask_pallas(
+        q_emb, db_emb, thresh, seq_len, tile_b, tile_w, interpret
+    )
+    return D.extract_mask_hits(mask, index_offset, db_emb.shape[0], t_cap)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("seq_len", "shift", "tile_b", "tile_w", "sub",

@@ -99,6 +99,26 @@ class _Row:
         return np.array(a) if copy else a
 
 
+class _FlatView:
+    """numpy-coercible slice (optionally reshaped) of a flat-packed
+    _SharedFetch buffer — the one-wave programs pack every output into
+    one 1-D int32 array so a whole batch resolves in ONE transfer."""
+
+    def __init__(self, shared, start, count, shape=None):
+        self._s = shared
+        self._start = start
+        self._count = count
+        self._shape = shape
+
+    def __array__(self, dtype=None, copy=None):
+        a = self._s.fetch()[self._start:self._start + self._count]
+        if self._shape is not None:
+            a = a.reshape(self._shape)
+        if dtype is not None and a.dtype != dtype:
+            a = a.astype(dtype)
+        return np.array(a) if copy else a
+
+
 class HitModesMixin:
     """Best-hit / K-mode host orchestration over layout primitives."""
 
@@ -120,7 +140,7 @@ class HitModesMixin:
             # time; keying on it keeps SMAFA_TPU_PACK live across flips
             # (an env read inside a cached trace would be inert).
             key = key + (D._pack_mode(),)
-        if kind == "min2":
+        if kind in ("min2", "bestfull"):
             # same for the Mosaic-vs-XLA phase-A choice (and its fused
             # tie count): flipping SMAFA_TPU_PALLAS_MIN2 /
             # SMAFA_TPU_PALLAS_COUNT on a live runner must rebuild
@@ -166,6 +186,126 @@ class HitModesMixin:
         else:
             (lo, hi), cnt = out, None
         return ("min2", lo, hi, nq, shift, q_padded, cnt)
+
+    # -- one-wave best-hit (fused keys + count + middle enumeration) -------
+
+    def _onewave_enabled(self) -> bool:
+        """The one-wave program taxes EVERY batch (the fused count
+        epilogue + up to t_steps*s_cap/b scan-equivalents of middle
+        enumeration) to remove two serial dispatch+fetch round trips —
+        a win iff round trips are expensive. Auto mode decides from the
+        measured link latency (platform.dispatch_latency_ms): ~25-100 ms
+        round trips on remote-dispatch tunnels (one-wave wins — the
+        measured 3-wave anatomy was ~50% latency), ~1 ms on local TPUs
+        (separate cheap passes win). SMAFA_TPU_ONEWAVE=0/1 overrides."""
+        v = os.environ.get("SMAFA_TPU_ONEWAVE", "")
+        if v == "0":
+            return False
+        if v == "1":
+            return True
+        from smafa_tpu.utils.platform import dispatch_latency_ms
+
+        return dispatch_latency_ms() >= 5.0
+
+    def _bestfull_supported(self) -> bool:
+        """One-wave needs the bestfull primitive with GLOBAL packed keys
+        (the on-device selection and middle cursors are global-index
+        arithmetic); runners without one, and shard-local key mode,
+        fall back to the 3-wave path."""
+        if type(self)._build_bestfull is HitModesMixin._build_bestfull:
+            return False
+        shift = self._key_shift()
+        return (shift is not None
+                and shift == D.packing_shift(self.seq_len, max(self.wp, 2)))
+
+    def _build_bestfull(self, b: int, shift: int,
+                        s_cap: int):  # pragma: no cover
+        raise KeyError("bestfull")
+
+    def _onewave_scap(self, b: int) -> int:
+        """Static middle-enumeration row capacity per q-group: b/8 by
+        default (middle passes then cost t_steps/8 scan-equivalents;
+        few-tie rows beyond the cap fall back to a separate miditer
+        dispatch — correct, one extra wave). SMAFA_TPU_ONEWAVE_SCAP
+        overrides."""
+        env = os.environ.get("SMAFA_TPU_ONEWAVE_SCAP")
+        n_q = getattr(self, "n_q", 1)
+        per_group = max(16, b // max(1, n_q))
+        if env:
+            return min(per_group, D.bucket(int(env), minimum=16))
+        return min(per_group, max(64, per_group // 8))
+
+    def bestfull_async(self, q_codes: np.ndarray,
+                       max_divergence: int | None):
+        """Dispatch the one-wave best-hit program (falls back to the
+        3-wave ``min_count_async`` when unsupported or not worth it on
+        this link). Returns a min2-compatible handle whose extra premids
+        field carries the device-enumerated middles."""
+        if not (self._onewave_enabled() and self._bestfull_supported()):
+            return self.min_count_async(q_codes)
+        self._require_windows()
+        shift = self._key_shift()
+        if shift is None:
+            return None
+        import jax.numpy as jnp
+
+        q_padded, nq = self._pad(q_codes)
+        b = q_padded.shape[0]
+        n_q = getattr(self, "n_q", 1)
+        s_cap = self._onewave_scap(b)
+        t_steps = -(-(self.TIE_ITER_MAX - 2) // 2)
+        maxdiv = self.seq_len + 1 if max_divergence is None else max_divergence
+        fn = self._program("bestfull", b, shift=shift, t_cap=s_cap)
+        out = fn(q_padded, self.db_oh, self.n_windows_dev, jnp.int32(maxdiv))
+        sh = _SharedFetch(out)
+        lo = _FlatView(sh, 0, b)
+        hi = _FlatView(sh, b, b)
+        cnt = _FlatView(sh, 2 * b, b)
+        premids = {
+            "sel": _FlatView(sh, 3 * b, n_q * s_cap, (n_q, s_cap)),
+            "mids": _FlatView(sh, 3 * b + n_q * s_cap,
+                              2 * n_q * s_cap * t_steps,
+                              (2, n_q, s_cap, t_steps)),
+            "n_need": _FlatView(sh, 3 * b + n_q * s_cap
+                                + 2 * n_q * s_cap * t_steps, n_q),
+            "n_q": n_q, "s_cap": s_cap, "t_steps": t_steps,
+            "b_loc": b // n_q, "b": b,
+        }
+        return ("min2", lo, hi, nq, shift, q_padded, cnt, premids)
+
+    def _premids_collect(self, premids, eligible_rows, eligible_cnt):
+        """Consume the one-wave program's device-enumerated middles.
+
+        ``eligible_rows``/``eligible_cnt``: the rows the HOST decided
+        need middle enumeration (2 < cnt <= TIE_ITER_MAX under the
+        active max-divergence) and their tie counts — device-selected
+        rows outside this set (padded query rows; stale selections) are
+        ignored, and rows whose device fill count disagrees with the
+        known tie count are left for the fallback paths. Returns
+        (mid_rows, mid_idx, completed_row_ids)."""
+        n_q, s_cap, t = premids["n_q"], premids["s_cap"], premids["t_steps"]
+        b, b_loc = premids["b"], premids["b_loc"]
+        sel = np.asarray(premids["sel"])
+        nn = np.minimum(np.asarray(premids["n_need"]), s_cap)
+        mids = np.asarray(premids["mids"])  # [2, n_q, s_cap, t]
+        sel_g = (np.arange(n_q, dtype=np.int64)[:, None] * b_loc
+                 + sel).reshape(-1)
+        valid = (np.arange(s_cap)[None, :] < nn[:, None]).reshape(-1)
+        lut = np.full(b, -1, np.int64)
+        lut[eligible_rows] = eligible_cnt - 2
+        exp = np.where(valid, lut[sel_g], -1)
+        ml = mids[0].reshape(-1, t)
+        mh = mids[1].reshape(-1, t)
+        got = (ml >= 0).sum(axis=1) + (mh >= 0).sum(axis=1)
+        ok = valid & (exp >= 0) & (got == exp)
+        rows_t = np.broadcast_to(sel_g[:, None], ml.shape)
+        vl = (ml >= 0) & ok[:, None]
+        vh = (mh >= 0) & ok[:, None]
+        return (
+            np.concatenate([rows_t[vl], rows_t[vh]]).astype(np.int32),
+            np.concatenate([ml[vl], mh[vh]]).astype(np.int32),
+            sel_g[ok].astype(np.int32),
+        )
 
     def _min2_unpack(self, handle):
         """Decode a min2 handle -> (dist, idx_lo, idx_hi, found) per row.
@@ -233,6 +373,23 @@ class HitModesMixin:
             p_rows = tied_ids[tie_cnt == 2]
             multi = tie_cnt > 2
             it_rows = it_idx = m_rows = m_idx = np.empty(0, np.int32)
+            pre_rows = pre_idx = np.empty(0, np.int32)
+            premids = handle[7] if len(handle) > 7 else None
+            if premids is not None and multi.any():
+                # One-wave dispatch: the device already enumerated the
+                # middles of (up to s_cap) few-tie rows in the same
+                # program — zero extra dispatches for them. Rows the
+                # device missed (selection overflow) or whose fill count
+                # drifted continue into the fallback paths below.
+                few_mask = multi & (tie_cnt <= self.TIE_ITER_MAX)
+                if few_mask.any():
+                    pre_rows, pre_idx, done_rows = self._premids_collect(
+                        premids, tied_ids[few_mask], tie_cnt[few_mask]
+                    )
+                    if done_rows.size:
+                        done = np.isin(tied_ids, done_rows)
+                        p_rows = np.concatenate([p_rows, tied_ids[done]])
+                        multi = multi & ~done
             mid_handle = None
             if multi.any() and self._miditer_supported():
                 # few-tie rows enumerate their MIDDLE indices in one
@@ -260,10 +417,10 @@ class HitModesMixin:
                 it_rows, it_idx = self._iter_middles_collect(mid_handle)
             u_rows = np.nonzero(keep & ~tied)[0].astype(np.int32)
             all_rows = np.concatenate([u_rows, p_rows, p_rows, it_rows,
-                                       m_rows])
+                                       pre_rows, m_rows])
             all_idx = np.concatenate(
                 [idx_lo[u_rows], idx_lo[p_rows], idx_hi[p_rows], it_idx,
-                 m_idx]
+                 pre_idx, m_idx]
             )
             order = np.lexsort((all_idx, all_rows))
             return (dist, counts.astype(np.int32),

@@ -148,6 +148,8 @@ class ScanRunner(HitModesMixin):
             return self._build_tcount(b)
         if kind == "miditer":
             return self._build_miditer(b, shift, t_cap)
+        if kind == "bestfull":
+            return self._build_bestfull(b, shift, t_cap)
         if kind == "compact":
             return self._build_compact(b, t_cap)
         if kind == "hitdist":
@@ -559,6 +561,258 @@ class ScanRunner(HitModesMixin):
             return {kind: mapped(q_oh, db_oh, n_windows)}
 
         return run
+
+    def _build_bestfull(self, b: int, shift: int, s_cap: int):
+        """One-wave best-hit program: ONE dispatch computes the dual
+        min2 keys, the fused exact tie count, AND the middle-tie
+        enumeration for up to ``s_cap`` few-tie rows — everything the
+        reference's best-hit print set needs (lib.rs:296-314) short of
+        the heavy tail (> TIE_ITER_MAX ties, which still compacts).
+
+        Anatomy it replaces (docs/PERFORMANCE.md round-4): ~3 serial
+        dispatch+fetch waves per batch (phase A -> tcount ->
+        miditer || compact), each a 25-100 ms round trip on
+        remote-dispatch links. Cost of the fusion: the count epilogue
+        (~2 extra VPU ops/element) on every batch plus
+        t_steps * s_cap / b scan-equivalents of middle enumeration
+        (skipped entirely via lax.cond when no row needs it) — the
+        trade only pays on high-latency links, so the one-wave path is
+        selected by the measured dispatch-latency probe
+        (platform.dispatch_latency_ms), not hardcoded.
+
+        Pass 1 is the Mosaic kernel (with_count forced on) when
+        eligible, else the fused-count XLA scan (D.min2c_scan). Row
+        selection (2 < cnt <= tie_max, under the traced max-divergence)
+        is a static-size ``nonzero`` gather; selected rows run the
+        dual bounded-min middle enumeration against the SAME resident
+        db. Output: one flat int32 buffer
+        [keys 3B | sel n_q*s_cap | mids 2*n_q*s_cap*T | n_need n_q] —
+        one device->host transfer resolves the whole batch."""
+        from smafa_tpu.parallel.hitops import HitModesMixin as HM
+
+        seq_len, chunk, shard_rows = self.seq_len, self.chunk, self.shard_rows
+        span = self.wp
+        t_steps = -(-(HM.TIE_ITER_MAX - 2) // 2)
+        tie_max = 2 * t_steps + 2
+        big = jnp.int32(2**31 - 1)
+        maskbits = jnp.int32((1 << shift) - 1)
+        use_pallas = self._pallas_min2_eligible(b)
+        runner = self
+        if use_pallas:
+            from smafa_tpu.ops import pallas_scan as PS
+
+            interpret = (os.environ.get("SMAFA_TPU_PALLAS_MIN2", "")
+                         == "interpret")
+            tile_b, tile_w, sub = self._pallas_tiles(
+                b // self.n_q, shard_rows, interpret
+            )
+
+        def select(lo, hi, cnt, maxdiv):
+            """Rows needing on-device middle enumeration, from the
+            (replicated) global keys: found, within max-divergence,
+            tied, 2 < cnt <= tie_max. ``sel`` is the first s_cap such
+            rows ascending (q-group-local); slots past n_need carry
+            inert cursors (floor = 2^31-1 scans nothing)."""
+            d = lo >> shift
+            il = lo & maskbits
+            ih = span - 1 - (hi & maskbits)
+            flag = ((d <= jnp.minimum(maxdiv, jnp.int32(seq_len)))
+                    & (il != ih) & (cnt > 2) & (cnt <= tie_max))
+            sel = jnp.nonzero(flag, size=s_cap, fill_value=0)[0].astype(jnp.int32)
+            n_need = jnp.sum(flag.astype(jnp.int32))
+            vsel = jnp.arange(s_cap, dtype=jnp.int32) < n_need
+            floor = jnp.where(vsel, jnp.take(il, sel), big)
+            ceil = jnp.where(vsel, jnp.take(ih, sel), jnp.int32(-1))
+            dstar = jnp.where(vsel, jnp.take(d, sel), jnp.int32(-1))
+            return sel, n_need, floor, ceil, dstar
+
+        if self.n_q == 1 and self.n_w == 1:
+            def tail(q_oh, db_oh, n_windows, lo, hi, cnt, maxdiv):
+                sel, n_need, floor, ceil, dstar = select(lo, hi, cnt, maxdiv)
+                q_sub = jnp.take(q_oh, sel, axis=0)
+
+                def do_mid(_):
+                    return D.miditer_scan(
+                        q_sub, db_oh, n_windows, floor, ceil, dstar,
+                        seq_len, shift, chunk, t_steps,
+                    )
+
+                def no_mid(_):
+                    z = jnp.full((s_cap, t_steps), -1, jnp.int32)
+                    return z, z
+
+                ml, mh = jax.lax.cond(n_need > 0, do_mid, no_mid, None)
+                return jnp.concatenate([
+                    lo, hi, cnt, sel, ml.reshape(-1), mh.reshape(-1),
+                    jnp.reshape(n_need, (1,)),
+                ])
+
+            if use_pallas:
+                @jax.jit
+                def run_fused(q_codes, db_oh, n_windows, maxdiv, db_emb):
+                    lo, hi, cnt = PS.min2_scan_pallas(
+                        PS.embed_query_with_one(q_codes, seq_len), db_emb,
+                        seq_len, shift, tile_b=tile_b, tile_w=tile_w,
+                        sub=sub, interpret=interpret, with_count=True,
+                    )
+                    q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
+                    return tail(q_oh, db_oh, n_windows, lo, hi, cnt, maxdiv)
+
+                def run_pallas(q_codes, db_oh, n_windows, maxdiv):
+                    return run_fused(jnp.asarray(q_codes), db_oh,
+                                     n_windows, maxdiv, runner._db_emb())
+
+                return _with_split_sizes(
+                    run_pallas,
+                    (3 * b, s_cap, 2 * s_cap * t_steps, 1),
+                )
+
+            @jax.jit
+            def run_single(q_codes, db_oh, n_windows, maxdiv):
+                q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
+                lo, hi, cnt = D.min2c_scan(
+                    q_oh, db_oh, n_windows, jnp.int32(0), seq_len, shift,
+                    chunk, span,
+                )
+                return tail(q_oh, db_oh, n_windows, lo, hi, cnt, maxdiv)
+
+            return _with_split_sizes(
+                run_single, (3 * b, s_cap, 2 * s_cap * t_steps, 1)
+            )
+
+        # Multi-device mesh (global-key mode only; _bestfull_supported
+        # gates on the global shift). Pass 1 merges exactly like
+        # _build_min2 / _build_min2_pallas; selection runs on the
+        # replicated merged keys (every shard computes the identical
+        # sel, so the lax.cond branch agrees across the 'w' group and
+        # its collectives stay collective); middle passes fold local
+        # bounded minima and pmin-merge per step like _build_miditer.
+        n_q = self.n_q
+
+        def make_shard_fn(with_emb):
+            def shard_fn(*args):
+                if with_emb:
+                    q_oh, q_emb, db_shard, db_emb_shard, n_windows, maxdiv = args
+                else:
+                    q_oh, db_shard, n_windows, maxdiv = args
+                off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
+                n_valid = jnp.clip(n_windows - off, 0, shard_rows)
+                if with_emb:
+                    lo, hi, cnt = PS.min2_scan_pallas(
+                        q_emb, db_emb_shard, seq_len, shift,
+                        tile_b=tile_b, tile_w=tile_w, sub=sub,
+                        interpret=interpret, with_count=True,
+                    )
+                    d_loc = lo >> shift
+                    lo_g = jax.lax.pmin(lo + off, "w")
+                    hi_g = jax.lax.pmin(hi + (span - shard_rows - off), "w")
+                else:
+                    lo, hi, cnt = D.min2c_scan(
+                        q_oh, db_shard, n_valid, off, seq_len, shift,
+                        chunk, span,
+                    )
+                    d_loc = lo >> shift
+                    lo_g = jax.lax.pmin(lo, "w")
+                    hi_g = jax.lax.pmin(hi, "w")
+                dmin = lo_g >> shift
+                cnt_g = jax.lax.psum(jnp.where(d_loc == dmin, cnt, 0), "w")
+                sel, n_need, floor, ceil, dstar = select(
+                    lo_g, hi_g, cnt_g, maxdiv
+                )
+                q_sub = jnp.take(q_oh, sel, axis=0)
+                offsets = jnp.arange(shard_rows // chunk,
+                                     dtype=jnp.int32) * chunk
+
+                def one_pass(fl, cl):
+                    lfl = jnp.clip(fl - off, -1, shard_rows)
+                    lcl = jnp.clip(cl - off, 0, shard_rows)
+
+                    def step(carry, coff):
+                        dist = D.block_distances(q_sub, db_shard, coff,
+                                                 chunk, seq_len)
+                        lidx = coff + jnp.arange(chunk, dtype=jnp.int32)
+                        return D.miditer_chunk_update(
+                            carry, dist, lidx, n_valid, lidx, lfl, lcl,
+                            shift, shard_rows, seq_len + 1,
+                        ), None
+
+                    init = (jnp.full((s_cap,), big, jnp.int32),
+                            jnp.full((s_cap,), big, jnp.int32))
+                    (lo2, hi2), _ = jax.lax.scan(step, init, offsets)
+                    return (jax.lax.pmin(lo2 + off, "w"),
+                            jax.lax.pmin(hi2 + (span - shard_rows - off),
+                                         "w"))
+
+                def body(t, state):
+                    key_lo, key_hi = one_pass(state[0], state[1])
+                    return D.miditer_update(state, key_lo, key_hi, dstar,
+                                            shift, span, seq_len, t)
+
+                def do_mid(_):
+                    init = (floor, ceil,
+                            jnp.full((s_cap, t_steps), -1, jnp.int32),
+                            jnp.full((s_cap, t_steps), -1, jnp.int32))
+                    _f, _c, ml, mh = jax.lax.fori_loop(0, t_steps, body,
+                                                       init)
+                    return ml, mh
+
+                def no_mid(_):
+                    z = jnp.full((s_cap, t_steps), -1, jnp.int32)
+                    return z, z
+
+                ml, mh = jax.lax.cond(n_need > 0, do_mid, no_mid, None)
+                return (jnp.stack([lo_g, hi_g, cnt_g]),
+                        sel[None, :], jnp.stack([ml, mh]),
+                        jnp.reshape(n_need, (1, 1)))
+            return shard_fn
+
+        if use_pallas:
+            mapped = jax.shard_map(
+                make_shard_fn(True),
+                mesh=self.mesh,
+                in_specs=(P("q", None), P("q", None), P("w", None),
+                          P("w", None), P(), P()),
+                out_specs=(P(None, "q"), P(None, "q"), P(None, "q", None),
+                           P(None, "q")),
+                check_vma=False,
+            )
+
+            @jax.jit
+            def run_mapped(q_codes, db_oh, n_windows, maxdiv, db_emb):
+                q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
+                q_emb = PS.embed_query_with_one(q_codes, seq_len)
+                keys, sel, mids, nn = mapped(q_oh, q_emb, db_oh, db_emb,
+                                             n_windows, maxdiv)
+                return jnp.concatenate([
+                    keys.reshape(-1), sel.reshape(-1), mids.reshape(-1),
+                    nn.reshape(-1),
+                ])
+
+            def run(q_codes, db_oh, n_windows, maxdiv):
+                return run_mapped(jnp.asarray(q_codes), db_oh, n_windows,
+                                  maxdiv, runner._db_emb())
+        else:
+            mapped = jax.shard_map(
+                make_shard_fn(False),
+                mesh=self.mesh,
+                in_specs=(P("q", None), P("w", None), P(), P()),
+                out_specs=(P(None, "q"), P(None, "q"), P(None, "q", None),
+                           P(None, "q")),
+                check_vma=False,
+            )
+
+            @jax.jit
+            def run(q_codes, db_oh, n_windows, maxdiv):
+                q_oh = D.expand_query(q_codes, seq_len, db_oh.shape[1])
+                keys, sel, mids, nn = mapped(q_oh, db_oh, n_windows, maxdiv)
+                return jnp.concatenate([
+                    keys.reshape(-1), sel.reshape(-1), mids.reshape(-1),
+                    nn.reshape(-1),
+                ])
+
+        return _with_split_sizes(
+            run, (3 * b, n_q * s_cap, 2 * n_q * s_cap * t_steps, n_q)
+        )
 
     def min2(self, q_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Per row: (min distance, first argmin, unique-min flag).

@@ -25,6 +25,44 @@ def apply_platform_env() -> None:
             pass
 
 
+_DISPATCH_MS: float | None = None
+
+
+def dispatch_latency_ms() -> float:
+    """Measured host<->device round-trip latency in milliseconds, cached
+    per process. Drives the self-correcting defaults for knobs whose
+    best value flips with link latency (the one-wave best-hit fusion,
+    the fused Mosaic tie count, cluster pipeline depth): a
+    remote-dispatch tunnel measures ~25-100 ms per round trip, a
+    locally-attached TPU ~1 ms, a CPU backend microseconds — so
+    environment-guessed defaults are wrong somewhere no matter the
+    guess (docs/PERFORMANCE.md round-4 weak item 6).
+
+    The probe is a tiny ``device_put`` + fetch pair (NO jit compile —
+    a trivial program's compile can itself stall minutes through a
+    remote-compile tunnel), run twice with the min taken. Callers run
+    after the backend is live (runner construction), so probing is
+    cheap. ``SMAFA_TPU_DISPATCH_MS`` overrides (tests pin it)."""
+    global _DISPATCH_MS
+    env = os.environ.get("SMAFA_TPU_DISPATCH_MS")
+    if env:
+        return float(env)
+    if _DISPATCH_MS is None:
+        import time
+
+        import jax
+        import numpy as np
+
+        x = np.zeros(8, np.int32)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.asarray(jax.device_put(x))
+            best = min(best, (time.perf_counter() - t0) * 1e3)
+        _DISPATCH_MS = best
+    return _DISPATCH_MS
+
+
 def enable_compilation_cache() -> None:
     """Persist XLA compiles across CLI invocations.
 
