@@ -537,6 +537,38 @@ def compact_enabled_env() -> str:
     return os.environ.get("SMAFA_TPU_PALLAS_COMPACT", "")
 
 
+def compact_eligible(seq_len: int, db_width: int, b_loc: int,
+                     shard_rows: int, n_windows: int) -> bool:
+    """Gate for shipping the Mosaic compaction mask. Same embed-twin
+    preconditions as min2_eligible (codes-resident, active rank-4
+    embedding with a spare zc column, affordable twin) plus the compact
+    tiling; auto mode requires the span where the XLA pack epilogue
+    actually dominates (>= 2^20 rows). Unlike min2 there is no batch
+    floor — compaction sub-batches are small by construction."""
+    from smafa_tpu.ops import distance as D
+
+    v = compact_enabled_env()
+    if v == "0":
+        return False
+    if not ((v == "interpret"
+             or jax.devices()[0].platform not in ("cpu",))
+            and db_width == seq_len
+            and D.embed_active(seq_len) and seq_len <= 127
+            and D.padded_embed_dim(seq_len) > 4 * seq_len
+            and pick_compact_tiles(b_loc, shard_rows,
+                                   v == "interpret") is not None):
+        return False
+    if v in ("1", "interpret"):
+        return True
+    if n_windows < (1 << 20):
+        return False
+    from smafa_tpu.parallel import select
+
+    cap = select._hbm_capacity(per_device=True)
+    return (cap is not None
+            and shard_rows * D.padded_embed_dim(seq_len) <= cap // 4)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("seq_len", "t_cap", "tile_b", "tile_w", "interpret"),

@@ -138,8 +138,10 @@ class HitModesMixin:
         if kind == "compact":
             # The compact builders capture the bit-pack lowering at build
             # time; keying on it keeps SMAFA_TPU_PACK live across flips
-            # (an env read inside a cached trace would be inert).
-            key = key + (D._pack_mode(),)
+            # (an env read inside a cached trace would be inert). Same
+            # for the Mosaic-mask-vs-XLA choice.
+            key = key + (D._pack_mode(),
+                         os.environ.get("SMAFA_TPU_PALLAS_COMPACT", ""))
         if kind in ("min2", "bestfull"):
             # same for the Mosaic-vs-XLA phase-A choice (and its fused
             # tie count): flipping SMAFA_TPU_PALLAS_MIN2 /

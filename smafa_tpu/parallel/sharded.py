@@ -831,7 +831,10 @@ class ScanRunner(HitModesMixin):
     # -- best-hit phase B: the one-pass bitmask compaction ------------------
 
     def _compact_span_rows(self) -> int:
-        if self._compact_seg is not None:
+        if self._compact_seg is not None and not self._pallas_compact_eligible(16):
+            # XLA segment sweep: the row cap budgets one SEGMENT's mask.
+            # The Mosaic kernel masks the full span in one grid (no
+            # carried mask), so its cap budgets the whole-span mask.
             return self._compact_seg
         return self.shard_rows if self.n_w > 1 else self.wp
 
@@ -849,7 +852,97 @@ class ScanRunner(HitModesMixin):
 
         return run
 
+    def _pallas_compact_eligible(self, b: int) -> bool:
+        """Ship the Mosaic compaction mask kernel
+        (ops.pallas_scan.compact_mask_pallas) when the embed twin is
+        available and the span is where the XLA pack epilogue dominates
+        (measured ~36e9 cmp/s vs the scan's 476e9 at 1M+ rows)."""
+        from smafa_tpu.ops import pallas_scan as PS
+
+        return self.db_oh is not None and PS.compact_eligible(
+            self.seq_len, self.db_oh.shape[1], b // self.n_q,
+            self.shard_rows if self.n_w > 1 else self.wp, self.n_windows,
+        )
+
+    def _build_compact_pallas(self, b: int, t_cap: int):
+        """Compact program over the Mosaic hit-bit mask: the [b, span]
+        bool hit matrix never leaves VMEM (threshold-compare + MXU bit
+        pack fused into the matmul tile loop), replacing the XLA pack
+        epilogue that bounded this pass at ~36e9 cmp/s. The single-
+        device form masks the FULL padded span in one grid (no carried
+        mask, so no segment sweep is needed); multi-device runs the
+        kernel per 'w' shard with the same merges as the XLA shard
+        path. Extraction is the shared XLA rank search."""
+        from smafa_tpu.ops import pallas_scan as PS
+
+        seq_len = self.seq_len
+        shard_rows = self.shard_rows
+        interpret = PS.compact_enabled_env() == "interpret"
+        runner = self
+
+        if self.n_q == 1 and self.n_w == 1:
+            tile_b, tile_w = PS.pick_compact_tiles(b, self.wp, interpret)
+
+            @jax.jit
+            def run_fused(q_codes, thresh, db_emb):
+                rows, idx, rc, total = PS.compact_scan_pallas(
+                    PS.embed_query_with_one(q_codes, seq_len), db_emb,
+                    thresh, jnp.int32(0), seq_len, t_cap, tile_b, tile_w,
+                    interpret,
+                )
+                return jnp.concatenate([rows, idx, rc, total[None]])
+
+            def run(q_codes, _db_oh, _n_windows, thresh):
+                return run_fused(jnp.asarray(q_codes),
+                                 jnp.asarray(thresh), runner._db_emb())
+
+            return _with_split_sizes(run, (t_cap, t_cap, b, 1))
+
+        n_w, n_q = self.n_w, self.n_q
+        tile_b, tile_w = PS.pick_compact_tiles(b // n_q, shard_rows,
+                                               interpret)
+
+        def shard_fn(q_emb, db_emb_shard, thresh):
+            off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
+            rows, idx, rc, total = PS.compact_scan_pallas(
+                q_emb, db_emb_shard, thresh, off, seq_len, t_cap,
+                tile_b, tile_w, interpret,
+            )
+            q_off = jax.lax.axis_index("q").astype(jnp.int32) * q_emb.shape[0]
+            rows = jnp.where(rows >= 0, rows + q_off, -1)
+            total = total[None]
+            if n_w > 1:
+                rc = jax.lax.psum(rc, "w")
+                rows = jax.lax.all_gather(rows, "w", axis=0, tiled=True)
+                idx = jax.lax.all_gather(idx, "w", axis=0, tiled=True)
+                total = jax.lax.all_gather(total, "w", axis=0, tiled=True)
+            return rows, idx, rc, total
+
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(P("q", None), P("w", None), P("q")),
+            out_specs=(P("q"), P("q"), P("q"), P("q")),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run_mapped(q_codes, thresh, db_emb):
+            q_emb = PS.embed_query_with_one(q_codes, seq_len)
+            rows, idx, rc, total = mapped(q_emb, db_emb, thresh)
+            return jnp.concatenate([rows, idx, rc, total])
+
+        def run(q_codes, _db_oh, _n_windows, thresh):
+            return run_mapped(jnp.asarray(q_codes), jnp.asarray(thresh),
+                              runner._db_emb())
+
+        return _with_split_sizes(
+            run, (n_q * n_w * t_cap, n_q * n_w * t_cap, b, n_q * n_w)
+        )
+
     def _build_compact(self, b: int, t_cap: int):
+        if self._pallas_compact_eligible(b):
+            return self._build_compact_pallas(b, t_cap)
         pack = D._pack_mode()  # program cache keys on this (hitops._program)
         seq_len = self.seq_len
         chunk = self.chunk
