@@ -62,13 +62,20 @@ def build_kernel(name: str, seq_len: int, n_windows: int, chunk: int,
         def scan(q, _db=None):
             return fn(q, runner.db_oh, runner.n_windows_dev)
     elif name == "compact":
-        @jax.jit
-        def scan(q, db):
-            thresh = jnp.full((q.shape[0],), seq_len // 8, jnp.int32)
-            return D.compact_scan(
-                D.expand_query(q, seq_len, db.shape[1]), db, nw, thresh, zero,
-                seq_len, chunk, 4096, D._pack_mode(),
-            )
+        # The SHIPPED compact program, built as the runner builds it:
+        # the Mosaic in-VMEM mask kernel where eligible (big dbs on
+        # TPU, round 5), else the XLA mask scan with the SMAFA_TPU_PACK
+        # lowering. A/B the two with SMAFA_TPU_PALLAS_COMPACT={0,1}.
+        from smafa_tpu.parallel import sharded
+
+        runner = sharded.ScanRunner(
+            db_codes, seq_len, mesh=sharded.build_mesh(1, 1), chunk=chunk,
+        )
+        fn = runner._program("compact", batch, t_cap=4096)
+        thresh = np.full((batch,), seq_len // 8, np.int32)
+
+        def scan(q, _db=None):
+            return fn(q, runner.db_oh, runner.n_windows_dev, thresh)
     elif name == "hist":
         @jax.jit
         def scan(q, db):

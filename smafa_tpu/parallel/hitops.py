@@ -342,7 +342,7 @@ class HitModesMixin:
         rows filtered by max_divergence. None on packing overflow."""
         if handle is None or not (isinstance(handle, tuple)
                                   and handle[0] == "min2"):
-            handle = self.min_count_async(q_codes)
+            handle = self.bestfull_async(q_codes, max_divergence)
         if handle is None:
             return None
         nq, q_padded = handle[3], handle[5]
