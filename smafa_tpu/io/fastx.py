@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import os
 from pathlib import Path
 from typing import Iterator
 
@@ -26,6 +27,77 @@ import numpy as np
 from smafa_tpu.core.alphabet import encode_bytes
 
 _GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _ingest_chunk_bytes() -> int:
+    """Bytes per native-parse window (SMAFA_TPU_INGEST_CHUNK overrides).
+    The reference streams records one at a time with bounded memory
+    (needletail parse_fastx_file, reference lib.rs:143-148, 221, 232);
+    the native fast path restores that envelope by parsing fixed-size
+    buffer windows continued across record boundaries — peak RSS and
+    time-to-first-batch are O(window), not O(file)."""
+    return int(os.environ.get("SMAFA_TPU_INGEST_CHUNK", str(64 << 20)))
+
+
+def _fastq_cut_pos(buf: bytes) -> int | None:
+    """Byte offset just past the last COMPLETE 4-line FASTQ record in
+    ``buf`` (which starts at a record boundary), or None if no complete
+    record fits. Counts newline-terminated non-blank lines and groups
+    them in fours — robust against '@' appearing at the start of
+    quality lines (the reason a '\\n@' search cannot split FASTQ), and
+    matching the native parser's blank-separator tolerance. CRLF-aware."""
+    a = np.frombuffer(buf, np.uint8)
+    nl = np.nonzero(a == 10)[0]
+    if nl.size == 0:
+        return None
+    starts = np.concatenate([[0], nl[:-1] + 1])
+    lens = nl - starts
+    nz = lens > 0
+    cr = np.zeros(lens.shape, bool)
+    cr[nz] = a[nl[nz] - 1] == 13
+    lens = lens - cr
+    nonblank = np.nonzero(lens > 0)[0]
+    m = nonblank.size // 4
+    if m == 0:
+        return None
+    return int(nl[nonblank[4 * m - 1]]) + 1
+
+
+def _iter_record_windows(stream, chunk_bytes: int) -> Iterator[bytes]:
+    """Split an open (already-gunzipped) FASTX stream into byte windows
+    that each start at a record boundary, so every window parses
+    independently with the whole-buffer native parser. FASTA windows cut
+    at the last header line (``\\n>`` — a sequence line can never start
+    with '>'); FASTQ windows cut after the last complete 4-line group.
+    A record larger than the window grows it until a boundary fits.
+    Blank separator lines left at a cut are stripped from the carry (the
+    parser requires the leading byte to be the format marker)."""
+    carry = b""
+    fmt = None
+    while True:
+        data = stream.read(chunk_bytes)
+        buf = carry + data if carry else data
+        if len(data) < chunk_bytes:  # EOF
+            if buf:
+                yield buf
+            return
+        if fmt is None:
+            fmt = buf[:1]
+        if fmt == b">":
+            i = buf.rfind(b"\n>")
+            cut = i + 1 if i >= 0 else None
+        elif fmt == b"@":
+            cut = _fastq_cut_pos(buf)
+        else:
+            # Bad leading byte: hand the buffer to the parser so its
+            # error text (and the whole-file behavior) is preserved.
+            yield buf
+            return
+        if not cut:
+            carry = buf  # no boundary yet: grow the window
+            continue
+        yield buf[:cut]
+        carry = buf[cut:].lstrip(b"\r\n")
 
 
 class FastxError(ValueError):
@@ -57,12 +129,19 @@ def parse_native(path: str | Path, encode: bool = True):
 
 def read_records(path: str | Path) -> Iterator[tuple[str, bytes]]:
     """Yield (id, seq_bytes) for each record in a FASTA/FASTQ(.gz) file."""
-    parsed = parse_native(path, encode=False)
-    if parsed is not None:
-        if parsed.n == 0:
+    from smafa_tpu.native import ingest
+
+    if ingest.load() is not None:
+        got = False
+        with open_maybe_gzip(path) as stream:
+            for window in _iter_record_windows(stream, _ingest_chunk_bytes()):
+                parsed = ingest.parse_buffer(window, encode=False,
+                                             path=str(path))
+                got = got or parsed.n > 0
+                for i in range(parsed.n):
+                    yield parsed.record_id(i), parsed.raw_seq(i)
+        if not got:
             raise FastxError(f"Empty or invalid FASTX file: {path}")
-        for i in range(parsed.n):
-            yield parsed.record_id(i), parsed.raw_seq(i)
         return
     with open_maybe_gzip(path) as f:
         first = f.peek(1)[:1]
@@ -125,39 +204,12 @@ def read_encoded_batches(
     so the error text matches the reference (lib.rs:71-78).
     ``skip_records`` resumes mid-stream (checkpointed query restart).
     """
-    parsed = parse_native(path, encode=True)
-    if parsed is not None:
-        if parsed.n == 0:
-            raise FastxError(f"Empty or invalid FASTX file: {path}")
-        # A deferred invalid-base error belongs to a specific record:
-        # yield everything before it, then raise (streaming parity).
-        n_ok = parsed.n if parsed.error is None else parsed.error_record
-        lengths = parsed.seq_lengths()
-        # NB: min(initial=0) would include 0 in the reduction and defeat
-        # the uniformity check for every L>0 file; parsed.n >= 1 here.
-        uniform = int(lengths.min()) == int(lengths.max())
-        if uniform and (expected_length is None or int(lengths[0]) == expected_length):
-            L = int(lengths[0])
-            codes = parsed.codes.reshape(parsed.n, L) if L else np.empty(
-                (parsed.n, 0), np.uint8
-            )
-            for s in range(skip_records, n_ok, batch_size):
-                e = min(s + batch_size, n_ok)
-                yield (
-                    [parsed.record_id(i) for i in range(s, e)],
-                    [parsed.raw_seq(i) for i in range(s, e)],
-                    codes[s:e],
-                )
-            if parsed.error is not None:
-                raise parsed.error
-            return
-        # Non-uniform lengths: group consecutive same-length runs so the
-        # caller's WindowSet length check fires on the right record.
-        yield from _batches_from_parsed(
-            parsed, lengths, batch_size, expected_length, skip_records, n_ok
+    from smafa_tpu.native import ingest
+
+    if ingest.load() is not None:
+        yield from _chunked_native_batches(
+            path, batch_size, expected_length, skip_records
         )
-        if parsed.error is not None:
-            raise parsed.error
         return
 
     ids: list[str] = []
@@ -189,6 +241,72 @@ def read_encoded_batches(
         rows.append(chans)
     if ids:
         yield ids, raws, np.vstack(rows)
+
+
+def _chunked_native_batches(path, batch_size, expected_length, skip_records):
+    """Native parse+encode over fixed-size record windows: constant
+    memory (the reference's streaming envelope, lib.rs:143-148, 232) at
+    native speed. Records carry over between windows so batch sizes
+    stay full; batches flush at length changes so the caller's
+    WindowSet length check fires on the right record; a deferred
+    invalid-base error raises after every preceding record's batch has
+    been served (reference streaming parity, lib.rs:231-318)."""
+    from smafa_tpu.native import ingest
+
+    p_ids: list[str] = []
+    p_raws: list[bytes] = []
+    p_codes: list[np.ndarray] = []
+    p_have = 0
+    cur_len: int | None = expected_length
+    seen = 0
+    got_any = False
+
+    def drain(force):
+        nonlocal p_ids, p_raws, p_codes, p_have
+        while p_have >= batch_size or (force and p_have):
+            codes = (np.concatenate(p_codes) if len(p_codes) > 1
+                     else p_codes[0])
+            take = min(batch_size, p_have)
+            yield p_ids[:take], p_raws[:take], codes[:take]
+            p_ids = p_ids[take:]
+            p_raws = p_raws[take:]
+            p_codes = [codes[take:]] if p_have > take else []
+            p_have -= take
+
+    with open_maybe_gzip(path) as stream:
+        for window in _iter_record_windows(stream, _ingest_chunk_bytes()):
+            parsed = ingest.parse_buffer(window, encode=True, path=str(path))
+            got_any = got_any or parsed.n > 0
+            n_ok = parsed.n if parsed.error is None else parsed.error_record
+            lengths = parsed.seq_lengths()[:n_ok]
+            if n_ok:
+                change = np.nonzero(lengths[1:] != lengths[:-1])[0] + 1
+                bounds = np.concatenate([[0], change, [n_ok]])
+                for s, e in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
+                    L = int(lengths[s])
+                    lo = max(s, min(e, skip_records - seen))
+                    if lo >= e:
+                        continue
+                    if cur_len is not None and L != cur_len and p_have:
+                        yield from drain(True)
+                    cur_len = L if expected_length is None else expected_length
+                    blk = parsed.codes[
+                        parsed.seq_offs[lo]:parsed.seq_offs[e]
+                    ]
+                    p_codes.append(blk.reshape(e - lo, L) if L else
+                                   np.empty((e - lo, 0), np.uint8))
+                    p_ids.extend(parsed.record_id(i) for i in range(lo, e))
+                    p_raws.extend(parsed.raw_seq(i) for i in range(lo, e))
+                    p_have += e - lo
+                    yield from drain(False)
+            if parsed.error is not None:
+                yield from drain(True)
+                raise parsed.error
+            seen += parsed.n
+    if p_have:
+        yield from drain(True)
+    if not got_any:
+        raise FastxError(f"Empty or invalid FASTX file: {path}")
 
 
 def _batches_from_parsed(parsed, lengths, batch_size, expected_length,

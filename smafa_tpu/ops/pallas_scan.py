@@ -437,11 +437,15 @@ def pick_compact_tiles(b_loc: int, shard_wp: int,
                        interpret: bool) -> tuple[int, int] | None:
     """(tile_b, tile_w) for compact_mask_pallas, or None when no
     supported tiling divides. tile_w must be a multiple of the 512-bit
-    pack group."""
+    pack group AND — on the real Mosaic lowering — large enough that the
+    [TB, TW/32] output block's lane dimension is a multiple of 128
+    (TW >= 4096); interpret mode (CPU tests) has no layout constraint
+    and accepts smaller shards."""
     tile_b = min(512, b_loc)
     if tile_b <= 0 or b_loc % tile_b:
         return None
-    for tw in (2048, 1024, 512):
+    tws = (8192, 4096) if not interpret else (8192, 4096, 2048, 1024, 512)
+    for tw in tws:
         if tw <= shard_wp and shard_wp % tw == 0:
             return tile_b, tw
     return None
