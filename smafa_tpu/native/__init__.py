@@ -101,6 +101,14 @@ def load() -> ctypes.CDLL | None:
         lib.tsv_format.argtypes = [
             i64p, i32p, i32p, u8p, i64p, c.c_int64, c.c_int64, c.c_char_p,
         ]
+        lib.tsv_format_mt.restype = c.c_int64
+        lib.tsv_format_mt.argtypes = [
+            i64p, i32p, i32p, u8p, i64p, c.c_int64, c.c_int64, c.c_char_p,
+        ]
+        lib.tsv_format_codes_mt.restype = c.c_int64
+        lib.tsv_format_codes_mt.argtypes = [
+            i64p, i32p, i32p, u8p, u8p, c.c_int64, c.c_int64, c.c_char_p,
+        ]
         lib.dedup_new.restype = c.c_void_p
         lib.dedup_new.argtypes = []
         lib.dedup_free.restype = None

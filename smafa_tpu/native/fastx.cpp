@@ -19,6 +19,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -384,6 +386,170 @@ int64_t tsv_format(const int64_t* qnum, const int32_t* subj,
 
 }  // extern "C"
 
+// Multithreaded formatter: the single-threaded loop above tops out at
+// ~2.2M lines/s — the measured ceiling that made K-mode's extraction and
+// the emitter mutually-excusing bottlenecks. Lines are independent, so:
+// pass 1 computes each line's EXACT byte length (digit counts), a prefix
+// sum gives every row's output offset, then threads fill disjoint gapless
+// ranges of the single output buffer in place — no per-thread buffers, no
+// join copy. Replaces the reference's per-hit println loop (lib.rs:292).
+
+namespace {
+
+inline int u64_digits(uint64_t v) {
+  int d = 1;
+  while (v >= 10) {
+    v /= 10;
+    ++d;
+  }
+  return d;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t tsv_format_mt(const int64_t* qnum, const int32_t* subj,
+                      const int32_t* dist, const uint8_t* decoded,
+                      const int64_t* str_off, int64_t seq_len, int64_t n,
+                      char* out) {
+  if (n <= 0) return 0;
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t nt = hw ? (int64_t)hw : 4;
+  if (nt > 16) nt = 16;
+  if (nt > n / 65536) nt = n / 65536 ? n / 65536 : 1;  // small batches: 1 thread
+  if (nt <= 1) return tsv_format(qnum, subj, dist, decoded, str_off,
+                                 seq_len, n, out);
+  std::vector<int64_t> offs((size_t)n + 1);
+  {
+    // The offset pass itself parallelizes: per-range local sums, then a
+    // serial carry fix-up over nt partials.
+    std::vector<int64_t> partial((size_t)nt, 0);
+    int64_t step = (n + nt - 1) / nt;
+    auto sum_range = [&](int64_t t) {
+      int64_t i0 = t * step, i1 = std::min(n, i0 + step);
+      int64_t acc = 0;
+      for (int64_t i = i0; i < i1; ++i) {
+        offs[i] = acc;
+        acc += u64_digits((uint64_t)qnum[i]) + u64_digits((uint64_t)subj[i]) +
+               u64_digits((uint64_t)dist[i]) + seq_len + 4;
+      }
+      partial[(size_t)t] = acc;
+    };
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < nt; ++t) ts.emplace_back(sum_range, t);
+    for (auto& th : ts) th.join();
+    int64_t carry = 0;
+    for (int64_t t = 0; t < nt; ++t) {
+      int64_t i0 = t * step, i1 = std::min(n, i0 + step);
+      if (carry)
+        for (int64_t i = i0; i < i1; ++i) offs[i] += carry;
+      carry += partial[(size_t)t];
+    }
+    offs[n] = carry;
+  }
+  auto fill = [&](int64_t i0, int64_t i1) {
+    char* p = out + offs[i0];
+    for (int64_t i = i0; i < i1; ++i) {
+      p = put_u64(p, (uint64_t)qnum[i]);
+      *p++ = '\t';
+      p = put_u64(p, (uint64_t)subj[i]);
+      *p++ = '\t';
+      p = put_u64(p, (uint64_t)dist[i]);
+      *p++ = '\t';
+      memcpy(p, decoded + str_off[i], (size_t)seq_len);
+      p += seq_len;
+      *p++ = '\n';
+    }
+  };
+  std::vector<std::thread> ts;
+  int64_t step = (n + nt - 1) / nt;
+  for (int64_t t = 0; t < nt; ++t) {
+    int64_t i0 = t * step, i1 = std::min(n, i0 + step);
+    if (i0 >= i1) break;
+    ts.emplace_back(fill, i0, i1);
+  }
+  for (auto& th : ts) th.join();
+  return offs[n];
+}
+
+// Decode-fused variant: takes the db's CHANNEL CODES directly and
+// decodes each hit's subject row through a 256-byte LUT inside the
+// fill threads — eliminating the numpy decoded-blob gather that
+// measured 52% of the emit path (440 ms of an 842 ms 2M-line emit;
+// docs/PERFORMANCE.md round 5). The LUT is 256-wide so a corrupted
+// code byte can never read out of bounds.
+int64_t tsv_format_codes_mt(const int64_t* qnum, const int32_t* subj,
+                            const int32_t* dist, const uint8_t* db_codes,
+                            const uint8_t* lut256, int64_t seq_len,
+                            int64_t n, char* out) {
+  if (n <= 0) return 0;
+  std::vector<int64_t> offs((size_t)n + 1);
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t nt = hw ? (int64_t)hw : 4;
+  if (nt > 16) nt = 16;
+  int64_t by_rows = n / 16384;  // decode work per row is heavier than
+  if (nt > by_rows) nt = by_rows ? by_rows : 1;  // plain formatting
+  int64_t step = (n + nt - 1) / nt;
+  {
+    std::vector<int64_t> partial((size_t)nt, 0);
+    auto sum_range = [&](int64_t t) {
+      int64_t i0 = t * step, i1 = std::min(n, i0 + step);
+      int64_t acc = 0;
+      for (int64_t i = i0; i < i1; ++i) {
+        offs[i] = acc;
+        acc += u64_digits((uint64_t)qnum[i]) + u64_digits((uint64_t)subj[i]) +
+               u64_digits((uint64_t)dist[i]) + seq_len + 4;
+      }
+      partial[(size_t)t] = acc;
+    };
+    if (nt <= 1) {
+      sum_range(0);
+    } else {
+      std::vector<std::thread> ts;
+      for (int64_t t = 0; t < nt; ++t) ts.emplace_back(sum_range, t);
+      for (auto& th : ts) th.join();
+    }
+    int64_t carry = 0;
+    for (int64_t t = 0; t < nt; ++t) {
+      int64_t i0 = t * step, i1 = std::min(n, i0 + step);
+      if (carry)
+        for (int64_t i = i0; i < i1; ++i) offs[i] += carry;
+      carry += partial[(size_t)t];
+    }
+    offs[n] = carry;
+  }
+  auto fill = [&](int64_t i0, int64_t i1) {
+    char* p = out + offs[i0];
+    for (int64_t i = i0; i < i1; ++i) {
+      p = put_u64(p, (uint64_t)qnum[i]);
+      *p++ = '\t';
+      p = put_u64(p, (uint64_t)subj[i]);
+      *p++ = '\t';
+      p = put_u64(p, (uint64_t)dist[i]);
+      *p++ = '\t';
+      const uint8_t* row = db_codes + (int64_t)subj[i] * seq_len;
+      for (int64_t b = 0; b < seq_len; ++b) p[b] = (char)lut256[row[b]];
+      p += seq_len;
+      *p++ = '\n';
+    }
+  };
+  if (nt <= 1) {
+    fill(0, n);
+  } else {
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < nt; ++t) {
+      int64_t i0 = t * step, i1 = std::min(n, i0 + step);
+      if (i0 >= i1) break;
+      ts.emplace_back(fill, i0, i1);
+    }
+    for (auto& th : ts) th.join();
+  }
+  return offs[n];
+}
+
+}  // extern "C"
+
 // ---------------------------------------------------------------------------
 // Exact-duplicate set for the cluster op (reference cluster.rs:46-48 dedups
 // on the packed encoding with a HashSet<Vec<u64>>; channel-index rows are a
@@ -433,8 +599,6 @@ int64_t dedup_filter(void* h, const uint8_t* codes, int64_t n, int64_t len,
 // [batch, fails] blocks of this; the numpy 5-channel float32 matmul form
 // measured 13.7 s at [16384, 4000] x 60 bp (five skinny memory-bound
 // matmuls) where this byte loop auto-vectorizes to well under a second.
-#include <thread>
-#include <vector>
 #if defined(__SSE2__)
 #include <emmintrin.h>
 #endif

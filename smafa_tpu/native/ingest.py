@@ -48,10 +48,57 @@ def format_hits_tsv(
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    written = lib.tsv_format(
+    # tsv_format_mt threads the fill over row ranges at exact offsets
+    # (falls back to one thread for small batches internally) — the
+    # single-threaded loop's ~2.2M lines/s ceiling was K-mode's
+    # downstream bound.
+    written = lib.tsv_format_mt(
         qnums.ctypes.data_as(i64p), subjs.ctypes.data_as(i32p),
         dists.ctypes.data_as(i32p), decoded.ctypes.data_as(u8p),
         str_off.ctypes.data_as(i64p), seq_len, n,
+        ctypes.cast(buf.ctypes.data, ctypes.c_char_p),
+    )
+    return buf[:written].tobytes()
+
+
+def format_hits_tsv_codes(
+    qnums: np.ndarray,     # int64 [n]
+    subjs: np.ndarray,     # int32 [n]
+    dists: np.ndarray,     # int32 [n]
+    db_codes: np.ndarray,  # uint8 [W, L] C-contiguous (memmap-friendly)
+    seq_len: int,
+) -> bytes | None:
+    """Decode-fused bulk TSV formatter: gathers and decodes each hit's
+    subject row from the db's channel codes inside the threaded C++
+    fill, so no [hits, L] decoded blob is ever materialized in numpy
+    (that gather measured 52% of the emit path). Returns None when the
+    native library is unavailable or the codes view is not contiguous
+    (callers fall back to the blob path)."""
+    lib = load()
+    if lib is None or getattr(lib, "tsv_format_codes_mt", None) is None:
+        return None
+    if not (isinstance(db_codes, np.ndarray) and db_codes.ndim == 2
+            and db_codes.dtype == np.uint8
+            and db_codes.flags["C_CONTIGUOUS"]
+            and db_codes.shape[1] == seq_len):
+        return None
+    from smafa_tpu.core.alphabet import DECODE_BYTES
+
+    n = qnums.shape[0]
+    qnums = np.ascontiguousarray(qnums, dtype=np.int64)
+    subjs = np.ascontiguousarray(subjs, dtype=np.int32)
+    dists = np.ascontiguousarray(dists, dtype=np.int32)
+    lut = np.full(256, ord("N"), np.uint8)
+    lut[: DECODE_BYTES.shape[0]] = DECODE_BYTES
+    cap = lib.tsv_format_bound(n, seq_len)
+    buf = np.empty(cap, dtype=np.uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    written = lib.tsv_format_codes_mt(
+        qnums.ctypes.data_as(i64p), subjs.ctypes.data_as(i32p),
+        dists.ctypes.data_as(i32p), db_codes.ctypes.data_as(u8p),
+        lut.ctypes.data_as(u8p), seq_len, n,
         ctypes.cast(buf.ctypes.data, ctypes.c_char_p),
     )
     return buf[:written].tobytes()
