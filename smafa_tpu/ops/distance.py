@@ -709,6 +709,32 @@ CUM_SAT = 2**30 - 1  # clamp for the hit-rank cumsum; far above any
 _CUM_SEG = 1 << 25  # words per flat cumsum segment (see proof below)
 
 
+def _saturating_cumsum(flat, max_elem: int):
+    """Inclusive 1-D cumsum equal to ``min(true_cumsum, CUM_SAT)``
+    elementwise, for nonnegative int32 entries bounded by ``max_elem``
+    (a power of two). Same construction and exactness argument as
+    ``_saturating_word_cumsum`` (which is the max_elem=32 case over a
+    flattened word matrix): segments sized so one segment's internal
+    cumsum stays <= 2^30, threaded through a saturating lax.scan carry."""
+    n = flat.shape[0]
+    seg = 1 << max(0, 30 - max(1, int(max_elem - 1).bit_length()))
+    seg = max(1, min(seg, _CUM_SEG, bucket(n, minimum=1)))
+    if n <= seg:
+        return jnp.minimum(jnp.cumsum(flat), jnp.int32(CUM_SAT))
+    pad = (-n) % seg
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+
+    def step(carry, x):
+        c = jnp.cumsum(x)
+        out = jnp.minimum(carry + jnp.minimum(c, jnp.int32(CUM_SAT)),
+                          jnp.int32(CUM_SAT))
+        return out[-1], out
+
+    _, outs = jax.lax.scan(step, jnp.int32(0), flat.reshape(-1, seg))
+    return outs.reshape(-1)[:n]
+
+
 def _saturating_word_cumsum(pcw):
     """Inclusive cumsum over flattened [b, w32] word popcounts, equal to
     ``min(true_cumsum, CUM_SAT)`` elementwise — monotone everywhere and
@@ -847,55 +873,66 @@ def extract_mask_hits(mask, index_offset, chunk, t_cap):
     row_counts [B], total), hits in (row, window index) ascending order
     with unused slots at rows == -1.
 
-    Rank-r slots are located by one binary search over the word-level
-    popcount cumsum, then the r-th set bit inside the word by a 32-wide
-    prefix count — all gathers and elementwise ops; cost is O(B*W/32)
-    for the cumsum plus O(t_cap * 32) for the slots, independent of the
-    number of db chunks (the round-1 formulation paid a t_cap-wide
-    searchsorted PER CHUNK and measured ~12 scan-equivalents).
-    row_counts are exact even when hits exceed t_cap; total is exact
-    below CUM_SAT and clamps there (still a correct ">= t_cap" signal,
-    since t_cap << CUM_SAT).
+    Round-5 block-sum design. The previous formulation materialized the
+    FULL word-level popcount cumsum (O(B*W/32) words through a
+    segmented lax.scan) and binary-searched it per slot — at 2048 x 4M
+    that cumsum dominated the whole compact pass (~158 of 185 ms once
+    the Mosaic kernel removed the pack cost). Now only G-word BLOCK
+    sums are cumsummed (n_words/G entries, saturating at CUM_SAT — see
+    _saturating_cumsum); each slot finds its block in the coarse cumsum
+    (cache-resident searchsorted), gathers that block's G word counts
+    as one CONTIGUOUS row ([t_cap, G] — contiguous gathers, not
+    scattered binary probes), and resolves the in-block word with an
+    exact [t_cap, G] cumsum + compare-sum. G is static: the largest
+    power of two dividing w32 (so block sums nest inside rows and
+    row_counts fall out of them), capped at 1024 and by a 256 MB
+    [t_cap, G] gather budget.
+
+    Exactness: searched ranks are <= t_cap << CUM_SAT so every prior
+    count the slots read sits in the coarse cumsum's exact region;
+    in-block cumsums are exact outright (<= 32*G = 2^15); row_counts
+    are exact at ANY hit density (a row's bits fit int32); ``total``
+    saturates at CUM_SAT, which callers only compare against
+    t_cap-sized bounds.
     """
     b, w32 = mask.shape
     wpc = mask_words_per_chunk(chunk)
     flat = mask.reshape(-1)
     pc = jax.lax.population_count(flat).astype(jnp.int32)
-    # The rank cumsum saturates at CUM_SAT (a dispatch can carry more
-    # than 2^31 possible hit bits; see _saturating_word_cumsum for the
-    # exactness proof). Every searched rank is <= t_cap << CUM_SAT, so
-    # the searchsorted and the prior-count gather stay in the exact
-    # region; ``total`` saturates too, which callers only ever compare
-    # against t_cap-sized bounds.
-    cum, row_counts = _saturating_word_cumsum(pc.reshape(b, w32))
-    total = cum[-1]
+    n_words = b * w32
+    assert n_words < 2**31 and w32 * 32 < 2**31, (b, w32)
+    g_cap = max(1, min(1024, (1 << 26) // max(1, t_cap)))
+    G = 1
+    while G < g_cap and w32 % (G * 2) == 0:
+        G *= 2
+    nb = n_words // G
+    pcb = pc.reshape(nb, G)
+    bs = jnp.sum(pcb, axis=1)
+    row_counts = jnp.sum(bs.reshape(b, w32 // G), axis=1)
+    coarse = _saturating_cumsum(bs, 32 * G)
+    total = coarse[-1]
     slots = jnp.arange(t_cap, dtype=jnp.int32)
     r = slots + 1
-    # Two-level rank search (round 4): a flat searchsorted over the full
-    # word cumsum costs ~log2(b*w32) big-table gathers PER SLOT (28 at
-    # 8192 x 1M) and dominated K-mode extraction at millions of slots.
-    # Level 1 searches a G-downsampled cumsum (b*w32/G entries — small
-    # enough to stay cache/VMEM-resident); level 2 binary-searches the
-    # G-word window with log2(G) big-table gathers. 28 big gathers
-    # per slot become log2(G) = 10.
-    n_words = cum.shape[0]
-    G = 1024
-    n_coarse = -(-n_words // G)
-    ends = jnp.minimum(
-        (jnp.arange(n_coarse, dtype=jnp.int32) + 1) * G - 1, n_words - 1
+    cb = jnp.minimum(
+        jnp.searchsorted(coarse, r, side="left").astype(jnp.int32), nb - 1
     )
-    coarse = cum[ends]
-    cb = jnp.searchsorted(coarse, r, side="left").astype(jnp.int32)
-    base = jnp.minimum(cb, n_coarse - 1) * G
-    off = jnp.zeros_like(r)
-    step = G
-    while step > 1:
-        step //= 2
-        probe = jnp.minimum(base + off + step - 1, n_words - 1)
-        off = jnp.where(cum[probe] < r, off + step, off)
-    wsel = jnp.minimum(base + off, n_words - 1)
-    prior = jnp.where(wsel > 0, cum[jnp.maximum(wsel - 1, 0)], 0)
-    r_word = r - prior  # 1-based rank of the wanted bit within its word
+    prior_blk = jnp.where(cb > 0, coarse[jnp.maximum(cb - 1, 0)], 0)
+    blocks = jnp.take(pcb, cb, axis=0)       # [t_cap, G] contiguous rows
+    incum = jnp.cumsum(blocks, axis=1)       # exact: <= 32*G = 2^15
+    rr = r - prior_blk                       # 1-based rank within block
+    pos = jnp.minimum(
+        jnp.sum((incum < rr[:, None]).astype(jnp.int32), axis=1),
+        G - 1,
+    )
+    prior_in = jnp.where(
+        pos > 0,
+        jnp.take_along_axis(
+            incum, jnp.maximum(pos - 1, 0)[:, None], axis=1
+        )[:, 0],
+        0,
+    )
+    wsel = cb * G + pos
+    r_word = rr - prior_in  # 1-based rank of the wanted bit within its word
     word = flat[wsel]
     # r_word-th set bit via a 5-step binary search on prefix popcounts
     # (invariant: the low `bit` bits hold < r_word set bits) — ~7 ops

@@ -46,20 +46,66 @@ _ERR_TEXT_CAP = 2048
 _SCAN_WINDOW = 1 << 20
 
 
-def is_plain_fasta(path: str | Path) -> bool:
-    """True for an uncompressed FASTA (splittable at ``\\n>`` boundaries)."""
+def split_format(path: str | Path) -> bytes | None:
+    """b'>' for plain FASTA, b'@' for plain FASTQ (both splittable at
+    record boundaries), None otherwise (gzip is not byte-addressable
+    without BGZF — those streams fall back to the replicated parse)."""
     try:
         with open(path, "rb") as f:
-            first = f.read(2)
+            first = f.read(1)
     except OSError:
-        return False
-    return bool(first) and first[:1] == b">"
+        return None
+    return first if first in (b">", b"@") else None
 
 
-def byte_ranges(path: str | Path, n_ranges: int) -> list[int]:
+def is_plain_fasta(path: str | Path) -> bool:
+    """True for an uncompressed FASTA (splittable at ``\\n>`` boundaries)."""
+    return split_format(path) == b">"
+
+
+def _validated_fastq_start(buf: bytes, base: int) -> int | None:
+    """Offset (relative to ``buf``) of the first TRUE record start at or
+    after ``base``, or None. A ``\\n@`` candidate is ambiguous — quality
+    lines may start with '@' — so each candidate line is validated
+    against the 4-line structure: the line TWO non-blank lines later
+    must start with '+' (the separator). A quality line masquerading as
+    a header fails that check (two lines later is the next record's
+    sequence line, which is nucleotide text), and no other line type
+    starts with '@'."""
+    pos = base
+    while True:
+        hit = buf.find(b"\n@", pos)
+        if hit < 0:
+            return None
+        cand = hit + 1
+        # walk two non-blank lines forward from the candidate line
+        p = cand
+        ok = None
+        for _ in range(2):
+            nl = buf.find(b"\n", p)
+            if nl < 0:
+                ok = None  # structure runs off the window: undecidable
+                break
+            p = nl + 1
+            while p < len(buf) and buf[p:p + 1] in (b"\n", b"\r"):
+                p += 1  # tolerate blank separator lines like the parser
+            if p >= len(buf):
+                ok = None
+                break
+            ok = True
+        if ok and buf[p:p + 1] == b"+":
+            return cand
+        if ok is None:
+            return None  # caller widens the window
+        pos = hit + 1
+
+
+def byte_ranges(path: str | Path, n_ranges: int,
+                fmt: bytes = b">") -> list[int]:
     """n_ranges+1 boundaries into the file, each (except 0 and EOF) at a
-    record start (the byte after a ``\\n>``'s newline). Deterministic, so
-    every process computes the identical cut without communication."""
+    record start (FASTA: the byte after a ``\\n>``'s newline; FASTQ: a
+    validated header line start). Deterministic, so every process
+    computes the identical cut without communication."""
     size = Path(path).stat().st_size
     bounds = [0]
     with open(path, "rb") as f:
@@ -68,16 +114,23 @@ def byte_ranges(path: str | Path, n_ranges: int) -> list[int]:
             if cut <= bounds[-1]:
                 bounds.append(bounds[-1])
                 continue
-            pos = cut
+            pos = max(cut - 1, 0)
             boundary = size
-            while pos < size:
-                f.seek(max(pos - 1, 0))
-                win = f.read(_SCAN_WINDOW + 1)
-                hit = win.find(b"\n>")
-                if hit >= 0:
-                    boundary = max(pos - 1, 0) + hit + 1
+            win = b""
+            while True:
+                f.seek(pos + len(win))
+                more = f.read(_SCAN_WINDOW)
+                win = win + more
+                if fmt == b">":
+                    hit = win.find(b"\n>")
+                    rec = hit + 1 if hit >= 0 else None
+                else:
+                    rec = _validated_fastq_start(win, 0)
+                if rec is not None:
+                    boundary = pos + rec
                     break
-                pos += _SCAN_WINDOW
+                if not more:
+                    break  # EOF with no further record start
             bounds.append(max(boundary, bounds[-1]))
     bounds.append(size)
     return bounds
