@@ -8,9 +8,14 @@ lib.rs:232). With it, each process parses + encodes only ~1/P of the
 file:
 
 1. Every process deterministically cuts the file into P byte ranges,
-   each extended forward to the next record boundary (``\\n>`` — plain
-   uncompressed FASTA only; FASTQ's ``@`` is ambiguous and gzip is not
-   byte-addressable, so those fall back to the replicated parse).
+   each extended forward to the next record boundary. Plain FASTA cuts
+   at ``\\n>`` (a sequence line can never start with '>'); plain FASTQ
+   cuts at a VALIDATED ``\\n@`` — quality lines may start with '@', so
+   each candidate is checked against the 4-line structure (the line two
+   non-blank lines later must be the '+' separator; reference treats
+   FASTQ as first-class, lib.rs:221, test_cmdline.rs:194-201). Gzip is
+   not byte-addressable without BGZF and falls back to the replicated
+   parse.
 2. Each process parses + encodes ITS range only (native C++ one-pass
    where built). Range metadata — record count, window length,
    deferred-error text — is exchanged with ONE ``process_allgather``,
@@ -172,15 +177,17 @@ def _parse_slice(path: str | Path, start: int, end: int) -> _RangeParse:
         codes = parsed.codes[: parsed.seq_offs[n_ok]].reshape(n_ok, L)
         return _RangeParse(n_ok, L, np.ascontiguousarray(codes), err)
 
-    # Pure-Python fallback: stream the slice through the FASTA reader.
+    # Pure-Python fallback: stream the slice through the format's reader.
     from smafa_tpu.core.alphabet import encode_bytes
+    from smafa_tpu.io.fastx import _read_fastq
 
+    reader = _read_fastq if buf[:1] == b"@" else _read_fasta
     rows: list[np.ndarray] = []
     err = None
     length: int | None = None
     uniform = True
     try:
-        for rid, seq in _read_fasta(_io.BytesIO(buf)):
+        for rid, seq in reader(_io.BytesIO(buf)):
             rows.append(encode_bytes(seq, identifier=rid))
             if length is None:
                 length = len(seq)
@@ -223,12 +230,13 @@ def split_encoded_batches(path: str | Path, batch_size: int,
     import jax
 
     P = jax.process_count()
-    if P <= 1 or not is_plain_fasta(path):
+    fmt = split_format(path)
+    if P <= 1 or fmt is None:
         return None
     from jax.experimental import multihost_utils
 
     pid = jax.process_index()
-    bounds = byte_ranges(path, P)
+    bounds = byte_ranges(path, P, fmt)
     rp = _parse_slice(path, bounds[pid], bounds[pid + 1])
     metas = np.asarray(multihost_utils.process_allgather(_pack_meta(rp)))
     counts = metas[:, 0].astype(np.int64)

@@ -155,6 +155,64 @@ def test_two_process_cli_query_golden(tmp_path):
 
 @pytest.mark.slow
 @_retry_flaky
+def test_two_process_cli_query_fastq_split_golden(tmp_path):
+    """Round 5: the split query stream handles plain FASTQ (validated
+    '\\n@' record boundaries — quality lines here deliberately start
+    with '@'). Process 0's stdout must equal the single-process run."""
+    rng = np.random.default_rng(17)
+    W, B, L = 400, 37, 48
+    db = rng.integers(0, 5, size=(W, L)).astype(np.uint8)
+    q = rng.integers(0, 5, size=(B, L)).astype(np.uint8)
+    q[:4] = db[10:14]
+
+    db_path = tmp_path / "db.smafatpu"
+    native_format.save(WindowSet.from_matrix(db, 2), db_path)
+    q_path = tmp_path / "q.fq"
+    q_path.write_text(
+        "".join(
+            "@r%d\n%s\n+\n%s\n" % (
+                i, "".join("ACGTN"[c] for c in row),
+                ("@" if i % 2 == 0 else "I") + "I" * (L - 1),
+            )
+            for i, row in enumerate(q)
+        )
+    )
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = os.getcwd()
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    single = subprocess.run(
+        [sys.executable, "-m", "smafa_tpu", "query", "-d", str(db_path),
+         "-q", str(q_path)],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert single.returncode == 0, single.stderr[-2000:]
+
+    coord = f"localhost:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "smafa_tpu", "query", "-d", str(db_path),
+             "-q", str(q_path), "--coordinator", coord,
+             "--num-processes", "2", "--process-id", str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (_so, se) in zip(procs, outs):
+        assert p.returncode == 0, se[-2000:]
+        # the split path (not the replicated fallback) must have engaged
+        assert "Query stream split across 2 processes" in se, se[-2000:]
+    assert _strip_gloo(outs[0][0]) == single.stdout
+    assert _strip_gloo(outs[1][0]) == ""
+
+
+@pytest.mark.slow
+@_retry_flaky
 def test_two_process_cli_cluster_golden(tmp_path):
     """Full CLI `cluster` across 2 processes: process 0's stdout matches a
     single-process run (the centroid tensor shards over the global mesh)."""

@@ -55,18 +55,86 @@ def test_byte_ranges_land_on_records(tmp_path):
         np.testing.assert_array_equal(got, full.codes)
 
 
-def test_is_plain_fasta(tmp_path):
+def test_split_format(tmp_path):
     fa = tmp_path / "x.fna"
     fa.write_text(">a\nACGT\n")
     assert QS.is_plain_fasta(fa)
+    assert QS.split_format(fa) == b">"
     import gzip
 
     gz = tmp_path / "x.fna.gz"
     gz.write_bytes(gzip.compress(b">a\nACGT\n"))
     assert not QS.is_plain_fasta(gz)
+    assert QS.split_format(gz) is None  # gz: replicated fallback
     fq = tmp_path / "x.fq"
     fq.write_text("@a\nACGT\n+\nIIII\n")
-    assert not QS.is_plain_fasta(fq)
+    assert QS.split_format(fq) == b"@"
+
+
+def _write_fastq(path, seqs, at_quals=True):
+    """FASTQ where many quality lines START WITH '@' — the ambiguity
+    that makes a plain '\\n@' split unsound."""
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            q = ("@" if (at_quals and i % 2 == 0) else "I") + "I" * (len(s) - 1)
+            f.write(f"@r{i}\n{s}\n+\n{q}\n")
+
+
+def test_fastq_byte_ranges_land_on_records(tmp_path):
+    rng = np.random.default_rng(11)
+    fq = tmp_path / "a.fq"
+    seqs = _rand_seqs(rng, 203, 31)
+    _write_fastq(fq, seqs)
+    raw = fq.read_bytes()
+    for P in (2, 3, 5, 8):
+        bounds = QS.byte_ranges(fq, P, b"@")
+        assert bounds[0] == 0 and bounds[-1] == len(raw)
+        assert bounds == sorted(bounds)
+        for b in bounds[1:-1]:
+            if b < len(raw):
+                # every boundary is a true header line: '@r<n>\n'
+                assert raw[b:b + 2] == b"@r", (P, b, raw[b:b + 8])
+        total = []
+        for p in range(P):
+            rp = QS._parse_slice(fq, bounds[p], bounds[p + 1])
+            assert rp.error_text is None
+            if rp.codes.size:
+                total.append(rp.codes)
+        got = np.concatenate(total, axis=0)
+        full = QS._parse_slice(fq, 0, len(raw))
+        np.testing.assert_array_equal(got, full.codes)
+
+
+def test_fastq_split_protocol_matches_single_stream(tmp_path, monkeypatch):
+    from smafa_tpu.io.fastx import read_encoded_batches
+
+    rng = np.random.default_rng(12)
+    fq = tmp_path / "q.fq"
+    seqs = _rand_seqs(rng, 97, 22)
+    _write_fastq(fq, seqs)
+    for n_procs in (2, 3):
+        got, err = _run_split_two_procs(monkeypatch, fq, batch_size=16,
+                                        n_procs=n_procs)
+        assert err is None
+        want = np.concatenate(
+            [c for _i, _r, c in read_encoded_batches(fq, batch_size=16)]
+        )
+        np.testing.assert_array_equal(np.concatenate(got), want)
+
+
+def test_fastq_split_python_fallback(tmp_path, monkeypatch):
+    """The pure-Python slice parser must handle FASTQ slices too."""
+    monkeypatch.setenv("SMAFA_TPU_NO_NATIVE", "1")
+    rng = np.random.default_rng(13)
+    fq = tmp_path / "q.fq"
+    _write_fastq(fq, _rand_seqs(rng, 41, 18))
+    bounds = QS.byte_ranges(fq, 2, b"@")
+    a = QS._parse_slice(fq, bounds[0], bounds[1])
+    b = QS._parse_slice(fq, bounds[1], bounds[2])
+    full = QS._parse_slice(fq, 0, bounds[2])
+    np.testing.assert_array_equal(
+        np.concatenate([a.codes, b.codes]), full.codes
+    )
 
 
 def test_parse_slice_defers_errors(tmp_path):
