@@ -478,12 +478,21 @@ def cluster(
     # dispatch time, and _resolve_emit exactly folds in any centroids
     # promoted since (host Hamming over the delta columns), so several
     # batches can be in flight at once — resolution order alone defines
-    # the output (byte-identical at any depth; tested). Depth > 1 can
-    # hide per-dispatch latency behind host work on locally-attached
-    # TPUs, but measured on the remote-compile tunnel it triggers
-    # occasional multi-minute server stalls (100k-seq A/B: depth 1 =
-    # 10-15 s stable; depth 2/4 = 11-161 s), so the default is 1.
-    depth = max(1, int(os.environ.get("SMAFA_TPU_CLUSTER_PIPELINE", "1")))
+    # the output (byte-identical at any depth; tested). Depth > 1 hides
+    # per-dispatch latency behind host work on locally-attached TPUs,
+    # but on the remote-compile tunnel it triggers occasional
+    # multi-minute server stalls (100k-seq A/B: depth 1 = 10-15 s
+    # stable; depth 2/4 = 11-161 s). The default is therefore
+    # self-correcting from the measured link latency (round-trip probe,
+    # utils.platform.dispatch_latency_ms): deep on local links, 1 on
+    # high-latency tunnels. SMAFA_TPU_CLUSTER_PIPELINE pins it.
+    env_depth = os.environ.get("SMAFA_TPU_CLUSTER_PIPELINE", "")
+    if env_depth:
+        depth = max(1, int(env_depth))
+    else:
+        from smafa_tpu.utils.platform import dispatch_latency_ms
+
+        depth = 1 if dispatch_latency_ms() >= 5.0 else 2
     pending: deque = deque()  # of (raws_u, codes_u, handle, snap_n, qnum_end)
 
     def resolve_next() -> None:

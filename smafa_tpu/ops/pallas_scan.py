@@ -97,7 +97,12 @@ def min2_count_enabled() -> bool:
     latency. On a locally-attached TPU (~1 ms dispatch) the tcount
     path's extra dispatch is cheaper than taxing every phase-A element,
     so the default is OFF; set SMAFA_TPU_PALLAS_COUNT=1 on high-latency
-    links."""
+    links. Round 5: the latency-probed ONE-WAVE program (bestfull,
+    hitops.bestfull_async) supersedes this trade for best-hit — it
+    forces the fused count inside its own single dispatch on
+    high-latency links — so the standalone flag now matters only for
+    layouts without bestfull (ring) and for the cluster hot path, where
+    the count is unused and OFF remains right on every link."""
     import os
 
     return os.environ.get("SMAFA_TPU_PALLAS_COUNT", "") == "1"

@@ -67,6 +67,21 @@ def test_adaptive_batches_identical(tmp_path, monkeypatch):
     assert run_cluster(str(fa), 3) == ref
 
 
+def test_pipeline_depth_latency_auto(monkeypatch):
+    # Round 5: pipeline depth self-corrects from the measured link
+    # latency (tunnel -> 1, local -> 2); output is byte-identical
+    # either way, and an explicit SMAFA_TPU_CLUSTER_PIPELINE pins it.
+    ref = run_cluster("tests/data/cluster_best_hit_changes.fna", 2,
+                      batch_size=2)
+    for ms in ("50", "0.5"):
+        monkeypatch.setenv("SMAFA_TPU_DISPATCH_MS", ms)
+        assert run_cluster("tests/data/cluster_best_hit_changes.fna", 2,
+                           batch_size=2) == ref
+    monkeypatch.setenv("SMAFA_TPU_CLUSTER_PIPELINE", "4")
+    assert run_cluster("tests/data/cluster_best_hit_changes.fna", 2,
+                       batch_size=2) == ref
+
+
 def test_grow_batches_rechunker():
     from smafa_tpu.engine.cluster import _grow_batches
 
