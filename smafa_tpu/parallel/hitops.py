@@ -191,15 +191,27 @@ class HitModesMixin:
 
     # -- one-wave best-hit (fused keys + count + middle enumeration) -------
 
-    def _onewave_enabled(self) -> bool:
-        """The one-wave program taxes EVERY batch (the fused count
-        epilogue + up to t_steps*s_cap/b scan-equivalents of middle
-        enumeration) to remove two serial dispatch+fetch round trips —
-        a win iff round trips are expensive. Auto mode decides from the
-        measured link latency (platform.dispatch_latency_ms): ~25-100 ms
-        round trips on remote-dispatch tunnels (one-wave wins — the
-        measured 3-wave anatomy was ~50% latency), ~1 ms on local TPUs
-        (separate cheap passes win). SMAFA_TPU_ONEWAVE=0/1 overrides."""
+    # Measured one-wave cost at 32768 x 1M on the v5e chip (same
+    # session, docs/PERFORMANCE.md round 5): Mosaic fused count +45 ms
+    # over the plain pass, in-program middle passes 42 ms at
+    # (s_cap=1024, t=2), against 2 saved dispatch+fetch round trips.
+    # The crossover is therefore ~ (45+42)/2 = ~45 ms/trip in the worst
+    # case, less when the batch is tie-light (the middle passes skip
+    # via lax.cond); 20 ms is the threshold where the saved trips start
+    # paying for the fused count alone. The XLA fused-count scan is
+    # NEVER worth it (min2c measured 422 vs 113 ms plain — the count's
+    # sequential dependency breaks XLA's fusion, exactly the round-1
+    # lesson), so auto mode also requires the Mosaic pass-1.
+    ONEWAVE_LATENCY_MS = 20.0
+
+    def _onewave_enabled(self, b: int | None = None) -> bool:
+        """The one-wave program taxes EVERY batch (the Mosaic fused
+        count epilogue + the in-program middle passes) to remove two
+        serial dispatch+fetch round trips — a win iff round trips are
+        expensive. Auto mode decides from the measured link latency
+        (platform.dispatch_latency_ms) and requires the Mosaic pass-1
+        (see ONEWAVE_LATENCY_MS above for the measured crossover).
+        SMAFA_TPU_ONEWAVE=0/1 overrides."""
         v = os.environ.get("SMAFA_TPU_ONEWAVE", "")
         if v == "0":
             return False
@@ -207,7 +219,10 @@ class HitModesMixin:
             return True
         from smafa_tpu.utils.platform import dispatch_latency_ms
 
-        return dispatch_latency_ms() >= 5.0
+        if dispatch_latency_ms() < self.ONEWAVE_LATENCY_MS:
+            return False
+        pallas_gate = getattr(self, "_pallas_min2_eligible", None)
+        return pallas_gate is not None and b is not None and pallas_gate(b)
 
     def _bestfull_supported(self) -> bool:
         """One-wave needs the bestfull primitive with GLOBAL packed keys
@@ -224,18 +239,24 @@ class HitModesMixin:
                         s_cap: int):  # pragma: no cover
         raise KeyError("bestfull")
 
+    # In-program middle passes per one-wave dispatch: 2 (device handles
+    # rows with <= 2*2+2 = 6 ties; 7..TIE_ITER_MAX-tie rows fall back
+    # to the separate miditer dispatch). Measured: (1024 rows, 2
+    # passes) = 42 ms at 1M rows vs (4096, 4) = 103 ms — the smaller
+    # program keeps the fixed tax under ~1.5 round trips.
+    ONEWAVE_TSTEPS = 2
+
     def _onewave_scap(self, b: int) -> int:
-        """Static middle-enumeration row capacity per q-group: b/8 by
-        default (middle passes then cost t_steps/8 scan-equivalents;
-        few-tie rows beyond the cap fall back to a separate miditer
-        dispatch — correct, one extra wave). SMAFA_TPU_ONEWAVE_SCAP
-        overrides."""
+        """Static middle-enumeration row capacity per q-group: b/32 by
+        default (few-tie rows beyond the cap fall back to a separate
+        miditer dispatch — correct, one extra wave).
+        SMAFA_TPU_ONEWAVE_SCAP overrides."""
         env = os.environ.get("SMAFA_TPU_ONEWAVE_SCAP")
         n_q = getattr(self, "n_q", 1)
         per_group = max(16, b // max(1, n_q))
         if env:
             return min(per_group, D.bucket(int(env), minimum=16))
-        return min(per_group, max(64, per_group // 8))
+        return min(per_group, max(64, per_group // 32))
 
     def bestfull_async(self, q_codes: np.ndarray,
                        max_divergence: int | None):
@@ -243,19 +264,19 @@ class HitModesMixin:
         3-wave ``min_count_async`` when unsupported or not worth it on
         this link). Returns a min2-compatible handle whose extra premids
         field carries the device-enumerated middles."""
-        if not (self._onewave_enabled() and self._bestfull_supported()):
-            return self.min_count_async(q_codes)
         self._require_windows()
         shift = self._key_shift()
         if shift is None:
             return None
-        import jax.numpy as jnp
-
         q_padded, nq = self._pad(q_codes)
         b = q_padded.shape[0]
+        if not (self._onewave_enabled(b) and self._bestfull_supported()):
+            return self.min_count_async(q_codes)
+        import jax.numpy as jnp
+
         n_q = getattr(self, "n_q", 1)
         s_cap = self._onewave_scap(b)
-        t_steps = -(-(self.TIE_ITER_MAX - 2) // 2)
+        t_steps = self.ONEWAVE_TSTEPS
         maxdiv = self.seq_len + 1 if max_divergence is None else max_divergence
         fn = self._program("bestfull", b, shift=shift, t_cap=s_cap)
         out = fn(q_padded, self.db_oh, self.n_windows_dev, jnp.int32(maxdiv))

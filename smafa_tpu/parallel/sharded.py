@@ -592,7 +592,7 @@ class ScanRunner(HitModesMixin):
 
         seq_len, chunk, shard_rows = self.seq_len, self.chunk, self.shard_rows
         span = self.wp
-        t_steps = -(-(HM.TIE_ITER_MAX - 2) // 2)
+        t_steps = HM.ONEWAVE_TSTEPS
         tie_max = 2 * t_steps + 2
         big = jnp.int32(2**31 - 1)
         maskbits = jnp.int32((1 << shift) - 1)

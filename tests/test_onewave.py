@@ -157,20 +157,33 @@ def test_onewave_mosaic_pass1(monkeypatch):
 
 
 def test_onewave_auto_latency_gate(monkeypatch):
-    """Auto mode follows the measured dispatch latency; env pins it."""
+    """Auto mode follows the measured dispatch latency AND requires the
+    Mosaic pass-1 (the XLA fused-count scan breaks fusion — measured
+    422 vs 113 ms — so auto never ships it); env pins both."""
+    L60 = 60
     rng = np.random.default_rng(6)
-    codes, q = _mk(rng, 1000, 64)
+    codes = rng.integers(0, 3, (2048, L60)).astype(np.uint8)
+    codes[512:1024] = codes[:512]
+    q = codes[rng.integers(0, 2048, 64)].copy()
     monkeypatch.delenv("SMAFA_TPU_ONEWAVE", raising=False)
+    monkeypatch.setenv("SMAFA_TPU_PALLAS_MIN2", "interpret")
     monkeypatch.setenv("SMAFA_TPU_DISPATCH_MS", "50")
-    r = ScanRunner(codes, L, mesh=build_mesh(1, 1))
+    r = ScanRunner(codes, L60, mesh=build_mesh(1, 1))
     h = r.bestfull_async(q, None)
     assert len(h) > 7 and h[7] is not None  # high latency -> one-wave
     monkeypatch.setenv("SMAFA_TPU_DISPATCH_MS", "0.5")
-    r2 = ScanRunner(codes, L, mesh=build_mesh(1, 1))
+    r2 = ScanRunner(codes, L60, mesh=build_mesh(1, 1))
     h2 = r2.bestfull_async(q, None)
     assert len(h2) <= 7 or h2[7] is None  # low latency -> 3-wave
+    # without the Mosaic pass-1, auto stays 3-wave even at high latency
+    monkeypatch.setenv("SMAFA_TPU_DISPATCH_MS", "50")
+    monkeypatch.setenv("SMAFA_TPU_PALLAS_MIN2", "0")
+    r3 = ScanRunner(codes, L60, mesh=build_mesh(1, 1))
+    h3 = r3.bestfull_async(q, None)
+    assert len(h3) <= 7 or h3[7] is None
     _assert_same(r.best_hit(q, None, handle=h),
                  r2.best_hit(q, None, handle=h2))
+    _assert_same(r2.best_hit(q, None), r3.best_hit(q, None, handle=h3))
 
 
 def test_onewave_cli_end_to_end(monkeypatch, tmp_path, capsys):
