@@ -142,7 +142,7 @@ class HitModesMixin:
             # for the Mosaic-mask-vs-XLA choice.
             key = key + (D._pack_mode(),
                          os.environ.get("SMAFA_TPU_PALLAS_COMPACT", ""))
-        if kind in ("min2", "bestfull"):
+        if kind in ("min2", "min2c", "bestfull"):
             # same for the Mosaic-vs-XLA phase-A choice (and its fused
             # tie count): flipping SMAFA_TPU_PALLAS_MIN2 /
             # SMAFA_TPU_PALLAS_COUNT on a live runner must rebuild
@@ -156,6 +156,25 @@ class HitModesMixin:
 
     # -- best-hit ----------------------------------------------------------
 
+    # Tie-adaptive fused count: at high tie fractions the separate
+    # tcount wave scans a nearly-full bucketed batch (measured ~140 ms
+    # + a round trip at 32768 x 1M on tie-heavy data) while the Mosaic
+    # fused-count epilogue costs a flat ~30-45 ms — so the right phase-A
+    # program depends on the workload's tie density, which the previous
+    # batch predicts well. best_hit records an EMA of the tie fraction;
+    # past this threshold (and when the Mosaic kernel is eligible) the
+    # next dispatch uses the fused-count variant. The cluster path never
+    # updates the EMA and keeps the count-free pass.
+    TIE_EMA_COUNT_THRESHOLD = 0.3
+
+    def _fused_count_wanted(self, b: int) -> bool:
+        if getattr(self, "_tie_ema", 0.0) < self.TIE_EMA_COUNT_THRESHOLD:
+            return False
+        if not self._pair_count_enabled():
+            return False
+        gate = getattr(self, "_pallas_min2_eligible", None)
+        return gate is not None and gate(b)
+
     def min_count_async(self, q_codes: np.ndarray):
         """Dispatch best-hit phase A (the dual packed-key min2 pass);
         opaque handle for ``best_hit``, or None when key packing
@@ -168,7 +187,9 @@ class HitModesMixin:
         if shift is None:
             return None
         q_padded, nq = self._pad(q_codes)
-        fn = self._program("min2", q_padded.shape[0], shift=shift)
+        kind = ("min2c" if self._fused_count_wanted(q_padded.shape[0])
+                and hasattr(self, "_build_min2c") else "min2")
+        fn = self._program(kind, q_padded.shape[0], shift=shift)
         out = fn(q_padded, self.db_oh, self.n_windows_dev)
         if isinstance(out, dict):
             # stacked single-fetch form: {"keys": [2|3, B]} (lo, hi[,
@@ -372,6 +393,10 @@ class HitModesMixin:
         if max_divergence is not None:
             keep = keep & (dist <= max_divergence)
         tied = keep & (idx_lo != idx_hi)
+        # tie-density EMA drives the adaptive fused-count phase A for
+        # the NEXT batch (see _fused_count_wanted)
+        self._tie_ema = (0.5 * getattr(self, "_tie_ema", 0.0)
+                         + 0.5 * float(tied.sum()) / max(1, nq))
         if not tied.any():
             # Phase A fully resolved the batch: every kept row's minimum
             # is unique and the lo key carries its index.
@@ -404,7 +429,7 @@ class HitModesMixin:
                 # program — zero extra dispatches for them. Rows the
                 # device missed (selection overflow) or whose fill count
                 # drifted continue into the fallback paths below.
-                few_mask = multi & (tie_cnt <= self.TIE_ITER_MAX)
+                few_mask = multi & (tie_cnt <= 2 * self.ONEWAVE_TSTEPS + 2)
                 if few_mask.any():
                     pre_rows, pre_idx, done_rows = self._premids_collect(
                         premids, tied_ids[few_mask], tie_cnt[few_mask]
@@ -418,10 +443,11 @@ class HitModesMixin:
                 # few-tie rows enumerate their MIDDLE indices in one
                 # on-device dual bounded-min program (lo/hi already
                 # known) — no compaction mask; the heavy tail still
-                # compacts. Dispatch FIRST and collect after the
-                # compaction dispatches so the two programs overlap on
-                # device (results are independent).
-                few = multi & (tie_cnt <= self.TIE_ITER_MAX)
+                # compacts (threshold adaptive: see _tie_iter_max).
+                # Dispatch FIRST and collect after the compaction
+                # dispatches so the two programs overlap on device
+                # (results are independent).
+                few = multi & (tie_cnt <= self._tie_iter_max())
                 if few.any():
                     mid_handle = self._iter_middles_async(
                         q_padded, tied_ids[few], dist[tied_ids[few]],
@@ -678,6 +704,18 @@ class HitModesMixin:
     # many ties; heavier rows pay the compaction mask instead.
     TIE_ITER_MAX = 10
 
+    def _tie_iter_max(self) -> int:
+        """Ties per row the miditer path handles; heavier rows compact.
+        With the Mosaic compact kernel (measured 128.6e9 cmp/s)
+        compaction costs ~nsel*W/128e9 while miditer costs
+        t_steps*nsel*W/~300e9, so miditer only wins while t_steps <= 2
+        (<= 6 ties); with the XLA compact (36.7e9) the crossover stays
+        at the original 10."""
+        gate = getattr(self, "_pallas_compact_eligible", None)
+        if gate is not None and gate(16):
+            return 6
+        return self.TIE_ITER_MAX
+
     def _miditer_supported(self) -> bool:
         """On-device tie enumeration needs the miditer primitive with
         GLOBAL packed keys; runners without one (ring/col/stream) and
@@ -863,22 +901,32 @@ class HitModesMixin:
         cap = self._mask_row_cap()
         row_counts = np.zeros(q_padded.shape[0], np.int64)
         out_r, out_i = [], []
+        # dispatch every slice before collecting any: the device
+        # pipelines them instead of paying one serial dispatch->fetch
+        # round trip per slice (the final lexsort makes segment order
+        # irrelevant)
+        pending = []
         for s in range(0, sel.size, cap):
             ids = sel[s:s + cap]
             t_cap = min(D.bucket(max(1024, 64 * ids.size)), COMPACT_MAX)
-            g_rows, g_idx, rc, valid = self._compact_dispatch(
+            pending.append((ids, self._compact_dispatch_async(
                 q_padded, ids, thresh[ids], t_cap
-            )
+            )))
+        retries = []
+        for ids, h in pending:
+            g_rows, g_idx, rc, valid = self._compact_collect(h)
             row_counts[ids] = rc
             if valid:
                 out_r.append(g_rows)
                 out_i.append(g_idx)
             else:
-                gr, gi = self._compact_grouped_rows(
-                    q_padded, ids, thresh[ids], rc
-                )
-                out_r.append(gr)
-                out_i.append(gi)
+                retries.append((ids, rc))
+        for ids, rc in retries:
+            gr, gi = self._compact_grouped_rows(
+                q_padded, ids, thresh[ids], rc
+            )
+            out_r.append(gr)
+            out_i.append(gi)
         rows = np.concatenate(out_r) if out_r else np.empty(0, np.int32)
         idx = np.concatenate(out_i) if out_i else np.empty(0, np.int32)
         order = np.lexsort((idx, rows))

@@ -140,6 +140,8 @@ class ScanRunner(HitModesMixin):
                        t_cap: int | None = None):
         if kind == "min2":
             return self._build_min2(b, shift)
+        if kind == "min2c":
+            return self._build_min2c(b, shift)
         if kind == "hist":
             return self._build_hist(b)
         if kind == "kstats":
@@ -378,13 +380,17 @@ class ScanRunner(HitModesMixin):
             self._db_emb_cache = emb
         return emb
 
-    def _build_min2_pallas(self, b: int, shift: int):
+    def _build_min2_pallas(self, b: int, shift: int,
+                           with_count: bool | None = None):
         """Mosaic phase-A program (any mesh shape). Single device: the
         kernel IS the program. Multi-device: one kernel call per 'w'
         shard inside shard_map; packed keys globalize with offset adds
         (global-shift mode) or decode to (dist, index) pairs and merge
         with pmin/pmax/psum (shard-local-shift mode, same contract as
-        the XLA pair path)."""
+        the XLA pair path). ``with_count`` None reads the env default;
+        True is the tie-adaptive fused-count variant (hitops picks it
+        when the recent tie fraction makes the separate tcount wave
+        cost more than the fused epilogue)."""
         from smafa_tpu.ops import pallas_scan as PS
 
         seq_len = self.seq_len
@@ -392,7 +398,8 @@ class ScanRunner(HitModesMixin):
         span = self.wp
         interpret = (os.environ.get("SMAFA_TPU_PALLAS_MIN2", "")
                      == "interpret")
-        with_count = PS.min2_count_enabled()
+        if with_count is None:
+            with_count = PS.min2_count_enabled()
         tile_b, tile_w, sub = self._pallas_tiles(
             b // self.n_q, shard_rows, interpret
         )
@@ -484,6 +491,11 @@ class ScanRunner(HitModesMixin):
             return run_mapped(jnp.asarray(q_codes), runner._db_emb())
 
         return run_pallas
+
+    def _build_min2c(self, b: int, shift: int):
+        """Tie-adaptive phase A: the Mosaic kernel with the count
+        forced on (callers gate on _pallas_min2_eligible)."""
+        return self._build_min2_pallas(b, shift, with_count=True)
 
     def _build_min2(self, b: int, shift: int):
         seq_len = self.seq_len

@@ -186,6 +186,34 @@ def test_onewave_auto_latency_gate(monkeypatch):
     _assert_same(r2.best_hit(q, None), r3.best_hit(q, None, handle=h3))
 
 
+def test_tie_adaptive_fused_count(monkeypatch):
+    """Tie-heavy batches flip the NEXT dispatch to the fused-count
+    Mosaic phase A (min2c) — results byte-identical, tcount wave
+    skipped (the handle carries the count)."""
+    monkeypatch.setenv("SMAFA_TPU_ONEWAVE", "0")
+    monkeypatch.setenv("SMAFA_TPU_PALLAS_MIN2", "interpret")
+    monkeypatch.setenv("SMAFA_TPU_PAIR_COUNT", "1")
+    L60 = 60
+    rng = np.random.default_rng(8)
+    base = rng.integers(0, 4, (512, L60)).astype(np.uint8)
+    codes = np.concatenate([base] * 4, axis=0)  # everything 4-way tied
+    q = base[rng.integers(0, 512, 64)].copy()
+    monkeypatch.setenv("SMAFA_TPU_PALLAS_MIN2", "0")
+    ref = ScanRunner(codes, L60, mesh=build_mesh(1, 1))
+    want = ref.best_hit(q, None)
+    monkeypatch.setenv("SMAFA_TPU_PALLAS_MIN2", "interpret")
+    r = ScanRunner(codes, L60, mesh=build_mesh(1, 1))
+    got1 = r.best_hit(q, None)          # first batch: plain pass, EMA learns
+    assert r._tie_ema > r.TIE_EMA_COUNT_THRESHOLD
+    h = r.min_count_async(q)            # next dispatch: fused count
+    assert h[6] is not None, "adaptive fused count did not engage"
+    got2 = r.best_hit(q, None, handle=h)
+    for a, b in zip(got1, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(got2, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_onewave_cli_end_to_end(monkeypatch, tmp_path, capsys):
     """Full query op through the engine with the one-wave path forced:
     stdout byte-identical to the default path."""
