@@ -996,6 +996,45 @@ def compact_scan(
     return extract_mask_hits(mask, index_offset, chunk, t_cap)
 
 
+@partial(jax.jit, static_argnames=("seq_len", "chunk", "t_cap", "pack",
+                                   "shift"))
+def compactd_scan(
+    q_oh: jax.Array,       # int8 [B, LP/EP] (expanded query)
+    q_codes: jax.Array,    # uint8 [B, L] (raw codes — distance recompute)
+    db_codes: jax.Array,   # uint8 [Wp, L] codes-resident db
+    n_windows: jax.Array,
+    thresh: jax.Array,
+    index_offset: jax.Array,
+    seq_len: int,
+    chunk: int,
+    t_cap: int,
+    pack: str,
+    shift: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """``compact_scan`` with the per-hit DISTANCE recomputed on device
+    and packed with the index into one int32 key per slot:
+    ``(dist << shift) | idx`` (-1 at unused slots). Returns
+    (keys [t_cap], row_counts [B], total).
+
+    Two costs disappear versus compact_scan + the separate hitdist
+    program: the redundant rows array (the buffer is (row, idx)-major,
+    so rows reconstruct exactly as repeat(row_ids, counts) on host) and
+    the whole hitdist round trip (its upload was the idx buffer this
+    program just computed). On a 40 MB/s remote-dispatch tunnel that is
+    ~3.5x less per-batch hit traffic; on local links it is one fewer
+    dispatch. K-mode semantics unchanged (reference lib.rs:241-295)."""
+    rows, idx, rc, total = compact_scan(
+        q_oh, db_codes, n_windows, thresh, index_offset, seq_len, chunk,
+        t_cap, pack,
+    )
+    lidx = idx - index_offset
+    qg = jnp.take(q_codes, jnp.maximum(rows, 0), axis=0)[:, :seq_len]
+    dg = jnp.take(db_codes, jnp.maximum(lidx, 0), axis=0)[:, :seq_len]
+    dv = jnp.sum((qg != dg).astype(jnp.int32), axis=1)
+    keys = jnp.where(rows >= 0, (dv << shift) | idx, -1)
+    return keys, rc, total
+
+
 HIST_MAX = 1024  # histogram path only for seq_len < HIST_MAX (else binary search)
 
 

@@ -135,7 +135,7 @@ class HitModesMixin:
     def _program(self, kind: str, b: int, **kw):
         cache = self.__dict__.setdefault("_prog_cache", {})
         key = (kind, b, tuple(sorted(kw.items())))
-        if kind == "compact":
+        if kind in ("compact", "compactd"):
             # The compact builders capture the bit-pack lowering at build
             # time; keying on it keeps SMAFA_TPU_PACK live across flips
             # (an env read inside a cached trace would be inert). Same
@@ -605,8 +605,17 @@ class HitModesMixin:
         if total == 0:
             return counts.astype(np.int32), empty, empty, empty
         thresh = np.where(counts > 0, eff, -1).astype(np.int32)
-        rows, idx = self._compact_grouped(q_padded, thresh, counts)
-        dv = self._host_distances(q_padded, rows, idx)
+        if self._compactd_supported():
+            # Device-fused distances + packed keys + rows reconstructed
+            # from counts: ~3.5x less per-batch hit traffic and one
+            # fewer round trip than compact + hitdist (see
+            # ScanRunner._build_compactd).
+            rows, idx, dv = self._compact_grouped_dist(
+                q_padded, thresh, counts
+            )
+        else:
+            rows, idx = self._compact_grouped(q_padded, thresh, counts)
+            dv = self._host_distances(q_padded, rows, idx)
         # single packed-key argsort instead of a 3-pass lexsort
         # ((row, dist, idx) triples are unique, so sort stability is
         # moot; ~2x at millions of hits); field widths are sized from
@@ -931,6 +940,107 @@ class HitModesMixin:
         idx = np.concatenate(out_i) if out_i else np.empty(0, np.int32)
         order = np.lexsort((idx, rows))
         return rows[order], idx[order], row_counts
+
+    def _compactd_supported(self) -> bool:
+        """Gate for the fused-distance compaction: single device,
+        codes-resident db, global packed (dist, idx) key, and either no
+        segment sweep or the Mosaic mask (whose grid needs no
+        segmentation)."""
+        if getattr(self, "n_q", 0) != 1 or getattr(self, "n_w", 0) != 1:
+            return False
+        if self.db_oh is None or self.db_oh.shape[1] != self.seq_len:
+            return False
+        if D.packing_shift(self.seq_len, max(self.wp, 2)) is None:
+            return False
+        if not hasattr(self, "_build_compactd"):
+            return False
+        return (getattr(self, "_compact_seg", None) is None
+                or self._pallas_compact_eligible(16))
+
+    def _compactd_dispatch_async(self, q_padded, row_ids, thresh_vals,
+                                 t_cap: int):
+        nsel = int(row_ids.shape[0])
+        b = D.bucket(nsel, minimum=16)
+        q_sub = np.zeros((b, q_padded.shape[1]), q_padded.dtype)
+        q_sub[:nsel] = q_padded[row_ids]
+        q_sub_p, _ = self._pad(q_sub)
+        th = np.full(q_sub_p.shape[0], -1, np.int32)
+        th[:nsel] = thresh_vals
+        fn = self._program("compactd", q_sub_p.shape[0], t_cap=t_cap)
+        out = fn(q_sub_p, self.db_oh, self.n_windows_dev, th)
+        return (out, fn, row_ids, nsel, t_cap)
+
+    def _compactd_collect(self, handle):
+        out, fn, row_ids, nsel, t_cap = handle
+        sizes = fn.split_sizes
+        a = np.asarray(out)
+        keys = a[:t_cap]
+        rc = a[t_cap:t_cap + sizes[1]][:nsel].astype(np.int64)
+        total = int(a[-1])
+        assert total <= t_cap and total == int(rc.sum()), \
+            "exactly-sized fused compaction overflowed"
+        shift = D.packing_shift(self.seq_len, max(self.wp, 2))
+        keys = keys[:total]
+        rows = row_ids[np.repeat(np.arange(nsel), rc)]
+        return (rows.astype(np.int32),
+                (keys & np.int32((1 << shift) - 1)).astype(np.int32),
+                (keys >> shift).astype(np.int32))
+
+    def _compact_grouped_dist(self, q_padded, thresh, counts):
+        """K-mode phase B with fused distances: flat (rows, idx, dv)
+        over rows with known exact counts — same grouping bounds as
+        _compact_grouped_rows, all groups dispatched before any is
+        collected. Segments arrive (row, idx)-sorted; the caller's
+        packed argsort establishes the global (row, dist, idx) order,
+        so no pre-sort here."""
+        counts = np.asarray(counts)
+        sel = np.nonzero(counts > 0)[0].astype(np.int32)
+        row_ids = sel
+        thresh_vals = np.asarray(thresh)[sel]
+        cnts = counts[sel].astype(np.int64)
+        cap = self._mask_row_cap()
+        n = int(row_ids.shape[0])
+        out_r, out_i, out_d = [], [], []
+        pending: list = []
+        L = self.seq_len
+        start = 0
+        while start < n:
+            c0 = int(cnts[start])
+            if c0 > COMPACT_MAX:
+                gid = int(row_ids[start])
+                hit_idx = self._host_enumerate_row(
+                    q_padded[gid], int(thresh_vals[start])
+                )
+                dvh = (L - (q_padded[gid][:L]
+                            == np.asarray(self._codes_host[hit_idx])[:, :L]
+                            ).sum(axis=1)).astype(np.int32)
+                out_r.append(np.full(c0, gid, np.int32))
+                out_i.append(hit_idx)
+                out_d.append(dvh)
+                start += 1
+                continue
+            end = start + 1
+            acc = c0
+            while (end < n and end - start < cap
+                   and int(cnts[end]) <= COMPACT_MAX
+                   and acc + int(cnts[end]) <= COMPACT_MAX):
+                acc += int(cnts[end])
+                end += 1
+            t_cap = D.bucket(max(acc, 1), minimum=256)
+            pending.append(self._compactd_dispatch_async(
+                q_padded, row_ids[start:end], thresh_vals[start:end], t_cap
+            ))
+            start = end
+        for h in pending:
+            g_rows, g_idx, g_dv = self._compactd_collect(h)
+            out_r.append(g_rows)
+            out_i.append(g_idx)
+            out_d.append(g_dv)
+        if not out_r:
+            e = np.empty(0, np.int32)
+            return e, e, e
+        return (np.concatenate(out_r), np.concatenate(out_i),
+                np.concatenate(out_d))
 
     def _compact_grouped(self, q_padded, thresh, counts):
         """Compact rows with known exact counts, grouped so no dispatch

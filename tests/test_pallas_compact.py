@@ -76,6 +76,26 @@ def test_compact_runner_parity(monkeypatch, mesh_shape, ragged):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_compactd_fused_distances_parity(monkeypatch):
+    """K-mode via the fused-distance compaction (packed (dist,idx) keys,
+    rows reconstructed from counts) must equal the separate
+    compact + host-distance path bit for bit — XLA and Mosaic masks."""
+    rng = np.random.default_rng(5)
+    codes, q = _mk(rng, 4096, 96)
+    for env in ("0", "interpret"):
+        monkeypatch.setenv("SMAFA_TPU_PALLAS_COMPACT", env)
+        r = ScanRunner(codes, L, mesh=build_mesh(1, 1))
+        assert r._compactd_supported()
+        got = r.kmode_flat(q, 13, 8)
+        r2 = ScanRunner(codes, L, mesh=build_mesh(1, 1))
+        monkeypatch.setattr(type(r2), "_compactd_supported", lambda self: False)
+        want = r2.kmode_flat(q, 13, 8)
+        monkeypatch.undo()
+        monkeypatch.setenv("SMAFA_TPU_PALLAS_COMPACT", env)
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_compact_pallas_with_onewave(monkeypatch):
     """Both round-5 kernels together: one-wave phase A + Mosaic
     compaction for the heavy tail."""
