@@ -61,10 +61,14 @@ BIG_KEY = 2**31 - 1  # plain int: jnp constants can't be captured by the kernel
 DEFAULT_TILE_B = 256
 DEFAULT_TILE_W = 2048
 
-# Measured-best min2 tiles (docs/PERFORMANCE.md round-3 sweep):
-# (1024, 4096, sub=2), stepping down for smaller shards.
-MIN2_TILE_B = 1024
-MIN2_TILE_PREFS = ((4096, 2), (2048, 2), (1024, 2), (512, 1))
+# Measured-best min2 tiles (docs/PERFORMANCE.md round-5 sweep at
+# 65536 x 4M, same session: (512,8192,2) 507.3e9 / (2048,4096,2) 481.9
+# / (1024,4096,2) 474.6 / (1024,8192,4) 471.2 / (512,8192,4) 462.4 /
+# (1024,2048,1) 451.8) — narrower query tiles against wider db tiles
+# win: the db-side VMEM stream amortizes over more MXU work per grid
+# step while the per-sub-tile epilogue stays on [512, 4096] blocks.
+MIN2_TILE_B = 512
+MIN2_TILE_PREFS = ((8192, 2), (4096, 2), (2048, 2), (1024, 2), (512, 1))
 
 
 def pick_min2_tiles(b_loc: int, shard_wp: int,
