@@ -1032,7 +1032,19 @@ def compactd_scan(
     dg = jnp.take(db_codes, jnp.maximum(lidx, 0), axis=0)[:, :seq_len]
     dv = jnp.sum((qg != dg).astype(jnp.int32), axis=1)
     keys = jnp.where(rows >= 0, (dv << shift) | idx, -1)
-    return keys, rc, total
+    return sort_hit_keys(rows, keys), rc, total
+
+
+def sort_hit_keys(rows: jax.Array, keys: jax.Array) -> jax.Array:
+    """Device-side (row, dist, idx) ordering of per-hit packed keys:
+    two-key sort on (row, (dist << shift) | idx) with unused slots
+    (row -1) pushed to the end. Replaces the host argsort of millions
+    of hits (~0.7 s at 2.26M — K-mode's largest remaining host stage);
+    the row grouping survives, so rows still reconstruct as
+    repeat(row_ids, counts)."""
+    rows_s = jnp.where(rows >= 0, rows, jnp.int32(2**30))
+    _, keys_sorted = jax.lax.sort((rows_s, keys), num_keys=2)
+    return keys_sorted
 
 
 HIST_MAX = 1024  # histogram path only for seq_len < HIST_MAX (else binary search)

@@ -609,13 +609,16 @@ class HitModesMixin:
             # Device-fused distances + packed keys + rows reconstructed
             # from counts: ~3.5x less per-batch hit traffic and one
             # fewer round trip than compact + hitdist (see
-            # ScanRunner._build_compactd).
+            # ScanRunner._build_compactd). Arrives globally
+            # (row, dist, idx)-sorted — the device two-key sort replaces
+            # the host argsort over millions of hits.
             rows, idx, dv = self._compact_grouped_dist(
                 q_padded, thresh, counts
             )
-        else:
-            rows, idx = self._compact_grouped(q_padded, thresh, counts)
-            dv = self._host_distances(q_padded, rows, idx)
+            return (counts.astype(np.int32), rows.astype(np.int32),
+                    idx.astype(np.int32), dv.astype(np.int32))
+        rows, idx = self._compact_grouped(q_padded, thresh, counts)
+        dv = self._host_distances(q_padded, rows, idx)
         # single packed-key argsort instead of a 3-pass lexsort
         # ((row, dist, idx) triples are unique, so sort stability is
         # moot; ~2x at millions of hits); field widths are sized from
@@ -988,11 +991,15 @@ class HitModesMixin:
 
     def _compact_grouped_dist(self, q_padded, thresh, counts):
         """K-mode phase B with fused distances: flat (rows, idx, dv)
-        over rows with known exact counts — same grouping bounds as
+        over rows with known exact counts, GLOBALLY sorted by
+        (row, dist, idx) — same grouping bounds as
         _compact_grouped_rows, all groups dispatched before any is
-        collected. Segments arrive (row, idx)-sorted; the caller's
-        packed argsort establishes the global (row, dist, idx) order,
-        so no pre-sort here."""
+        collected. Device segments arrive pre-sorted
+        (distance.sort_hit_keys inside the compactd program) and cover
+        ascending disjoint row ranges; host-enumerated giant rows are
+        sorted per row and interleaved in sequence order — so the
+        caller needs NO argsort over millions of hits (that host sort
+        was ~0.7 s of the 1.97 s K-mode batch)."""
         counts = np.asarray(counts)
         sel = np.nonzero(counts > 0)[0].astype(np.int32)
         row_ids = sel
@@ -1000,9 +1007,9 @@ class HitModesMixin:
         cnts = counts[sel].astype(np.int64)
         cap = self._mask_row_cap()
         n = int(row_ids.shape[0])
-        out_r, out_i, out_d = [], [], []
-        pending: list = []
+        plan: list = []  # ("host", r, i, d) | ("dev", handle), row order
         L = self.seq_len
+        idx_bits = max(1, int(max(self.wp, 2) - 1).bit_length())
         start = 0
         while start < n:
             c0 = int(cnts[start])
@@ -1014,9 +1021,11 @@ class HitModesMixin:
                 dvh = (L - (q_padded[gid][:L]
                             == np.asarray(self._codes_host[hit_idx])[:, :L]
                             ).sum(axis=1)).astype(np.int32)
-                out_r.append(np.full(c0, gid, np.int32))
-                out_i.append(hit_idx)
-                out_d.append(dvh)
+                order = np.argsort(
+                    (dvh.astype(np.int64) << idx_bits) | hit_idx
+                )
+                plan.append(("host", np.full(c0, gid, np.int32),
+                             hit_idx[order], dvh[order]))
                 start += 1
                 continue
             end = start + 1
@@ -1027,15 +1036,19 @@ class HitModesMixin:
                 acc += int(cnts[end])
                 end += 1
             t_cap = D.bucket(max(acc, 1), minimum=256)
-            pending.append(self._compactd_dispatch_async(
+            plan.append(("dev", self._compactd_dispatch_async(
                 q_padded, row_ids[start:end], thresh_vals[start:end], t_cap
-            ))
+            )))
             start = end
-        for h in pending:
-            g_rows, g_idx, g_dv = self._compactd_collect(h)
-            out_r.append(g_rows)
-            out_i.append(g_idx)
-            out_d.append(g_dv)
+        out_r, out_i, out_d = [], [], []
+        for item in plan:
+            if item[0] == "host":
+                _, r, i, d = item
+            else:
+                r, i, d = self._compactd_collect(item[1])
+            out_r.append(r)
+            out_i.append(i)
+            out_d.append(d)
         if not out_r:
             e = np.empty(0, np.int32)
             return e, e, e

@@ -989,6 +989,7 @@ class ScanRunner(HitModesMixin):
                               axis=0)[:, :seq_len]
                 dv = jnp.sum((qg != dg).astype(jnp.int32), axis=1)
                 keys = jnp.where(rows >= 0, (dv << shift) | idx, -1)
+                keys = D.sort_hit_keys(rows, keys)
                 return jnp.concatenate([keys, rc, total[None]])
 
             def run(q_codes, db_oh, _n_windows, thresh):
