@@ -901,38 +901,61 @@ def extract_mask_hits(mask, index_offset, chunk, t_cap):
     pc = jax.lax.population_count(flat).astype(jnp.int32)
     n_words = b * w32
     assert n_words < 2**31 and w32 * 32 < 2**31, (b, w32)
-    g_cap = max(1, min(1024, (1 << 26) // max(1, t_cap)))
-    G = 1
-    while G < g_cap and w32 % (G * 2) == 0:
-        G *= 2
-    nb = n_words // G
-    pcb = pc.reshape(nb, G)
-    bs = jnp.sum(pcb, axis=1)
-    row_counts = jnp.sum(bs.reshape(b, w32 // G), axis=1)
-    coarse = _saturating_cumsum(bs, 32 * G)
+    # Three levels, all sizes independent of t_cap: G1-word blocks feed
+    # the saturating coarse cumsum (n_words/G1 entries — small enough
+    # to search cache-resident at any span), G2-word sub-blocks bound
+    # every per-slot gather to [t_cap, G1/G2] / [t_cap, G2] contiguous
+    # rows. (The earlier two-level form shrank G with growing t_cap to
+    # bound gather memory, which re-inflated the coarse table to
+    # millions of entries at K-mode's 2^21-slot buffers.)
+    G1 = 1
+    while G1 < 1024 and w32 % (G1 * 2) == 0:
+        G1 *= 2
+    G2 = min(32, G1)
+    spb = G1 // G2
+    nb1 = n_words // G1
+    nb2 = n_words // G2
+    pcb2 = pc.reshape(nb2, G2)
+    sb = jnp.sum(pcb2, axis=1)               # [nb2] sub-block sums <= 32*G2
+    bs = jnp.sum(sb.reshape(nb1, spb), axis=1)
+    row_counts = jnp.sum(bs.reshape(b, w32 // G1), axis=1)
+    coarse = _saturating_cumsum(bs, 32 * G1)
     total = coarse[-1]
     slots = jnp.arange(t_cap, dtype=jnp.int32)
     r = slots + 1
     cb = jnp.minimum(
-        jnp.searchsorted(coarse, r, side="left").astype(jnp.int32), nb - 1
+        jnp.searchsorted(coarse, r, side="left").astype(jnp.int32), nb1 - 1
     )
-    prior_blk = jnp.where(cb > 0, coarse[jnp.maximum(cb - 1, 0)], 0)
-    blocks = jnp.take(pcb, cb, axis=0)       # [t_cap, G] contiguous rows
-    incum = jnp.cumsum(blocks, axis=1)       # exact: <= 32*G = 2^15
-    rr = r - prior_blk                       # 1-based rank within block
-    pos = jnp.minimum(
-        jnp.sum((incum < rr[:, None]).astype(jnp.int32), axis=1),
-        G - 1,
-    )
-    prior_in = jnp.where(
-        pos > 0,
-        jnp.take_along_axis(
-            incum, jnp.maximum(pos - 1, 0)[:, None], axis=1
-        )[:, 0],
-        0,
-    )
-    wsel = cb * G + pos
-    r_word = rr - prior_in  # 1-based rank of the wanted bit within its word
+    prior1 = jnp.where(cb > 0, coarse[jnp.maximum(cb - 1, 0)], 0)
+    rr = r - prior1                          # 1-based rank within block
+
+    def _level(counts_2d, sel, rank):
+        """One in-block resolution step: gather selected contiguous
+        rows of per-unit counts, exact cumsum, position + prior."""
+        g = jnp.take(counts_2d, sel, axis=0)
+        c = jnp.cumsum(g, axis=1)            # exact: <= 32*G1 = 2^15
+        pos = jnp.minimum(
+            jnp.sum((c < rank[:, None]).astype(jnp.int32), axis=1),
+            counts_2d.shape[1] - 1,
+        )
+        prior = jnp.where(
+            pos > 0,
+            jnp.take_along_axis(
+                c, jnp.maximum(pos - 1, 0)[:, None], axis=1
+            )[:, 0],
+            0,
+        )
+        return pos, prior
+
+    if spb > 1:
+        pos2, prior2 = _level(sb.reshape(nb1, spb), cb, rr)
+        sbi = cb * spb + pos2
+        rr2 = rr - prior2
+    else:
+        sbi, rr2 = cb, rr
+    pos3, prior3 = _level(pcb2, sbi, rr2)
+    wsel = sbi * G2 + pos3
+    r_word = rr2 - prior3  # 1-based rank of the wanted bit within its word
     word = flat[wsel]
     # r_word-th set bit via a 5-step binary search on prefix popcounts
     # (invariant: the low `bit` bits hold < r_word set bits) — ~7 ops
