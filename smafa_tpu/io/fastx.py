@@ -42,10 +42,16 @@ def _ingest_chunk_bytes() -> int:
 def _fastq_cut_pos(buf: bytes) -> int | None:
     """Byte offset just past the last COMPLETE 4-line FASTQ record in
     ``buf`` (which starts at a record boundary), or None if no complete
-    record fits. Counts newline-terminated non-blank lines and groups
-    them in fours — robust against '@' appearing at the start of
-    quality lines (the reason a '\\n@' search cannot split FASTQ), and
-    matching the native parser's blank-separator tolerance. CRLF-aware."""
+    record fits. Groups newline-terminated lines POSITIONALLY in fours
+    — the native parser takes a record's sequence/+/quality lines by
+    position (blank sequence or quality lines are legal; only blanks
+    BEFORE a header are skipped, fastx_scan) — so grouping stops at the
+    first blank line: a blank at a 4-multiple is an inter-record
+    separator (the carry strips it), anywhere else the record
+    containing it ends up whole in the NEXT window (which grows to
+    cover it), matching whole-file parse behavior. Robust against '@'
+    at the start of quality lines (the reason a '\\n@' search cannot
+    split FASTQ). CRLF-aware."""
     a = np.frombuffer(buf, np.uint8)
     nl = np.nonzero(a == 10)[0]
     if nl.size == 0:
@@ -56,11 +62,12 @@ def _fastq_cut_pos(buf: bytes) -> int | None:
     cr = np.zeros(lens.shape, bool)
     cr[nz] = a[nl[nz] - 1] == 13
     lens = lens - cr
-    nonblank = np.nonzero(lens > 0)[0]
-    m = nonblank.size // 4
+    blank = np.nonzero(lens == 0)[0]
+    n_lines = int((blank[0] // 4) * 4) if blank.size else int(nl.size)
+    m = n_lines // 4
     if m == 0:
         return None
-    return int(nl[nonblank[4 * m - 1]]) + 1
+    return int(nl[4 * m - 1]) + 1
 
 
 def _iter_record_windows(stream, chunk_bytes: int) -> Iterator[bytes]:
@@ -257,7 +264,11 @@ def _chunked_native_batches(path, batch_size, expected_length, skip_records):
     p_raws: list[bytes] = []
     p_codes: list[np.ndarray] = []
     p_have = 0
-    cur_len: int | None = expected_length
+    # Width of the blocks currently pending — NOT pinned to
+    # expected_length: the flush decision must compare against what is
+    # actually buffered, or mixed-width blocks concatenate and crash
+    # (a run at the expected length arriving after a divergent run).
+    pend_len: int | None = None
     seen = 0
     got_any = False
 
@@ -287,9 +298,9 @@ def _chunked_native_batches(path, batch_size, expected_length, skip_records):
                     lo = max(s, min(e, skip_records - seen))
                     if lo >= e:
                         continue
-                    if cur_len is not None and L != cur_len and p_have:
+                    if p_have and L != pend_len:
                         yield from drain(True)
-                    cur_len = L if expected_length is None else expected_length
+                    pend_len = L
                     blk = parsed.codes[
                         parsed.seq_offs[lo]:parsed.seq_offs[e]
                     ]
@@ -307,29 +318,3 @@ def _chunked_native_batches(path, batch_size, expected_length, skip_records):
         yield from drain(True)
     if not got_any:
         raise FastxError(f"Empty or invalid FASTX file: {path}")
-
-
-def _batches_from_parsed(parsed, lengths, batch_size, expected_length,
-                         skip_records=0, n_ok=None):
-    """Batch a natively-parsed file with non-uniform record lengths."""
-    ids: list[str] = []
-    raws: list[bytes] = []
-    rows: list[np.ndarray] = []
-    length = expected_length
-    for i in range(skip_records, parsed.n if n_ok is None else n_ok):
-        L = int(lengths[i])
-        chans = parsed.codes[parsed.seq_offs[i] : parsed.seq_offs[i + 1]]
-        if length is None:
-            length = L
-        if L != length or len(ids) == batch_size:
-            if ids:
-                yield ids, raws, (
-                    np.vstack(rows) if rows else np.empty((0, length or 0), np.uint8)
-                )
-            ids, raws, rows = [], [], []
-            length = L if expected_length is None else expected_length
-        ids.append(parsed.record_id(i))
-        raws.append(parsed.raw_seq(i))
-        rows.append(chans)
-    if ids:
-        yield ids, raws, np.vstack(rows)

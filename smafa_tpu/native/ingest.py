@@ -88,6 +88,14 @@ def format_hits_tsv_codes(
     qnums = np.ascontiguousarray(qnums, dtype=np.int64)
     subjs = np.ascontiguousarray(subjs, dtype=np.int32)
     dists = np.ascontiguousarray(dists, dtype=np.int32)
+    if n and (int(subjs.min()) < 0
+              or int(subjs.max()) >= db_codes.shape[0]):
+        # The C++ fill indexes db_codes by subj unchecked; keep the
+        # clean-IndexError-at-origin safety net the numpy blob gather
+        # provided for a corrupt/sentinel subject index.
+        raise IndexError(
+            f"subject index out of range for {db_codes.shape[0]}-row db"
+        )
     lut = np.full(256, ord("N"), np.uint8)
     lut[: DECODE_BYTES.shape[0]] = DECODE_BYTES
     cap = lib.tsv_format_bound(n, seq_len)

@@ -289,13 +289,19 @@ class HitModesMixin:
         shift = self._key_shift()
         if shift is None:
             return None
-        q_padded, nq = self._pad(q_codes)
-        b = q_padded.shape[0]
+        # Decide before padding: the fallback path pads inside
+        # min_count_async, and padding a 64k-row batch twice is a
+        # wasted full copy on the hot path. The padded size is a pure
+        # function of nq (D.pad_batch's bucketing), so compute it alone.
+        n_q = getattr(self, "n_q", 1)
+        mult = max(1, n_q)
+        b = ((D.bucket(q_codes.shape[0], minimum=max(16, mult))
+              + mult - 1) // mult) * mult
         if not (self._onewave_enabled(b) and self._bestfull_supported()):
             return self.min_count_async(q_codes)
+        q_padded, nq = self._pad(q_codes)
+        assert q_padded.shape[0] == b, (q_padded.shape[0], b)
         import jax.numpy as jnp
-
-        n_q = getattr(self, "n_q", 1)
         s_cap = self._onewave_scap(b)
         t_steps = self.ONEWAVE_TSTEPS
         maxdiv = self.seq_len + 1 if max_divergence is None else max_divergence
@@ -1018,6 +1024,7 @@ class HitModesMixin:
                 hit_idx = self._host_enumerate_row(
                     q_padded[gid], int(thresh_vals[start])
                 )
+                assert hit_idx.shape[0] == c0, (hit_idx.shape[0], c0)
                 dvh = (L - (q_padded[gid][:L]
                             == np.asarray(self._codes_host[hit_idx])[:, :L]
                             ).sum(axis=1)).astype(np.int32)

@@ -72,10 +72,12 @@ def _validated_fastq_start(buf: bytes, base: int) -> int | None:
     """Offset (relative to ``buf``) of the first TRUE record start at or
     after ``base``, or None. A ``\\n@`` candidate is ambiguous — quality
     lines may start with '@' — so each candidate line is validated
-    against the 4-line structure: the line TWO non-blank lines later
-    must start with '+' (the separator). A quality line masquerading as
-    a header fails that check (two lines later is the next record's
-    sequence line, which is nucleotide text), and no other line type
+    against the 4-line structure: the line two PHYSICAL lines later
+    must start with '+' (the parser takes sequence/separator/quality
+    lines by position, fastx_scan — blank sequence lines are legal, so
+    no blank-skipping here). A quality line masquerading as a header
+    fails the check (two lines later is the next record's sequence
+    line: nucleotide text or blank, never '+'), and no other line type
     starts with '@'."""
     pos = base
     while True:
@@ -83,25 +85,17 @@ def _validated_fastq_start(buf: bytes, base: int) -> int | None:
         if hit < 0:
             return None
         cand = hit + 1
-        # walk two non-blank lines forward from the candidate line
         p = cand
-        ok = None
+        ok = True
         for _ in range(2):
             nl = buf.find(b"\n", p)
             if nl < 0:
-                ok = None  # structure runs off the window: undecidable
-                break
+                return None  # structure runs off the window: widen
             p = nl + 1
-            while p < len(buf) and buf[p:p + 1] in (b"\n", b"\r"):
-                p += 1  # tolerate blank separator lines like the parser
-            if p >= len(buf):
-                ok = None
-                break
-            ok = True
+        if p >= len(buf):
+            return None
         if ok and buf[p:p + 1] == b"+":
             return cand
-        if ok is None:
-            return None  # caller widens the window
         pos = hit + 1
 
 

@@ -191,6 +191,45 @@ def test_chunked_nonuniform_lengths(tmp_path, monkeypatch):
 
 
 @requires_native
+def test_chunked_expected_length_mixed_widths(tmp_path, monkeypatch):
+    """Regression (round-5 review): with expected_length set, a run at
+    the expected width arriving AFTER a divergent run must not
+    concatenate mixed-width blocks."""
+    fa = tmp_path / "mix.fna"
+    fa.write_text(">a\nACGT\n>b\nACGT\n>c\nACGTAA\n>d\nACGT\n")
+    monkeypatch.setenv("SMAFA_TPU_INGEST_CHUNK", str(1 << 20))
+    got = list(fastx.read_encoded_batches(fa, batch_size=10,
+                                          expected_length=4))
+    assert [i for b in got for i in b[0]] == ["a", "b", "c", "d"]
+    for b in got:
+        assert len({c.shape[0] for c in [b[2]]}) == 1 and b[2].ndim == 2
+        assert len({len(r) for r in b[1]}) == 1  # per-batch uniform
+
+
+@requires_native
+def test_chunked_fastq_blank_seq_and_qual_lines(tmp_path, monkeypatch):
+    """Regression (round-5 review): the native parser accepts records
+    whose sequence/quality lines are BLANK (positional 4-line form);
+    the window cutter must not misalign on them at any window size."""
+    fq = tmp_path / "b.fq"
+    fq.write_text(
+        "@r0\nACGT\n+\nIIII\n"
+        "@r1\nACGT\n+\n@III\n"
+        "@r2\n\n+\n\n"            # blank sequence AND quality
+        "@r3\nACGT\n+\nIIII\n"
+        "@r4\nACGT\n+\nIIII\n"
+    )
+    want, werr = _python_batches(fq, 3, monkeypatch)
+    for chunk in range(8, 80, 7):
+        got, gerr = _native_batches(fq, 3, chunk, monkeypatch)
+        assert (gerr is None) == (werr is None), (chunk, gerr, werr)
+        assert [i for b in got for i in b[0]] == \
+            [i for b in want for i in b[0]], chunk
+        assert [r for b in got for r in b[1]] == \
+            [r for b in want for r in b[1]], chunk
+
+
+@requires_native
 def test_chunked_read_records_and_count(tmp_path, monkeypatch, capsys):
     fq = tmp_path / "c.fq"
     _write_fastq(fq, 57, 19)

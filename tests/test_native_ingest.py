@@ -49,22 +49,15 @@ def test_native_matches_python_batches(data_dir, name, monkeypatch):
 
 
 @requires_native
-def test_native_uniform_fast_path_engages(tmp_path, monkeypatch):
-    # Uniform-length files must take the zero-copy reshape path, not the
-    # per-record fallback (regression: min(initial=0) made `uniform`
-    # always False).
+def test_native_uniform_batches(tmp_path):
+    # Uniform-length files batch via the chunked zero-copy reshape path
+    # (no per-record work; the pre-round-5 per-record fallback helper is
+    # gone).
     f = tmp_path / "u.fna"
     f.write_text("".join(f">s{i}\nACGTACGT\n" for i in range(10)))
     import smafa_tpu.io.fastx as fx
 
-    called = []
-    orig = fx._batches_from_parsed
-    monkeypatch.setattr(
-        fx, "_batches_from_parsed",
-        lambda *a, **k: called.append(1) or orig(*a, **k),
-    )
     batches = list(fx.read_encoded_batches(f, batch_size=4))
-    assert not called, "uniform file fell into the per-record fallback"
     assert sum(len(b[0]) for b in batches) == 10
     assert all(b[2].shape[1] == 8 for b in batches)
 

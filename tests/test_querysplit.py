@@ -122,6 +122,18 @@ def test_fastq_split_protocol_matches_single_stream(tmp_path, monkeypatch):
         np.testing.assert_array_equal(np.concatenate(got), want)
 
 
+def test_fastq_validated_start_blank_lines():
+    """Regression (round-5 review): a quality line starting with '@'
+    followed by a record with a BLANK sequence line must not validate
+    as a record start (positional structure, no blank-skipping)."""
+    buf = b"@r1\nACGT\n+\n@IJK\n@r2\n\n+\n\n@r3\nACGT\n+\nIIII\n"
+    got = QS._validated_fastq_start(buf, 0)
+    assert got == buf.index(b"@r2"), got
+    # and the quality-line '@' is still rejected in the plain case
+    buf2 = b"@r1\nACGT\n+\n@IJK\n@r2\nACGT\n+\nIIII\n"
+    assert QS._validated_fastq_start(buf2, 0) == buf2.index(b"@r2")
+
+
 def test_fastq_split_python_fallback(tmp_path, monkeypatch):
     """The pure-Python slice parser must handle FASTQ slices too."""
     monkeypatch.setenv("SMAFA_TPU_NO_NATIVE", "1")
