@@ -11,11 +11,11 @@ file:
    each extended forward to the next record boundary. Plain FASTA cuts
    at ``\\n>`` (a sequence line can never start with '>'); plain FASTQ
    cuts at a VALIDATED ``\\n@`` — quality lines may start with '@', so
-   each candidate is checked against the 4-line structure (the line two
-   non-blank lines later must be the '+' separator; reference treats
-   FASTQ as first-class, lib.rs:221, test_cmdline.rs:194-201). Gzip is
-   not byte-addressable without BGZF and falls back to the replicated
-   parse.
+   each candidate is checked against the positional 4-line structure
+   (the line two physical lines later must be the '+' separator;
+   reference treats FASTQ as first-class, lib.rs:221,
+   test_cmdline.rs:194-201). Gzip is not byte-addressable without BGZF
+   and falls back to the replicated parse.
 2. Each process parses + encodes ITS range only (native C++ one-pass
    where built). Range metadata — record count, window length,
    deferred-error text — is exchanged with ONE ``process_allgather``,
