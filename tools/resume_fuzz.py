@@ -86,6 +86,13 @@ for n in range(START, START + COUNT):
     # multi-slab out-of-core streaming.
     layout = ["auto", "sharded", "ring", "col", "stream"][n % 5]
     os.environ["SMAFA_TPU_LAYOUT"] = layout
+    # Round 5: the resume skip must land on the same records when the
+    # chunked native ingest splits the stream at arbitrary window sizes.
+    _chunk = ["", "89", "257"][(n // 3) % 3]
+    if _chunk:
+        os.environ["SMAFA_TPU_INGEST_CHUNK"] = _chunk
+    else:
+        os.environ.pop("SMAFA_TPU_INGEST_CHUNK", None)
     if layout == "stream":
         ch = 16
         sr = ch * int(rng.integers(1, 5))
