@@ -212,18 +212,21 @@ class HitModesMixin:
 
     # -- one-wave best-hit (fused keys + count + middle enumeration) -------
 
-    # Measured one-wave cost at 32768 x 1M on the v5e chip (same
-    # session, docs/PERFORMANCE.md round 5): Mosaic fused count +45 ms
-    # over the plain pass, in-program middle passes 42 ms at
-    # (s_cap=1024, t=2), against 2 saved dispatch+fetch round trips.
-    # The crossover is therefore ~ (45+42)/2 = ~45 ms/trip in the worst
-    # case, less when the batch is tie-light (the middle passes skip
-    # via lax.cond); 20 ms is the threshold where the saved trips start
-    # paying for the fused count alone. The XLA fused-count scan is
-    # NEVER worth it (min2c measured 422 vs 113 ms plain — the count's
-    # sequential dependency breaks XLA's fusion, exactly the round-1
-    # lesson), so auto mode also requires the Mosaic pass-1.
-    ONEWAVE_LATENCY_MS = 20.0
+    # Measured on the v5e chip at ~25-27 ms round trips (same sessions,
+    # docs/PERFORMANCE.md round 5): the one-wave program LOST every e2e
+    # A/B — tie-heavy 32768 x 1M 0.66 vs 0.44 s/batch, and the
+    # production-shaped divergence-filtered sweep too. Its fixed tax
+    # (Mosaic fused count +45 ms, middle passes 42-103 ms, selection
+    # overflow re-dispatches on tie-heavy data) outweighs the 2 saved
+    # trips until a trip costs on the order of the tax itself, so the
+    # auto threshold sits at the measured-cost crossover (~100 ms —
+    # outage-grade tunnel weather, where round trips were observed at
+    # 100 ms+). SMAFA_TPU_ONEWAVE=1 forces it for such links. The XLA
+    # fused-count scan is NEVER worth it (min2c measured 422 vs 113 ms
+    # plain — the count's sequential dependency breaks XLA's fusion,
+    # exactly the round-1 lesson), so auto mode also requires the
+    # Mosaic pass-1.
+    ONEWAVE_LATENCY_MS = 100.0
 
     def _onewave_enabled(self, b: int | None = None) -> bool:
         """The one-wave program taxes EVERY batch (the Mosaic fused

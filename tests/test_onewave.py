@@ -167,7 +167,7 @@ def test_onewave_auto_latency_gate(monkeypatch):
     q = codes[rng.integers(0, 2048, 64)].copy()
     monkeypatch.delenv("SMAFA_TPU_ONEWAVE", raising=False)
     monkeypatch.setenv("SMAFA_TPU_PALLAS_MIN2", "interpret")
-    monkeypatch.setenv("SMAFA_TPU_DISPATCH_MS", "50")
+    monkeypatch.setenv("SMAFA_TPU_DISPATCH_MS", "150")
     r = ScanRunner(codes, L60, mesh=build_mesh(1, 1))
     h = r.bestfull_async(q, None)
     assert len(h) > 7 and h[7] is not None  # high latency -> one-wave
@@ -176,7 +176,7 @@ def test_onewave_auto_latency_gate(monkeypatch):
     h2 = r2.bestfull_async(q, None)
     assert len(h2) <= 7 or h2[7] is None  # low latency -> 3-wave
     # without the Mosaic pass-1, auto stays 3-wave even at high latency
-    monkeypatch.setenv("SMAFA_TPU_DISPATCH_MS", "50")
+    monkeypatch.setenv("SMAFA_TPU_DISPATCH_MS", "150")
     monkeypatch.setenv("SMAFA_TPU_PALLAS_MIN2", "0")
     r3 = ScanRunner(codes, L60, mesh=build_mesh(1, 1))
     h3 = r3.bestfull_async(q, None)
