@@ -1081,7 +1081,15 @@ class HitModesMixin:
         dispatch would allocate multi-GB buffers next to the resident
         db, or OOM) — its hits are enumerated host-side instead, one
         chunked numpy pass over the channel codes. Returns flat
-        (rows, idx) sorted by (row, index)."""
+        (rows, idx) sorted by (row, index).
+
+        When the fused-distance program is available it serves here too
+        (measured FASTER than the plain compact — 950 vs 1068 ms at
+        8192 x 1M x 2^21 slots — because the packed single-key buffer
+        halves the fetch): every caller's threshold is a row minimum,
+        so all buffered hits sit at one distance per row and the
+        program's (row, dist, idx) order IS (row, index) order."""
+        use_d = self._compactd_supported()
         cap = self._mask_row_cap()
         n = int(row_ids.shape[0])
         out_r, out_i = [], []
@@ -1107,13 +1115,18 @@ class HitModesMixin:
                 acc += int(counts[end])
                 end += 1
             t_cap = D.bucket(max(acc, 1), minimum=256)
-            pending.append(self._compact_dispatch_async(
+            dispatch = (self._compactd_dispatch_async if use_d
+                        else self._compact_dispatch_async)
+            pending.append(dispatch(
                 q_padded, row_ids[start:end], thresh_vals[start:end], t_cap
             ))
             start = end
         for h in pending:
-            g_rows, g_idx, _rc, valid = self._compact_collect(h)
-            assert valid, "exactly-sized compaction overflowed"
+            if use_d:
+                g_rows, g_idx, _dv = self._compactd_collect(h)
+            else:
+                g_rows, g_idx, _rc, valid = self._compact_collect(h)
+                assert valid, "exactly-sized compaction overflowed"
             out_r.append(g_rows)
             out_i.append(g_idx)
         rows = np.concatenate(out_r) if out_r else np.empty(0, np.int32)
