@@ -488,6 +488,27 @@ def _any_overflow(dists, maxd, w, m, k_mode, max_divergence) -> bool:
     return bool(np.any(last == mind_eff))
 
 
+def _write_bytes(out, data: bytes) -> None:
+    """Write pre-formatted ASCII bytes to a text stream, bypassing the
+    text layer's decode->str->re-encode round trip when the underlying
+    binary buffer is reachable (two full passes over the emitted bytes
+    — visible at millions of hit lines per batch). The text layer is
+    flushed first so interleaved str writes (per-row K-mode paths,
+    logging) keep their order; resume's flush/tell discipline is
+    unaffected (the byte-exactness suites pin it)."""
+    # Exact-type gate: a wrapper/subclass that proxies .write (test
+    # instrumentation, user file-likes that transform) must NOT be
+    # bypassed by reaching through to an underlying buffer.
+    if type(out) is io.TextIOWrapper:
+        try:
+            out.flush()
+            out.buffer.write(data)
+            return
+        except (AttributeError, OSError, io.UnsupportedOperation):
+            pass
+    out.write(data.decode("ascii"))
+
+
 def _emit_bulk(out, qnums, subj, d, db):
     L = db.seq_len
 
@@ -498,13 +519,13 @@ def _emit_bulk(out, qnums, subj, d, db):
     # blob (that gather was 52% of the emit path at 2M hits).
     buf = format_hits_tsv_codes(qnums, subj, d, db.windows.codes, L)
     if buf is not None:
-        out.write(buf.decode("ascii"))
+        _write_bytes(out, buf)
         return
     blob = alphabet.DECODE_BYTES[db.windows.codes[subj]]
     offs = np.arange(subj.size, dtype=np.int64) * L
     buf = format_hits_tsv(qnums, subj, d, blob.reshape(-1), offs, L)
     if buf is not None:
-        out.write(buf.decode("ascii"))
+        _write_bytes(out, buf)
         return
     flat = blob.tobytes().decode("ascii")
     out.write(
