@@ -1156,45 +1156,89 @@ def kmode_cutoffs_from_hist(hist: np.ndarray, k: int,
 # fused shape as min2_scan; no top_k, no sort, no HBM intermediates.
 
 
-def kmode_phase1(scan_stats, k, maxdiv, n_windows, seq_len):
-    """cutoff search. scan_stats(t) -> (count of dist <= t per row, max dist
-    per row); k, maxdiv traced int32 scalars (maxdiv = seq_len+1 if unused).
+KSTATS_PROBES = 4  # per-row thresholds probed per kstats pass
 
-    Returns (eff [B] effective cutoff, hits [B] exact hit count).
+
+def kstats_steps(seq_len: int) -> int:
+    """Passes the 4-way partition search needs: each pass cuts the
+    candidate range [lo, hi] to <= (hi-lo)//4 (three interior probes),
+    so ranges shrink 60 -> 15 -> 3 -> 0 at 60 bp = 3 passes."""
+    steps, n = 0, seq_len
+    while n > 0:
+        n //= 4
+        steps += 1
+    return max(1, steps)
+
+
+def kmode_phase1(scan_statsN, k, maxdiv, n_windows, seq_len, b):
+    """Cutoff search with MULTI-PROBE passes (round 5).
+
+    ``scan_statsN(ts [4, B]) -> (counts [4, B], max [B])``: counts at
+    four per-row thresholds in ONE fused db pass (each extra threshold
+    is one compare+sum on the distance block, ~6-8% of a pass — far
+    cheaper than another full pass). Three probes drive a 4-way
+    partition search for the smallest t with count(<= t) >= k; the
+    fourth always probes min(maxdiv, L). Tracking the count AT the
+    running upper bound removes the final exact-count pass too: at
+    60 bp the round-4 binary search paid 8 full passes (6 bisections +
+    initial max + final count), this pays 3. k, maxdiv are traced int32
+    scalars (maxdiv = seq_len+1 if unused). Returns (eff [B] effective
+    cutoff, hits [B] exact count) per the reference cutoff rule
+    (lib.rs:253-265).
     """
-    steps = max(1, math.ceil(math.log2(seq_len + 2)))
-    # Binary search smallest t in [0, seq_len] with count(<= t) >= k.
-    _, maxd = scan_stats(jnp.full((1,), seq_len, jnp.int32))
-    b = maxd.shape[0]
-    t_lo = jnp.zeros((b,), jnp.int32)
-    t_hi = jnp.full((b,), seq_len, jnp.int32)
+    steps = kstats_steps(seq_len)
+    md_c = jnp.minimum(maxdiv, jnp.int32(seq_len))
+    lo = jnp.zeros((b,), jnp.int32)
+    hi = jnp.full((b,), seq_len, jnp.int32)
+    # count(<= seq_len) == n_windows, so the upper bound's count is
+    # known before any pass; it only ever tightens.
+    cnt_hi = jnp.full((b,), 1, jnp.int32) * jnp.asarray(n_windows, jnp.int32)
+    cnt_md = jnp.zeros((b,), jnp.int32)
+    mx = jnp.full((b,), -1, jnp.int32)
 
     def body(_, carry):
-        t_lo, t_hi = carry
-        mid = (t_lo + t_hi) // 2
-        cnt, _ = scan_stats(mid)
-        ge = cnt >= k
-        return jnp.where(ge, t_lo, mid + 1), jnp.where(ge, mid, t_hi)
+        lo, hi, cnt_hi, _cnt_md, _mx = carry
+        m1 = (3 * lo + hi) // 4
+        m2 = (lo + hi) // 2
+        m3 = (lo + 3 * hi) // 4
+        ts = jnp.stack([m1, m2, m3, jnp.broadcast_to(md_c, lo.shape)])
+        cnts, mx = scan_statsN(ts)
+        c1, c2, c3, c_md = cnts[0], cnts[1], cnts[2], cnts[3]
+        ge1, ge2, ge3 = c1 >= k, c2 >= k, c3 >= k
+        new_hi = jnp.where(ge1, m1, jnp.where(ge2, m2,
+                                              jnp.where(ge3, m3, hi)))
+        new_cnt = jnp.where(ge1, c1, jnp.where(ge2, c2,
+                                               jnp.where(ge3, c3, cnt_hi)))
+        new_lo = jnp.where(ge1, lo, jnp.where(ge2, m1 + 1,
+                                              jnp.where(ge3, m2 + 1,
+                                                        m3 + 1)))
+        return (jnp.minimum(new_lo, new_hi), new_hi, new_cnt, c_md, mx)
 
-    t_lo, t_hi = jax.lax.fori_loop(0, steps, body, (t_lo, t_hi))
-    kth = t_hi  # smallest t with count(<= t) >= k (== row max if k > count)
-    cutoff = jnp.where(k > n_windows, maxd, kth)
+    lo, hi, cnt_hi, cnt_md, mx = jax.lax.fori_loop(
+        0, steps, body, (lo, hi, cnt_hi, cnt_md, mx)
+    )
+    kth = hi  # smallest t with count(<= t) >= k (== seq_len if k > count)
+    cutoff = jnp.where(k > n_windows, mx, kth)
     eff = jnp.minimum(cutoff, maxdiv)
-    hits, _ = scan_stats(eff)
+    # hits at eff, no extra pass: eff is md_c (probed every pass), kth
+    # (tracked), or the row max (count(<= max) == n_windows). Collisions
+    # agree by monotonicity, so the branch order is free.
+    nw_b = jnp.broadcast_to(jnp.asarray(n_windows, jnp.int32), lo.shape)
+    hits = jnp.where(eff == md_c, cnt_md,
+                     jnp.where(eff == kth, cnt_hi, nw_b))
     return eff, hits
 
 
 @partial(jax.jit, static_argnames=("seq_len", "chunk"))
 def kmode_stats_scan(q_oh, db_oh, n_windows, k, maxdiv, seq_len, chunk):
-    """Phase-A program for long windows (single device): (eff cutoff,
-    exact hit count) via binary-search count scans. Short windows use
-    ``hist_scan`` instead (one pass). No packed keys anywhere, so this
-    path is row-count-unbounded."""
-    def scan_stats(t):
-        t = jnp.broadcast_to(t, (q_oh.shape[0],))
-        return _stats_pass(q_oh, db_oh, n_windows, t, seq_len, chunk)
+    """K-mode phase-A program (single device): (eff cutoff, exact hit
+    count) via multi-probe partition-search count scans. No packed keys
+    anywhere, so this path is row-count-unbounded."""
+    def scan_statsN(ts):
+        return _statsN_pass(q_oh, db_oh, n_windows, ts, seq_len, chunk)
 
-    return kmode_phase1(scan_stats, k, maxdiv, n_windows, seq_len)
+    return kmode_phase1(scan_statsN, k, maxdiv, n_windows, seq_len,
+                        q_oh.shape[0])
 
 
 def stats_chunk_update(carry, dist, lidx, n_windows, t):
@@ -1222,6 +1266,38 @@ def _stats_pass(q_oh, db_oh, n_windows, t, seq_len, chunk):
         return stats_chunk_update(carry, dist, lidx, n_windows, t), None
 
     init = (jnp.zeros((b,), jnp.int32), jnp.full((b,), -1, jnp.int32))
+    offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (cnt, mx), _ = jax.lax.scan(step, init, offsets)
+    return cnt, mx
+
+
+def statsN_chunk_update(carry, dist, lidx, n_windows, ts):
+    """Multi-probe twin of ``stats_chunk_update``: fold one distance
+    chunk into running (counts at P per-row thresholds, max) stats —
+    each extra threshold costs one compare + sum over the distance
+    block, which is how the kstats partition search probes several
+    candidates per db pass. ``ts`` is int32 [P, B]."""
+    cnt, mx = carry
+    valid = (lidx < n_windows)[None, :]
+    hit = valid[None, :, :] & (dist[None, :, :] <= ts[:, :, None])
+    cnt = cnt + jnp.sum(hit, axis=2, dtype=jnp.int32)
+    mx = jnp.maximum(mx, jnp.max(jnp.where(valid, dist, -1), axis=1))
+    return cnt, mx
+
+
+def _statsN_pass(q_oh, db_oh, n_windows, ts, seq_len, chunk):
+    """One fused pass: (counts [P, B] at per-row thresholds ts [P, B],
+    max dist [B])."""
+    b = q_oh.shape[0]
+    p = ts.shape[0]
+    n_chunks = db_oh.shape[0] // chunk
+
+    def step(carry, off):
+        dist = block_distances(q_oh, db_oh, off, chunk, seq_len)
+        lidx = off + jnp.arange(chunk, dtype=jnp.int32)
+        return statsN_chunk_update(carry, dist, lidx, n_windows, ts), None
+
+    init = (jnp.zeros((p, b), jnp.int32), jnp.full((b,), -1, jnp.int32))
     offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     (cnt, mx), _ = jax.lax.scan(step, init, offsets)
     return cnt, mx

@@ -370,19 +370,20 @@ class RingScanRunner(HitModesMixin):
         def shard_fn(q_oh, db_shard, n_windows, k, maxdiv):
             b_loc = q_oh.shape[0]
 
-            def scan_stats(t):
-                t = jnp.broadcast_to(t, (b_loc,))
+            def scan_statsN(ts):
                 init = (
-                    jnp.zeros((b_loc,), jnp.int32),
+                    jnp.zeros((D.KSTATS_PROBES, b_loc), jnp.int32),
                     jnp.full((b_loc,), -1, jnp.int32),
                 )
 
                 def fold(carry, dist, lidx, n_valid, off):
-                    return D.stats_chunk_update(carry, dist, lidx, n_valid, t)
+                    return D.statsN_chunk_update(carry, dist, lidx,
+                                                 n_valid, ts)
 
                 return self._ring_sweep(q_oh, db_shard, n_windows, init, fold)
 
-            return D.kmode_phase1(scan_stats, k, maxdiv, n_windows, seq_len)
+            return D.kmode_phase1(scan_statsN, k, maxdiv, n_windows,
+                                  seq_len, b_loc)
 
         return self._jit_mapped(
             shard_fn, (P("d", None), P("d", None), P(), P(), P()),

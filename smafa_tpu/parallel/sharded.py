@@ -1177,12 +1177,14 @@ class ScanRunner(HitModesMixin):
             off = jax.lax.axis_index("w").astype(jnp.int32) * shard_rows
             n_valid = jnp.clip(n_windows - off, 0, shard_rows)
 
-            def scan_stats(t):
-                t = jnp.broadcast_to(t, (q_oh.shape[0],))
-                cnt, mx = D._stats_pass(q_oh, db_shard, n_valid, t, seq_len, chunk)
+            def scan_statsN(ts):
+                cnt, mx = D._statsN_pass(q_oh, db_shard, n_valid, ts,
+                                         seq_len, chunk)
+                # ONE [P, B] psum merges all probe counts per pass
                 return jax.lax.psum(cnt, "w"), jax.lax.pmax(mx, "w")
 
-            return D.kmode_phase1(scan_stats, k, maxdiv, n_windows, seq_len)
+            return D.kmode_phase1(scan_statsN, k, maxdiv, n_windows,
+                                  seq_len, q_oh.shape[0])
 
         mapped = jax.shard_map(
             shard_fn,

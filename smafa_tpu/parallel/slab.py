@@ -352,9 +352,10 @@ class SlabStreamRunner(HitModesMixin):
         return np.asarray(carry[0]), np.asarray(carry[1])
 
     def _build_kstats(self, b: int):
-        """Host-level mirror of ops.distance.kmode_phase1 (same binary
-        search, same K > n_windows and maxdiv rules — that docstring is
-        the semantics contract), with each count pass a full slab sweep.
+        """Host-level mirror of ops.distance.kmode_phase1's CONTRACT
+        (same K > n_windows and maxdiv rules; this one keeps the simple
+        binary search — out-of-core sweeps are PCIe-bound, not
+        pass-count-bound), with each count pass a full slab sweep.
         Only reached for seq_len >= HIST_MAX windows, where the histogram
         table would be wider than it is worth."""
         import math

@@ -160,3 +160,40 @@ def test_block_distances_codes_equals_onehot():
         a = D.block_distances(q_oh, db_oh, jnp.int32(off), chunk, L)
         b = D.block_distances(q_oh, jnp.asarray(codes), jnp.int32(off), chunk, L)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_kmode_phase1_multiprobe_oracle():
+    """Round-5 multi-probe cutoff search vs a dense oracle across the
+    reference rule's edges: K beyond the window count (cutoff = row
+    max), maxdiv below/at/above the Kth distance, K=1, tiny windows."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    for seq_len, w, b in ((60, 700, 40), (9, 64, 16), (1, 8, 8), (3, 5, 8)):
+        codes = rng.integers(0, 5, (w, seq_len)).astype(np.uint8)
+        q = rng.integers(0, 5, (b, seq_len)).astype(np.uint8)
+        q[0] = codes[0]  # exact hit row
+        dist = seq_len - (q[:, None, :] == codes[None, :, :]).sum(axis=2)
+        chunk = 32 if w >= 32 else w
+        wp = -(-w // chunk) * chunk
+        codes_p = np.zeros((wp, seq_len), np.uint8)
+        codes_p[:w] = codes
+        q_oh = D.expand_onehot(q, seq_len)
+        db_oh = D.expand_onehot(codes_p, seq_len)
+        for k in (1, 2, 5, w, w + 3):
+            for maxdiv in (None, 0, 1, seq_len // 2, seq_len, seq_len + 4):
+                md = seq_len + 1 if maxdiv is None else maxdiv
+                eff, hits = D.kmode_stats_scan(
+                    q_oh, db_oh, jnp.int32(w), jnp.int32(k), jnp.int32(md),
+                    seq_len, chunk,
+                )
+                eff = np.asarray(eff)
+                hits = np.asarray(hits)
+                # oracle (reference lib.rs:253-265)
+                srt = np.sort(dist, axis=1)
+                kth = (srt[:, min(k, w) - 1] if k <= w
+                       else dist.max(axis=1))
+                want_eff = np.minimum(kth, md)
+                want_hits = (dist <= want_eff[:, None]).sum(axis=1)
+                np.testing.assert_array_equal(eff, want_eff, err_msg=f"{seq_len},{k},{maxdiv}")
+                np.testing.assert_array_equal(hits, want_hits, err_msg=f"{seq_len},{k},{maxdiv}")
