@@ -498,14 +498,25 @@ def _write_bytes(out, data: bytes) -> None:
     unaffected (the byte-exactness suites pin it)."""
     # Exact-type gate: a wrapper/subclass that proxies .write (test
     # instrumentation, user file-likes that transform) must NOT be
-    # bypassed by reaching through to an underlying buffer.
-    if type(out) is io.TextIOWrapper:
+    # bypassed by reaching through to an underlying buffer. The stream
+    # must also encode ASCII bytes verbatim (no exotic encoding, no
+    # newline translation) or bulk lines would differ from the per-row
+    # str writes on the same stream. OSError propagates — a fallback
+    # retry after a partial binary write would duplicate output.
+    import os as _os
+
+    if (type(out) is io.TextIOWrapper
+            and (out.encoding or "").lower().replace("-", "")
+            in ("utf8", "ascii", "usascii")
+            and _os.linesep == "\n"):
         try:
+            binary = out.buffer
+        except (AttributeError, io.UnsupportedOperation):
+            binary = None
+        if binary is not None:
             out.flush()
-            out.buffer.write(data)
+            binary.write(data)
             return
-        except (AttributeError, OSError, io.UnsupportedOperation):
-            pass
     out.write(data.decode("ascii"))
 
 

@@ -35,8 +35,9 @@ scans over those keys:
 - ``hist_scan`` / ``kmode_cutoffs_from_hist``: one pass computing the
   exact [B, L+1] distance histogram; the host reads the Kth-smallest
   distance, row max, and hit counts off its cumulative sum — the K-mode
-  cutoff rule (lib.rs:253-265). ``kmode_phase1`` (binary-search count
-  scans) remains for very long windows.
+  cutoff rule (lib.rs:253-265). ``kmode_phase1`` (multi-probe
+  partition-search count scans — the shipped K-mode phase A at every
+  window length) reads the same rule in ~3 fused passes at 60 bp.
 - ``topm_scan``: the exact chunked (distance, index) top-M sort-merge,
   retained as the fallback when key packing overflows 31 bits.
 
@@ -1160,12 +1161,13 @@ KSTATS_PROBES = 4  # per-row thresholds probed per kstats pass
 
 
 def kstats_steps(seq_len: int) -> int:
-    """Passes the 4-way partition search needs: each pass cuts the
-    candidate range [lo, hi] to <= (hi-lo)//4 (three interior probes),
-    so ranges shrink 60 -> 15 -> 3 -> 0 at 60 bp = 3 passes."""
+    """Passes the partition search needs: each pass has
+    KSTATS_PROBES - 1 interior probes cutting the candidate range
+    [lo, hi] to <= (hi-lo) // KSTATS_PROBES, so ranges shrink
+    60 -> 15 -> 3 -> 0 at 60 bp with 4 probes = 3 passes."""
     steps, n = 0, seq_len
     while n > 0:
-        n //= 4
+        n //= KSTATS_PROBES
         steps += 1
     return max(1, steps)
 
@@ -1187,32 +1189,37 @@ def kmode_phase1(scan_statsN, k, maxdiv, n_windows, seq_len, b):
     (lib.rs:253-265).
     """
     steps = kstats_steps(seq_len)
+    nw_b = jnp.broadcast_to(jnp.asarray(n_windows, jnp.int32), (b,))
     md_c = jnp.minimum(maxdiv, jnp.int32(seq_len))
     lo = jnp.zeros((b,), jnp.int32)
     hi = jnp.full((b,), seq_len, jnp.int32)
     # count(<= seq_len) == n_windows, so the upper bound's count is
     # known before any pass; it only ever tightens.
-    cnt_hi = jnp.full((b,), 1, jnp.int32) * jnp.asarray(n_windows, jnp.int32)
+    cnt_hi = nw_b
     cnt_md = jnp.zeros((b,), jnp.int32)
     mx = jnp.full((b,), -1, jnp.int32)
+    P = KSTATS_PROBES
 
     def body(_, carry):
         lo, hi, cnt_hi, _cnt_md, _mx = carry
-        m1 = (3 * lo + hi) // 4
-        m2 = (lo + hi) // 2
-        m3 = (lo + 3 * hi) // 4
-        ts = jnp.stack([m1, m2, m3, jnp.broadcast_to(md_c, lo.shape)])
+        # P-1 interior probes + the constant maxdiv probe (everything
+        # below derives from KSTATS_PROBES so the constant, the probe
+        # stack, and kstats_steps' shrink factor cannot drift apart)
+        ms = [(lo * (P - i) + hi * i) // P for i in range(1, P)]
+        ts = jnp.stack(ms + [jnp.broadcast_to(md_c, lo.shape)])
         cnts, mx = scan_statsN(ts)
-        c1, c2, c3, c_md = cnts[0], cnts[1], cnts[2], cnts[3]
-        ge1, ge2, ge3 = c1 >= k, c2 >= k, c3 >= k
-        new_hi = jnp.where(ge1, m1, jnp.where(ge2, m2,
-                                              jnp.where(ge3, m3, hi)))
-        new_cnt = jnp.where(ge1, c1, jnp.where(ge2, c2,
-                                               jnp.where(ge3, c3, cnt_hi)))
-        new_lo = jnp.where(ge1, lo, jnp.where(ge2, m1 + 1,
-                                              jnp.where(ge3, m2 + 1,
-                                                        m3 + 1)))
-        return (jnp.minimum(new_lo, new_hi), new_hi, new_cnt, c_md, mx)
+        # smallest probe with count >= k bounds the answer from above;
+        # fold the cascade from the last interior probe down
+        new_hi, new_cnt = hi, cnt_hi
+        new_lo = ms[-1] + 1
+        for i in range(len(ms) - 1, -1, -1):
+            ge = cnts[i] >= k
+            new_hi = jnp.where(ge, ms[i], new_hi)
+            new_cnt = jnp.where(ge, cnts[i], new_cnt)
+            prev_lo = lo if i == 0 else ms[i - 1] + 1
+            new_lo = jnp.where(ge, prev_lo, new_lo)
+        return (jnp.minimum(new_lo, new_hi), new_hi, new_cnt,
+                cnts[P - 1], mx)
 
     lo, hi, cnt_hi, cnt_md, mx = jax.lax.fori_loop(
         0, steps, body, (lo, hi, cnt_hi, cnt_md, mx)
@@ -1223,7 +1230,6 @@ def kmode_phase1(scan_statsN, k, maxdiv, n_windows, seq_len, b):
     # hits at eff, no extra pass: eff is md_c (probed every pass), kth
     # (tracked), or the row max (count(<= max) == n_windows). Collisions
     # agree by monotonicity, so the branch order is free.
-    nw_b = jnp.broadcast_to(jnp.asarray(n_windows, jnp.int32), lo.shape)
     hits = jnp.where(eff == md_c, cnt_md,
                      jnp.where(eff == kth, cnt_hi, nw_b))
     return eff, hits

@@ -363,8 +363,9 @@ class RingScanRunner(HitModesMixin):
         )
 
     def _build_kstats(self, b: int):
-        """Binary-search cutoff stats for very long windows (the histogram
-        path covers seq_len < D.HIST_MAX)."""
+        """Multi-probe partition-search cutoff stats (the shipped
+        K-mode phase A; SMAFA_TPU_KMODE_HIST=1 restores the histogram
+        for short windows)."""
         seq_len = self.seq_len
 
         def shard_fn(q_oh, db_shard, n_windows, k, maxdiv):

@@ -255,9 +255,9 @@ class ColumnShardedScanRunner(HitModesMixin):
         return self._jit_mapped(shard_fn, 0, P(None, None))
 
     def _build_kstats(self, b: int):
-        """Binary-search cutoff stats — the phase-A path for very long
-        windows, which is exactly this layout's regime (seq_len >=
-        D.HIST_MAX makes the histogram wider than it is worth)."""
+        """Multi-probe partition-search cutoff stats — the K-mode
+        phase A, and this layout's regime is exactly where the
+        histogram alternative is widest (seq_len >= D.HIST_MAX)."""
         seq_len = self.seq_len
 
         def shard_fn(q_oh, db_sh, n_windows, k, maxdiv):
