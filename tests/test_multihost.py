@@ -155,6 +155,61 @@ def test_two_process_cli_query_golden(tmp_path):
 
 @pytest.mark.slow
 @_retry_flaky
+def test_two_process_cli_query_onewave_golden(tmp_path):
+    """Round 5: the one-wave best-hit program (fused keys + count +
+    middle enumeration) dispatched SPMD across 2 real processes —
+    process 0's stdout must equal the single-process (3-wave) run."""
+    rng = np.random.default_rng(41)
+    W, B, L = 600, 29, 40
+    db = rng.integers(0, 3, size=(W, L)).astype(np.uint8)
+    db[200:400] = db[0:200]  # tie material incl. >2-tie rows
+    q = rng.integers(0, 5, size=(B, L)).astype(np.uint8)
+    q[:6] = db[10:16]
+
+    db_path = tmp_path / "db.smafatpu"
+    native_format.save(WindowSet.from_matrix(db, 2), db_path)
+    q_path = tmp_path / "q.fna"
+    q_path.write_text(
+        "".join(
+            ">r%d\n%s\n" % (i, "".join("ACGTN"[c] for c in row))
+            for i, row in enumerate(q)
+        )
+    )
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = os.getcwd()
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    single = subprocess.run(
+        [sys.executable, "-m", "smafa_tpu", "query", "-d", str(db_path),
+         "-q", str(q_path)],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert single.returncode == 0, single.stderr[-2000:]
+
+    env["SMAFA_TPU_ONEWAVE"] = "1"
+    coord = f"localhost:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "smafa_tpu", "query", "-d", str(db_path),
+             "-q", str(q_path), "--coordinator", coord,
+             "--num-processes", "2", "--process-id", str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (_so, se) in zip(procs, outs):
+        assert p.returncode == 0, se[-2000:]
+    assert _strip_gloo(outs[0][0]) == single.stdout
+    assert _strip_gloo(outs[1][0]) == ""
+
+
+@pytest.mark.slow
+@_retry_flaky
 def test_two_process_cli_query_fastq_split_golden(tmp_path):
     """Round 5: the split query stream handles plain FASTQ (validated
     '\\n@' record boundaries — quality lines here deliberately start
